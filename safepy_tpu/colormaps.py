@@ -1,0 +1,42 @@
+"""Colormap helpers for enrichment landscapes.
+
+Reference: safepy/safe_colormaps.py — a 5-anchor piecewise-linear normalizer for the
+diverging attribute maps and the hsv-derived domain palette (first color black, the
+rest shuffled). The shuffle is seedable here (the reference uses the global NumPy
+RNG, safe_colormaps.py:32, which makes composite plots nondeterministic).
+"""
+
+from __future__ import annotations
+
+import matplotlib.colors as colors
+import numpy as np
+from matplotlib import cm
+
+
+class MidpointRangeNormalize(colors.Normalize):
+    """Piecewise-linear normalize through (vmin, mid[0], mid[1], mid[2], vmax)."""
+
+    def __init__(self, vmin=None, vmax=None, midrange=None, clip=False):
+        self.midrange = midrange
+        colors.Normalize.__init__(self, vmin, vmax, clip)
+
+    def __call__(self, value, clip=None):
+        x = [self.vmin, self.midrange[0], self.midrange[1], self.midrange[2], self.vmax]
+        y = [0, 0.25, 0.5, 0.75, 1]
+        return np.ma.masked_array(np.interp(value, x, y))
+
+
+def get_colors(colormap="hsv", n=10, seed=None):
+    """n domain RGBA colors: black first, the rest drawn from `colormap` and
+    shuffled (seedable for reproducible composite maps)."""
+    cmap = cm.get_cmap(colormap) if hasattr(cm, "get_cmap") else \
+        __import__("matplotlib").pyplot.get_cmap(colormap)
+
+    rgb = [(0, 0, 0, 1)]
+    for c in np.arange(1, n):
+        rgb.append(cmap(c / n))
+    rgb = np.asarray(rgb)
+
+    rng = np.random.default_rng(seed)
+    rng.shuffle(rgb[1:])
+    return rgb

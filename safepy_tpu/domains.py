@@ -1,0 +1,154 @@
+"""Attribute -> domain assignment: top-attribute filtering, clustering, trimming.
+
+Host-side stage (inputs are tiny after enrichment): reference semantics from
+safepy/safe.py:610-745.
+
+  * top attributes: >= `min_size` enriched neighborhoods AND exactly one connected
+    component in the enriched-neighborhood subnetwork ('connectivity' unimodality);
+  * domains: average-linkage hierarchical clustering of the top attributes' binary
+    enrichment columns under the configured distance (default jaccard), cut at
+    ``max(Z[:, 2]) * attribute_distance_threshold``;
+  * node -> domain: a node belongs to the domain holding the most attributes it is
+    significantly enriched for (groupby-sum of nes_binary, argmax; 0 when none);
+  * trimming: drop domains that are primary for fewer than `min_size` nodes,
+    renumber densely, and label each domain with the 5 most frequent words of its
+    member attributes' names.
+"""
+
+from __future__ import annotations
+
+import logging
+from itertools import compress
+
+import networkx as nx
+import numpy as np
+import pandas as pd
+from scipy.cluster.hierarchy import fcluster, linkage
+
+from safepy_tpu.io.graph_arrays import chop_and_filter
+
+
+def define_top_attributes(attributes, nes_binary, graph, graph_euclidean=None,
+                          *, unimodality_metric="connectivity",
+                          min_size=10, verbose=True):
+    """Mark 'top' attributes in-place in the attributes DataFrame."""
+
+    logging.info("Criteria for top attributes:")
+    logging.info("- minimum number of enriched neighborhoods: %d" % min_size)
+    logging.info("- region-specific distribution of enriched neighborhoods as "
+                 "defined by: %s" % unimodality_metric)
+
+    attributes["top"] = False
+    attributes.loc[attributes["num_neighborhoods_enriched"] >= min_size, "top"] = True
+
+    if unimodality_metric == "connectivity":
+        attributes["num_connected_components"] = 0
+        attributes["size_connected_components"] = None
+        attributes["size_connected_components"] = (
+            attributes["size_connected_components"].astype(object))
+        attributes["num_large_connected_components"] = 0
+
+        for attribute in attributes.index.values[attributes["top"]]:
+            enriched = list(compress(list(graph), nes_binary[:, attribute] > 0))
+            H = nx.subgraph(graph, enriched)
+            # Edgeless (scatter) networks: use the euclidean pseudo-network.
+            if graph_euclidean is not None:
+                H = nx.subgraph(graph_euclidean, enriched)
+
+            components = sorted(nx.connected_components(H), key=len, reverse=True)
+            sizes = np.array([len(c) for c in components])
+            attributes.loc[attribute, "num_connected_components"] = len(components)
+            attributes.at[attribute, "size_connected_components"] = sizes
+            attributes.loc[attribute, "num_large_connected_components"] = int(
+                np.sum(sizes >= min_size))
+
+        attributes.loc[attributes["num_connected_components"] > 1, "top"] = False
+
+    if verbose:
+        logging.info("Number of top attributes: %d" % int(np.sum(attributes["top"])))
+    return attributes
+
+
+def define_domains(attributes, nes, nes_binary,
+                   *, distance_metric="jaccard", distance_threshold=0.75,
+                   verbose=True):
+    """Cluster top attributes into domains and assign every node a primary domain.
+
+    Returns (attributes, node2domain): attributes gains a 'domain' column;
+    node2domain has one column per domain id (count of enriched member attributes)
+    plus 'primary_domain' and 'primary_nes'.
+    """
+    top_mask = attributes["top"].values.astype(bool)
+    if top_mask.sum() < 2:
+        raise ValueError("define_domains requires at least 2 top attributes "
+                         f"(got {int(top_mask.sum())}).")
+
+    m = nes_binary[:, top_mask].T
+    Z = linkage(m, method="average", metric=distance_metric)
+    max_d = np.max(Z[:, 2] * distance_threshold)
+    domains = fcluster(Z, max_d, criterion="distance")
+
+    attributes["domain"] = 0
+    attributes.loc[top_mask, "domain"] = domains
+
+    domain_of_attr = attributes["domain"].values
+    unique_domains = np.sort(np.unique(domain_of_attr))
+
+    # counts[node, d] = number of domain-d attributes the node is enriched for
+    counts = np.stack([nes_binary[:, domain_of_attr == d].sum(axis=1)
+                       for d in unique_domains], axis=1)
+    node2domain = pd.DataFrame(counts, columns=unique_domains)
+
+    nonzero = [d for d in unique_domains if d != 0]
+    t = node2domain[nonzero]
+    t_max = t.max(axis=1)
+    t_idxmax = t.idxmax(axis=1)
+    t_idxmax[t_max == 0] = 0
+
+    # max NES within each domain per node, for the primary domain
+    with np.errstate(invalid="ignore"):
+        max_nes = {d: np.nanmax(np.where(np.isnan(nes[:, domain_of_attr == d]),
+                                         -np.inf, nes[:, domain_of_attr == d]),
+                                axis=1, initial=-np.inf)
+                   for d in unique_domains}
+    node2domain["primary_domain"] = t_idxmax
+    node2domain["primary_nes"] = [max_nes[d][i] for i, d in enumerate(t_idxmax.values)]
+
+    if verbose:
+        num_domains = len(np.unique(domains))
+        per_domain = (attributes.loc[attributes["domain"] > 0]
+                      .groupby("domain")["id"].count())
+        logging.info("Number of domains: %d (containing %d-%d attributes)"
+                     % (num_domains, per_domain.min(), per_domain.max()))
+    return attributes, node2domain
+
+
+def trim_domains(attributes, node2domain, *, min_size=10, verbose=True, color_seed=None):
+    """Drop small domains, renumber densely, and label the survivors.
+
+    Returns (attributes, node2domain, domains_df).
+    """
+    unique_domains = np.sort(attributes["domain"].unique())
+    domain_counts = np.zeros(int(unique_domains.max()) + 1, dtype=int)
+    t = node2domain.groupby("primary_domain")["primary_domain"].count()
+    domain_counts[t.index.values.astype(int)] = t.values
+    to_remove = np.flatnonzero(domain_counts < min_size)
+
+    attributes.loc[attributes["domain"].isin(to_remove), "domain"] = 0
+    idx = node2domain["primary_domain"].isin(to_remove)
+    node2domain.loc[idx, ["primary_domain", "primary_nes"]] = 0
+
+    a = np.sort(attributes["domain"].unique())
+    renumber = dict(zip(a, np.arange(len(a))))
+    attributes["domain"] = [renumber[k] for k in attributes["domain"]]
+    node2domain["primary_domain"] = [renumber[k] for k in node2domain["primary_domain"]]
+
+    domains = np.sort(attributes["domain"].unique())
+    domain_labels = attributes.groupby("domain")["name"].apply(chop_and_filter)
+    domains_df = pd.DataFrame(data={"id": domains, "label": domain_labels})
+    domains_df.set_index("id", drop=False)
+
+    if verbose:
+        logging.info("Removed %d domains because they were the top choice for "
+                     "less than %d neighborhoods." % (len(to_remove), min_size))
+    return attributes, node2domain, domains_df

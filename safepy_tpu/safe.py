@@ -1,0 +1,520 @@
+"""The SAFE facade: reference-compatible API over the TPU device core.
+
+Same public surface as the reference ``SAFE`` class (safepy/safe.py:37-1306) —
+method names, kwargs, instance attributes, INI config, logging lines — but every
+pipeline stage between "graph + attributes in" and "NES matrices out" dispatches to
+jit-compiled JAX/Pallas functions:
+
+  * ``define_neighborhoods`` — dense blocked min-plus Floyd-Warshall on the TPU VPU
+    instead of N host Dijkstras (reference hot loop, safe.py:406-410);
+  * ``compute_pvalues_by_hypergeom`` — MXU matmuls for the census plus a vectorized
+    log-space hypergeometric survival function (reference: scipy elementwise,
+    safe.py:596);
+  * ``compute_pvalues_by_randomization`` — batched keyed permutations scored as GEMM
+    streams with on-chip count reduction, replacing the multiprocessing pool
+    (reference: safe.py:501-519, safe_extras.py:36-70).
+
+Domain assignment, clustering, plotting and reports stay host-side (tiny inputs).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import pickle
+import sys
+from pathlib import Path
+
+# Run headless outside Jupyter, like the reference (safe.py:16-18).
+if "matplotlib" not in sys.modules:
+    import matplotlib
+    matplotlib.use("Agg")
+
+import jax
+import networkx as nx
+import numpy as np
+import pandas as pd
+
+from safepy_tpu import config as _config
+from safepy_tpu import domains as _domains
+from safepy_tpu.io import attributes as _attr_io
+from safepy_tpu.io import graph_arrays as _ga
+from safepy_tpu.io import network as _net_io
+from safepy_tpu.ops.apsp import apsp as _apsp_run
+from safepy_tpu.ops import fdr as _fdr
+from safepy_tpu.ops import hypergeom as _hyper
+from safepy_tpu.ops import neighborhoods as _nbr
+from safepy_tpu.ops import permutation as _perm
+from safepy_tpu.ops import score as _score
+
+
+class SAFE:
+    """An instance of SAFE analysis: all data, parameters, and pipeline methods."""
+
+    def __init__(self, path_to_ini_file="", path_to_safe_data=None, verbose=True):
+        self.verbose = verbose
+
+        self.default_config = None
+
+        self.path_to_safe_data = path_to_safe_data
+        self.path_to_network_file = None
+        self.view_name = None
+        self.path_to_attribute_file = None
+
+        self.graph = None
+        self.graph_euclidean = None
+        self.node_key_attribute = "label_orf"
+
+        self.attributes = None
+        self.nodes = None
+        self.node2attribute = None
+        self.num_nodes_per_attribute = None
+        self.attribute_sign = "both"
+
+        self.node_distance_metric = "shortpath_weighted_layout"
+        self.neighborhood_radius_type = None
+        self.neighborhood_radius = None
+
+        self.background = "attribute_file"
+        self.num_permutations = 1000
+        self.multiple_testing = False
+        self.neighborhood_score_type = "sum"
+        self.enrichment_type = "auto"
+        self.enrichment_threshold = 0.05
+        self.enrichment_max_log10 = 16
+        self.attribute_enrichment_min_size = 10
+        self.random_seed = None
+
+        self.neighborhoods = None
+        self.node_distances = None
+
+        self.ns = None
+        self.pvalues_neg = None
+        self.pvalues_pos = None
+        self.nes = None
+        self.nes_threshold = None
+        self.nes_binary = None
+
+        self.attribute_unimodality_metric = "connectivity"
+        self.attribute_distance_metric = "jaccard"
+        self.attribute_distance_threshold = 0.75
+
+        self.domains = None
+        self.node2domain = None
+
+        self.output_dir = ""
+
+        self.read_config(path_to_ini_file, path_to_safe_data=self.path_to_safe_data)
+        self.validate_config()
+
+    # ------------------------------------------------------------------ config
+
+    def read_config(self, path_to_ini_file, path_to_safe_data=None):
+        cfg, defaults = _config.read_config(path_to_ini_file, path_to_safe_data)
+        self.default_config = defaults
+        for field in ("path_to_safe_data", "path_to_network_file",
+                      "path_to_attribute_file", "attribute_sign", "background",
+                      "node_distance_metric", "neighborhood_radius_type",
+                      "neighborhood_radius", "random_seed",
+                      "attribute_unimodality_metric", "attribute_distance_metric",
+                      "attribute_distance_threshold", "output_dir"):
+            setattr(self, field, getattr(cfg, field))
+
+    def validate_config(self):
+        _config.validate_config(self, self.default_config)
+
+    def save(self, output_file="", **kwargs):
+        if not output_file:
+            output_file = os.path.join(os.getcwd(), "safe_output.p")
+        with open(output_file, "wb") as handle:
+            pickle.dump(self, handle)
+
+    # ------------------------------------------------------------------ network
+
+    def load_network(self, **kwargs):
+        """Load the network from a source file, applying a layout if needed.
+
+        Keyword args: network_file, view_name, node_key_attribute — each overrides
+        the corresponding config setting (reference: safe.py:244-324).
+        """
+        if "network_file" in kwargs:
+            nf = kwargs.pop("network_file")
+            if self.path_to_safe_data is None or isinstance(nf, nx.Graph):
+                self.path_to_network_file = nf
+            else:
+                self.path_to_network_file = os.path.join(self.path_to_safe_data, nf)
+
+        if "view_name" in kwargs:
+            self.view_name = kwargs["view_name"]
+        if "node_key_attribute" in kwargs:
+            self.node_key_attribute = kwargs["node_key_attribute"]
+
+        self.validate_config()
+
+        if isinstance(self.path_to_network_file, nx.Graph):
+            self.graph = self.path_to_network_file
+        else:
+            assert os.path.exists(self.path_to_network_file), self.path_to_network_file
+            ext = Path(self.path_to_network_file).suffixes[0]
+            if self.verbose:
+                logging.info("Loading network from %s" % self.path_to_network_file)
+
+            if ext == ".mat":
+                self.graph = _net_io.load_network_from_mat(
+                    self.path_to_network_file, verbose=self.verbose)
+            elif ext == ".gpickle":
+                self.graph = _net_io.load_network_from_gpickle(
+                    self.path_to_network_file, verbose=self.verbose)
+            elif ext in (".txt", ".tsv"):
+                self.graph = _net_io.load_network_from_txt(
+                    self.path_to_network_file,
+                    node_key_attribute=self.node_key_attribute,
+                    seed=self.random_seed, verbose=self.verbose)
+            elif ext == ".cys":
+                self.graph = _net_io.load_network_from_cys(
+                    self.path_to_network_file, view_name=self.view_name,
+                    verbose=self.verbose)
+            elif ext == ".scatter":
+                self.graph = _net_io.load_network_from_scatter(
+                    self.path_to_network_file,
+                    node_key_attribute=self.node_key_attribute,
+                    verbose=self.verbose)
+                self._build_graph_euclidean()
+            else:
+                raise ValueError(f"unsupported network file extension: {ext}")
+
+        key_list = nx.get_node_attributes(self.graph, self.node_key_attribute)
+        if not key_list:
+            raise Exception(
+                "The specified node key attribute (%s) does not exist in this "
+                "network. These attributes exist instead: %s. Set "
+                "node_key_attribute to one of these options."
+                % (self.node_key_attribute,
+                   ", ".join(map(str, self.graph.nodes[0].keys()))))
+
+        nx.set_node_attributes(self.graph, key_list, name="key")
+        label_list = nx.get_node_attributes(self.graph, "label")
+        self.nodes = pd.DataFrame(data={"id": list(label_list.keys()),
+                                        "key": list(key_list.values()),
+                                        "label": list(label_list.values())})
+
+    def _build_graph_euclidean(self):
+        """Pseudo-network connecting nodes within the neighborhood radius —
+        used for unimodality checks on edgeless scatter inputs (safe.py:302-309)."""
+        coords = _ga.get_node_coordinates(self.graph)
+        dist = np.asarray(_nbr.euclidean_distance_matrix(coords))
+        nr = self.neighborhood_radius * (coords.ravel().max() - coords.ravel().min())
+        adjacency = (dist < nr).astype(float)
+        self.graph_euclidean = nx.from_numpy_array(adjacency)
+
+    def save_network(self, **kwargs):
+        output_file = kwargs.get(
+            "output_file",
+            os.path.join(os.getcwd(), str(self.path_to_network_file) + ".gpickle"))
+        with open(output_file, "wb") as f:
+            pickle.dump(self.graph, f)
+
+    # ---------------------------------------------------------------- attributes
+
+    def load_attributes(self, **kwargs):
+        """Load and align node attributes (reference: safe.py:334-367)."""
+        if "attribute_file" in kwargs:
+            af = kwargs.pop("attribute_file")
+            if self.path_to_safe_data is None or isinstance(af, pd.DataFrame):
+                self.path_to_attribute_file = af
+            elif isinstance(af, str):
+                self.path_to_attribute_file = os.path.join(self.path_to_safe_data, af)
+            else:
+                raise ValueError(type(af))
+        if isinstance(self.path_to_attribute_file, str):
+            assert os.path.exists(self.path_to_attribute_file), self.path_to_attribute_file
+
+        self.validate_config()
+
+        node_label_order = list(
+            nx.get_node_attributes(self.graph, self.node_key_attribute).values())
+
+        if self.verbose and isinstance(self.path_to_attribute_file, str):
+            logging.info("Loading attributes from %s" % self.path_to_attribute_file)
+
+        self.attributes, _, self.node2attribute = _attr_io.read_attributes(
+            attribute_file=self.path_to_attribute_file,
+            node_label_order=node_label_order,
+            verbose=self.verbose, **kwargs)
+
+    # ------------------------------------------------------------- neighborhoods
+
+    def define_neighborhoods(self, **kwargs):
+        """Dense neighborhood indicator via TPU APSP (reference: safe.py:369-430)."""
+        for k in ("node_distance_metric", "neighborhood_radius_type",
+                  "neighborhood_radius"):
+            if k in kwargs:
+                setattr(self, k, kwargs[k])
+
+        self.validate_config()
+
+        num_nodes = self.graph.number_of_nodes()
+        coords, edges, lengths = _ga.graph_to_arrays(self.graph)
+
+        if self.node_distance_metric == "euclidean":
+            x = coords[:, 0]
+            nr = self.neighborhood_radius * (np.max(x) - np.min(x))
+            node_distances = np.asarray(
+                _nbr.euclidean_distance_matrix(coords), dtype=np.float64)
+            neighborhoods = (node_distances < nr).astype(int)
+        else:
+            if self.node_distance_metric == "shortpath_weighted_layout":
+                x = coords[:, 0]
+                nr = self.neighborhood_radius * (np.max(x) - np.min(x))
+                if lengths is None:
+                    raise ValueError(
+                        "shortpath_weighted_layout requires edge 'length' attributes "
+                        "(computed by calculate_edge_lengths at network load)")
+                weights = lengths
+            else:  # 'shortpath' — hop distances with absolute radius
+                nr = self.neighborhood_radius
+                weights = None
+
+            d0 = _nbr.dense_initial_distances(num_nodes, edges, weights,
+                                              dtype=np.float32)
+            dist = np.asarray(_apsp_run(d0))
+            # NetworkX Dijkstra cutoff keeps paths of length <= nr (safe.py:406).
+            # Guard the f32 boundary: treat distances within one ulp of nr as in.
+            tol = np.float32(nr) * 1e-6
+            neighborhoods = (dist <= nr + tol).astype(int)
+            self.node_distances = dist
+
+        num_neighbors = np.sum(neighborhoods, axis=1)
+        if self.verbose:
+            logging.info("Node distance metric: %s" % self.node_distance_metric)
+            logging.info("Neighborhood definition: %.2f x %s"
+                         % (self.neighborhood_radius, self.neighborhood_radius_type))
+            logging.info("Number of nodes per neighborhood (mean +/- std): "
+                         "%.2f +/- %.2f"
+                         % (np.mean(num_neighbors), np.std(num_neighbors)))
+
+        self.neighborhoods = neighborhoods
+
+    # ------------------------------------------------------------------ p-values
+
+    def compute_pvalues(self, **kwargs):
+        """Dispatch to the hypergeometric or permutation enrichment engine
+        (reference: safe.py:432-472)."""
+        if "how" in kwargs:
+            self.enrichment_type = kwargs["how"]
+        if "neighborhood_score_type" in kwargs:
+            self.neighborhood_score_type = kwargs["neighborhood_score_type"]
+        if "multiple_testing" in kwargs:
+            self.multiple_testing = kwargs["multiple_testing"]
+        if "background" in kwargs:
+            self.background = kwargs["background"]
+
+        self.validate_config()
+
+        if self.background == "network":
+            logging.info("Setting all null attribute values to 0. Using the network "
+                         "as background for enrichment.")
+            self.node2attribute[np.isnan(self.node2attribute)] = 0
+
+        num_vals = self.node2attribute.shape[0]
+        num_nans = np.sum(np.isnan(self.node2attribute), axis=0)
+        if np.any(num_nans / num_vals > 0.5):
+            logging.warning(
+                "WARNING: more than 50%% of nodes in the network are set to NaN and "
+                "will be ignored for calculating enrichment.\n"
+                "Consider setting sf.background = 'network'.")
+
+        num_other_values = np.sum(~np.isnan(self.node2attribute)
+                                  & ~np.isin(self.node2attribute, [0, 1]))
+
+        if (self.enrichment_type == "hypergeometric"
+                or (self.enrichment_type == "auto" and num_other_values == 0)):
+            self.compute_pvalues_by_hypergeom(**kwargs)
+        else:
+            self.compute_pvalues_by_randomization(**kwargs)
+
+        idx = ~np.isnan(self.nes)
+        self.nes_binary = np.zeros(self.nes.shape)
+        self.nes_binary[idx] = np.abs(self.nes[idx]) > -np.log10(self.enrichment_threshold)
+        self.attributes["num_neighborhoods_enriched"] = np.sum(self.nes_binary, axis=0)
+
+    def compute_pvalues_by_hypergeom(self, **kwargs):
+        """One-sided hypergeometric enrichment (reference: safe.py:556-608).
+
+        Census matmuls run on the MXU; the survival function's tail sum runs on
+        device with host-side f64 finalization (see ops/hypergeom.py).
+        """
+        if kwargs:
+            if "verbose" in kwargs:
+                self.verbose = kwargs["verbose"]
+            if self.verbose:
+                logging.warning("Overwriting global settings:")
+                for k in kwargs:
+                    logging.warning("\t%s=%s" % (k, str(kwargs[k])))
+
+        self.validate_config()
+
+        if self.verbose:
+            logging.info("Using the hypergeometric test to calculate enrichment...")
+
+        n2a = self.node2attribute
+        nodes_not_nan = np.any(~np.isnan(n2a), axis=1)
+        n = int(np.sum(nodes_not_nan))
+
+        N_in_group = np.nansum(n2a, axis=0)  # per-attribute totals (A,)
+
+        import jax.numpy as jnp
+        nbr = jnp.asarray(self.neighborhoods, jnp.float32)
+        kw = dict(precision=jax.lax.Precision.HIGHEST,
+                  preferred_element_type=jnp.float32)
+        neighborhood_size = np.asarray(
+            jnp.dot(nbr, jnp.asarray(nodes_not_nan, jnp.float32), **kw))  # (N,)
+        counts = np.asarray(
+            jnp.dot(nbr, jnp.asarray(np.where(np.isnan(n2a), 0.0, n2a), jnp.float32),
+                    **kw))  # (N, A)
+
+        iters = _hyper.tail_iterations(n, int(neighborhood_size.max(initial=1)))
+        self.pvalues_pos = _hyper.hypergeom_sf(
+            counts, n, N_in_group[None, :], neighborhood_size[:, None],
+            iterations=iters)
+
+        if self.multiple_testing:
+            if self.verbose:
+                logging.info("Running FDR-adjustment of p-values...")
+            self.pvalues_pos = np.asarray(_fdr.fdr_bh(self.pvalues_pos))
+            with np.errstate(divide="ignore"):
+                self.nes = -np.log10(self.pvalues_pos)
+        else:
+            # full-precision NES straight from the log-space tail sum
+            self.nes = _hyper.hypergeom_neglog10_sf(
+                counts, n, N_in_group[None, :], neighborhood_size[:, None],
+                iterations=iters)
+
+    def compute_pvalues_by_randomization(self, **kwargs):
+        """Two-sided empirical permutation null (reference: safe.py:474-554).
+
+        The reference's multiprocessing pool becomes a batched on-device GEMM
+        stream; the `processes` kwarg is accepted for API compatibility but the
+        batching is automatic.
+        """
+        if kwargs:
+            logging.warning("Current settings (possibly overwriting global ones):")
+            for k in kwargs:
+                logging.warning("\t%s=%s" % (k, str(kwargs[k])))
+
+        logging.info("Using randomization to calculate enrichment...")
+
+        if "num_permutations" in kwargs:
+            self.num_permutations = kwargs["num_permutations"]
+        if "processes" in kwargs and int(kwargs["processes"]) > 1:
+            logging.info("processes=%s requested: the TPU engine batches "
+                         "permutations on device; ignoring." % kwargs["processes"])
+
+        self.validate_config()
+
+        n2a = self.node2attribute
+        obs = np.asarray(_score.compute_neighborhood_score(
+            self.neighborhoods, n2a, self.neighborhood_score_type))
+        self.ns = obs
+
+        valid_rows = np.flatnonzero(np.sum(~np.isnan(n2a), axis=1))
+
+        seed = self.random_seed
+        if seed is None:
+            seed = int(np.random.default_rng().integers(2 ** 31 - 1))
+        key = jax.random.PRNGKey(seed)
+
+        counts_neg, counts_pos = _perm.run_permutations(
+            self.neighborhoods, n2a, valid_rows, obs, key,
+            score_type=self.neighborhood_score_type,
+            num_permutations=int(self.num_permutations))
+        counts_neg = np.asarray(counts_neg, dtype=np.float64)
+        counts_pos = np.asarray(counts_pos, dtype=np.float64)
+
+        idx = np.isnan(obs)
+        counts_neg[idx] = np.nan
+        counts_pos[idx] = np.nan
+
+        self.pvalues_neg = counts_neg / self.num_permutations
+        self.pvalues_pos = counts_pos / self.num_permutations
+
+        if self.multiple_testing:
+            logging.info("Running FDR-adjustment of p-values...")
+            self.pvalues_neg = np.asarray(_fdr.fdr_bh(self.pvalues_neg))
+            self.pvalues_pos = np.asarray(_fdr.fdr_bh(self.pvalues_pos))
+
+        # p = 0 floored to 1/num_permutations before the log (safe.py:545-547)
+        nes_pos = -np.log10(np.where(self.pvalues_pos == 0,
+                                     1 / self.num_permutations, self.pvalues_pos))
+        nes_neg = -np.log10(np.where(self.pvalues_neg == 0,
+                                     1 / self.num_permutations, self.pvalues_neg))
+
+        if self.attribute_sign == "highest":
+            self.nes = nes_pos
+        elif self.attribute_sign == "lowest":
+            self.nes = nes_neg
+        else:
+            self.nes = nes_pos - nes_neg
+
+    # -------------------------------------------------------------------- domains
+
+    def define_top_attributes(self, **kwargs):
+        if "attribute_unimodality_metric" in kwargs:
+            self.attribute_unimodality_metric = kwargs["attribute_unimodality_metric"]
+        if "attribute_enrichment_min_size" in kwargs:
+            self.attribute_enrichment_min_size = kwargs["attribute_enrichment_min_size"]
+        self.validate_config()
+        self.attributes = _domains.define_top_attributes(
+            self.attributes, self.nes_binary, self.graph, self.graph_euclidean,
+            unimodality_metric=self.attribute_unimodality_metric,
+            min_size=self.attribute_enrichment_min_size, verbose=self.verbose)
+
+    def define_domains(self, **kwargs):
+        if "attribute_distance_threshold" in kwargs:
+            self.attribute_distance_threshold = kwargs["attribute_distance_threshold"]
+        self.validate_config()
+        self.attributes, self.node2domain = _domains.define_domains(
+            self.attributes, self.nes, self.nes_binary,
+            distance_metric=self.attribute_distance_metric,
+            distance_threshold=self.attribute_distance_threshold,
+            verbose=self.verbose)
+
+    def trim_domains(self, **kwargs):
+        self.attributes, self.node2domain, self.domains = _domains.trim_domains(
+            self.attributes, self.node2domain,
+            min_size=self.attribute_enrichment_min_size, verbose=self.verbose)
+
+    # ------------------------------------------------------------------- plotting
+
+    def plot_network(self, **kwargs):
+        from safepy_tpu import plotting
+        return plotting.plot_safe_network(self, **kwargs)
+
+    def plot_composite_network(self, **kwargs):
+        from safepy_tpu import plotting
+        return plotting.plot_composite_network(self, **kwargs)
+
+    def plot_composite_network_contours(self, **kwargs):
+        from safepy_tpu import plotting
+        return plotting.plot_composite_network_contours(self, **kwargs)
+
+    def plot_sample_attributes(self, **kwargs):
+        from safepy_tpu import plotting
+        return plotting.plot_sample_attributes(self, **kwargs)
+
+    # --------------------------------------------------------------------- output
+
+    def print_output_files(self, **kwargs):
+        from safepy_tpu import output
+        output.print_output_files(self, **kwargs)
+
+
+def run_safe_batch(attribute_file):
+    """One worker of the batch CLI: full pipeline on one attribute chunk
+    (reference: safe.py:1309-1318)."""
+    sf = SAFE()
+    sf.load_network()
+    sf.define_neighborhoods()
+    sf.load_attributes(attribute_file=attribute_file)
+    sf.compute_pvalues(num_permutations=1000)
+    return sf.nes

@@ -1,0 +1,30 @@
+"""Test harness config: force an 8-device virtual CPU mesh.
+
+Multi-chip sharding is validated without TPU hardware by running JAX on the host
+platform with 8 virtual devices (the reference has no analog — its parallelism is a
+multiprocessing pool, safepy/safe.py:510-514). Must run before the first jax import.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+# The axon TPU plugin (tunneled single chip) registers itself from sitecustomize at
+# interpreter startup — before this conftest runs — so jax is typically already
+# imported and env vars alone are too late. jax.config.update still wins as long as
+# no backend has been initialized yet.
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(12345)
