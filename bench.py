@@ -1,0 +1,105 @@
+"""Benchmark: Example_1-equivalent end-to-end SAFE on Costanzo scale.
+
+Synthetic stand-in for the Costanzo-2016 run (the real safe-data bundle is not
+vendored): 3,971 nodes / 28,202 edges with embedded layout coordinates, one
+quantitative attribute, shortpath_weighted_layout neighborhoods (blocked
+Floyd-Warshall APSP on TPU) and a 1,000-permutation empirical null — the exact
+pipeline shape of the reference's default workflow (safepy/safe_default.ini +
+tests/test_enrichments.py TestEnrichmentPermutations).
+
+Prints ONE JSON line: steady-state wall-clock of the full pipeline
+(define_neighborhoods + load_attributes + compute_pvalues), with
+vs_baseline = 5.0 / value against BASELINE.json's <5 s north star.
+"""
+
+import json
+import sys
+import time
+
+import networkx as nx
+import numpy as np
+import pandas as pd
+
+N_NODES = 3971
+N_EDGES = 28202
+BASELINE_S = 5.0
+
+
+def build_network(seed=0):
+    rng = np.random.default_rng(seed)
+    coords = rng.uniform(-1, 1, (N_NODES, 2))
+    # geometric-ish edges: connect near neighbors until the edge budget is hit
+    g = nx.Graph()
+    g.add_nodes_from(range(N_NODES))
+    # k-nearest-neighbor candidates via grid hashing (fast, deterministic)
+    from scipy.spatial import cKDTree
+    tree = cKDTree(coords)
+    _, nn = tree.query(coords, k=16)
+    edges = set()
+    for i in range(N_NODES):
+        for j in nn[i, 1:]:
+            e = (min(i, int(j)), max(i, int(j)))
+            edges.add(e)
+            if len(edges) >= N_EDGES:
+                break
+        if len(edges) >= N_EDGES:
+            break
+    g.add_edges_from(edges)
+    for i in range(N_NODES):
+        g.nodes[i]["label"] = f"gene{i}"
+        g.nodes[i]["key"] = f"gene{i}"
+        g.nodes[i]["x"] = float(coords[i, 0])
+        g.nodes[i]["y"] = float(coords[i, 1])
+    from safepy_tpu.io.layout import calculate_edge_lengths
+    calculate_edge_lengths(g, verbose=False)
+    return g, coords
+
+
+def run_pipeline(sf, attr_df):
+    sf.define_neighborhoods()
+    sf.load_attributes(attribute_file=attr_df)
+    sf.compute_pvalues(num_permutations=1000)
+    return sf.nes
+
+
+def main():
+    import safepy_tpu
+    from safepy_tpu import SAFE
+
+    g, coords = build_network()
+    rng = np.random.default_rng(1)
+    vals = rng.normal(size=(N_NODES, 1))
+    vals[rng.random(N_NODES) < 0.33, 0] = np.nan
+    attr_df = pd.DataFrame(vals, index=[f"gene{i}" for i in range(N_NODES)],
+                           columns=["synthetic quantitative attribute"])
+
+    sf = SAFE(verbose=False)
+    sf.random_seed = 1885
+    sf.load_network(network_file=g, node_key_attribute="key")
+
+    # warm-up: compile every kernel at the benchmark shapes
+    run_pipeline(sf, attr_df)
+
+    t0 = time.time()
+    nes = run_pipeline(sf, attr_df)
+    wall = time.time() - t0
+
+    enriched = int((sf.nes_binary > 0).sum())
+    print(json.dumps({
+        "metric": "example1_e2e_wall_s",
+        "value": round(wall, 4),
+        "unit": "s",
+        "vs_baseline": round(BASELINE_S / wall, 3),
+        "detail": {
+            "nodes": N_NODES,
+            "edges": g.number_of_edges(),
+            "num_permutations": 1000,
+            "enriched_neighborhoods": enriched,
+            "mean_neighborhood_size": float(sf.neighborhoods.sum(1).mean()),
+        },
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

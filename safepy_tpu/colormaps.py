@@ -29,8 +29,8 @@ class MidpointRangeNormalize(colors.Normalize):
 def get_colors(colormap="hsv", n=10, seed=None):
     """n domain RGBA colors: black first, the rest drawn from `colormap` and
     shuffled (seedable for reproducible composite maps)."""
-    cmap = cm.get_cmap(colormap) if hasattr(cm, "get_cmap") else \
-        __import__("matplotlib").pyplot.get_cmap(colormap)
+    import matplotlib
+    cmap = matplotlib.colormaps[colormap]
 
     rgb = [(0, 0, 0, 1)]
     for c in np.arange(1, n):

@@ -103,7 +103,12 @@ def load_network_from_mat(filename, verbose=True):
     if verbose:
         logging.info("Loading the mat file...")
     mat = load_mat(filename)
-    G = nx.Graph(np.asarray(mat["layout"]["edges"]))
+    # layout.edges is an adjacency matrix (dense ndarray or MATLAB sparse)
+    edges = mat["layout"]["edges"]
+    if hasattr(edges, "toarray") or hasattr(edges, "tocoo"):
+        G = nx.from_scipy_sparse_array(edges)
+    else:
+        G = nx.from_numpy_array(np.asarray(edges))
     for n in G:
         G.nodes[n]["label"] = mat["layout"]["label"][n]
         G.nodes[n]["key"] = mat["layout"]["label_orf"][n]

@@ -125,11 +125,12 @@ def _relax_cols(panel, diag, *, block: int):
 
 
 def _relax_full(q, p, d, *, block: int):
-    """min(D, Q (x) P) over the full matrix."""
-    nb = d.shape[0] // block
+    """min(D, Q (x) P) over a (possibly rectangular) matrix."""
+    nb_i = d.shape[0] // block
+    nb_j = d.shape[1] // block
     return pl.pallas_call(
         functools.partial(_relax_kernel, block=block),
-        grid=(nb, nb),
+        grid=(nb_i, nb_j),
         in_specs=[
             pl.BlockSpec((block, block), lambda i, j: (i, j * 0)),
             pl.BlockSpec((block, block), lambda i, j: (i * 0, j)),

@@ -164,6 +164,25 @@ def hypergeom_sf(k, M, K, n, *, iterations: int | None = None):
     return np.clip(sf, 0.0, 1.0)
 
 
+def hypergeom_sf_and_nes(k, M, K, n, *, iterations: int | None = None):
+    """(sf, -log10(sf)) from ONE device tail-sum pass — the enrichment stage needs
+    both the p-value matrix and the full-precision NES."""
+    lp0, acc, use_upper, below, above = _parts(k, M, K, n, iterations)
+    tail = np.exp(lp0) * acc
+    sf = np.where(use_upper, tail, 1.0 - tail)
+    sf = np.where(below, 1.0, sf)
+    sf = np.where(above, 0.0, sf)
+    sf = np.clip(sf, 0.0, 1.0)
+
+    with np.errstate(divide="ignore", invalid="ignore"):
+        upper_nes = -(lp0 + np.log(np.maximum(acc, 0.0))) / np.log(10.0)
+        lower_nes = -np.log10(np.clip(1.0 - tail, 0.0, 1.0))
+    nes = np.where(use_upper, upper_nes, lower_nes)
+    nes = np.where(below, 0.0, nes)
+    nes = np.where(above, np.inf, nes)
+    return sf, np.maximum(nes, 0.0)
+
+
 def hypergeom_neglog10_sf(k, M, K, n, *, iterations: int | None = None):
     """-log10(P[X >= k]) — the neighborhood enrichment score, full f64 precision.
 

@@ -73,42 +73,14 @@ def permutation_scores(nbr_valid, vals, mask, perm_idx, score_type: str):
     return jnp.where(Np < 3, jnp.nan, score)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("score_type", "num_permutations", "batch_size"))
-def run_permutations(neighborhoods, node2attribute, valid_rows, obs, key,
-                     *, score_type: str = "sum", num_permutations: int = 1000,
-                     batch_size: int | None = None):
-    """Two-sided empirical null counts over keyed permutations.
+def scan_counts(nbr_valid, vals, mask, obs, key, *, score_type: str,
+                num_permutations: int, batch_size: int):
+    """Core count loop over permutation chunks (shard_map-compatible).
 
-    Args:
-      neighborhoods: (N, N) 0/1 indicator.
-      node2attribute: (N, A) attribute values with NaNs.
-      valid_rows: (V,) int indices of rows with >=1 finite value.
-      obs: (N, A) observed neighborhood scores (``compute_neighborhood_score``).
-      key: jax PRNG key.
-      score_type, num_permutations, batch_size: static knobs.
-
-    Returns:
-      (counts_neg, counts_pos): (N, A) int32 — #permutations with score <= / >= obs.
-      Positions where obs is NaN count zero on both sides (the facade masks them to
-      NaN, matching safepy/safe.py:528-530).
+    All shapes static; `key` is a single PRNG key. Returns int32 (N, A) counts.
     """
-    nbr = jnp.asarray(neighborhoods, jnp.float32)
-    n2a = jnp.asarray(node2attribute, jnp.float32)
-    valid_rows = jnp.asarray(valid_rows, jnp.int32)
-    obs = jnp.asarray(obs, jnp.float32)
-
-    V = valid_rows.shape[0]
-    A = n2a.shape[1]
-    if batch_size is None:
-        batch_size = default_batch_size(V, A, num_permutations)
+    V = vals.shape[0]
     num_chunks = -(-num_permutations // batch_size)
-
-    nbr_valid = jnp.take(nbr, valid_rows, axis=1)          # (N, V)
-    rows = jnp.take(n2a, valid_rows, axis=0)               # (V, A)
-    mask = jnp.isfinite(rows).astype(jnp.float32)
-    vals = jnp.where(mask > 0, rows, 0.0)
-
     keys = jax.random.split(key, num_chunks * batch_size)
     keys = keys.reshape(num_chunks, batch_size, *keys.shape[1:])
 
@@ -130,3 +102,46 @@ def run_permutations(neighborhoods, node2attribute, valid_rows, obs, key,
     (counts_neg, counts_pos), _ = jax.lax.scan(
         chunk_body, (zeros, zeros), (keys, starts))
     return counts_neg, counts_pos
+
+
+def prepare_valid(neighborhoods, node2attribute, valid_rows):
+    """Restrict operands to the valid rows: (nbr_valid, vals, mask)."""
+    nbr = jnp.asarray(neighborhoods, jnp.float32)
+    n2a = jnp.asarray(node2attribute, jnp.float32)
+    valid_rows = jnp.asarray(valid_rows, jnp.int32)
+    nbr_valid = jnp.take(nbr, valid_rows, axis=1)
+    rows = jnp.take(n2a, valid_rows, axis=0)
+    mask = jnp.isfinite(rows).astype(jnp.float32)
+    vals = jnp.where(mask > 0, rows, 0.0)
+    return nbr_valid, vals, mask
+
+
+@functools.partial(
+    jax.jit, static_argnames=("score_type", "num_permutations", "batch_size"))
+def run_permutations(neighborhoods, node2attribute, valid_rows, obs, key,
+                     *, score_type: str = "sum", num_permutations: int = 1000,
+                     batch_size: int | None = None):
+    """Two-sided empirical null counts over keyed permutations.
+
+    Args:
+      neighborhoods: (N, N) 0/1 indicator.
+      node2attribute: (N, A) attribute values with NaNs.
+      valid_rows: (V,) int indices of rows with >=1 finite value.
+      obs: (N, A) observed neighborhood scores (``compute_neighborhood_score``).
+      key: jax PRNG key.
+      score_type, num_permutations, batch_size: static knobs.
+
+    Returns:
+      (counts_neg, counts_pos): (N, A) int32 — #permutations with score <= / >= obs.
+      Positions where obs is NaN count zero on both sides (the facade masks them to
+      NaN, matching safepy/safe.py:528-530).
+    """
+    obs = jnp.asarray(obs, jnp.float32)
+    nbr_valid, vals, mask = prepare_valid(neighborhoods, node2attribute, valid_rows)
+
+    V, A = vals.shape
+    if batch_size is None:
+        batch_size = default_batch_size(V, A, num_permutations)
+
+    return scan_counts(nbr_valid, vals, mask, obs, key, score_type=score_type,
+                       num_permutations=num_permutations, batch_size=batch_size)

@@ -48,6 +48,25 @@ from safepy_tpu.ops import permutation as _perm
 from safepy_tpu.ops import score as _score
 
 
+def _threshold_and_stats(dist_dev, radius, *, strict: bool):
+    """Device-side neighborhood threshold plus mean/std of neighborhood sizes.
+
+    Returns (indicator f32, mean, std) — the two scalars feed the reference's
+    mean +/- std log line (safe.py:428) without downloading the N x N matrix.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def go(dist, r):
+        ind = (dist < r) if strict else (dist <= r)
+        nbr = ind.astype(jnp.float32)
+        sizes = jnp.sum(nbr, axis=1)
+        return nbr, jnp.mean(sizes), jnp.std(sizes)
+
+    return go(dist_dev, radius)
+
+
 class SAFE:
     """An instance of SAFE analysis: all data, parameters, and pipeline methods."""
 
@@ -85,8 +104,10 @@ class SAFE:
         self.attribute_enrichment_min_size = 10
         self.random_seed = None
 
-        self.neighborhoods = None
-        self.node_distances = None
+        self._neighborhoods_np = None
+        self._neighborhoods_dev = None
+        self._node_distances_np = None
+        self._node_distances_dev = None
 
         self.ns = None
         self.pvalues_neg = None
@@ -245,7 +266,16 @@ class SAFE:
     # ------------------------------------------------------------- neighborhoods
 
     def define_neighborhoods(self, **kwargs):
-        """Dense neighborhood indicator via TPU APSP (reference: safe.py:369-430)."""
+        """Dense neighborhood indicator via TPU APSP (reference: safe.py:369-430).
+
+        The indicator and distance matrices stay device-resident; the
+        ``neighborhoods`` / ``node_distances`` attributes materialize NumPy copies
+        lazily on first access (device->host transfers of the N x N matrices are
+        the single biggest cost on tunneled TPU hosts and are unnecessary for the
+        rest of the device pipeline).
+        """
+        import jax.numpy as jnp
+
         for k in ("node_distance_metric", "neighborhood_radius_type",
                   "neighborhood_radius"):
             if k in kwargs:
@@ -259,9 +289,10 @@ class SAFE:
         if self.node_distance_metric == "euclidean":
             x = coords[:, 0]
             nr = self.neighborhood_radius * (np.max(x) - np.min(x))
-            node_distances = np.asarray(
-                _nbr.euclidean_distance_matrix(coords), dtype=np.float64)
-            neighborhoods = (node_distances < nr).astype(int)
+            dist_dev = _nbr.euclidean_distance_matrix(
+                jnp.asarray(coords, jnp.float32))
+            nbr_dev, mean, std = _threshold_and_stats(dist_dev, np.float32(nr),
+                                                      strict=True)
         else:
             if self.node_distance_metric == "shortpath_weighted_layout":
                 x = coords[:, 0]
@@ -277,23 +308,70 @@ class SAFE:
 
             d0 = _nbr.dense_initial_distances(num_nodes, edges, weights,
                                               dtype=np.float32)
-            dist = np.asarray(_apsp_run(d0))
+            dist_dev = _apsp_run(jnp.asarray(d0))
             # NetworkX Dijkstra cutoff keeps paths of length <= nr (safe.py:406).
             # Guard the f32 boundary: treat distances within one ulp of nr as in.
             tol = np.float32(nr) * 1e-6
-            neighborhoods = (dist <= nr + tol).astype(int)
-            self.node_distances = dist
+            nbr_dev, mean, std = _threshold_and_stats(
+                dist_dev, np.float32(nr + tol), strict=False)
 
-        num_neighbors = np.sum(neighborhoods, axis=1)
+        self._neighborhoods_dev = nbr_dev
+        self._neighborhoods_np = None
+        self._node_distances_dev = dist_dev
+        self._node_distances_np = None
+
         if self.verbose:
             logging.info("Node distance metric: %s" % self.node_distance_metric)
             logging.info("Neighborhood definition: %.2f x %s"
                          % (self.neighborhood_radius, self.neighborhood_radius_type))
             logging.info("Number of nodes per neighborhood (mean +/- std): "
-                         "%.2f +/- %.2f"
-                         % (np.mean(num_neighbors), np.std(num_neighbors)))
+                         "%.2f +/- %.2f" % (float(mean), float(std)))
 
-        self.neighborhoods = neighborhoods
+    # --- lazy NumPy views over the device-resident matrices -------------------
+
+    @property
+    def neighborhoods(self):
+        if self._neighborhoods_np is None and self._neighborhoods_dev is not None:
+            import jax
+            import jax.numpy as jnp
+            small = jax.jit(lambda x: x.astype(jnp.int8))(self._neighborhoods_dev)
+            self._neighborhoods_np = np.asarray(small).astype(int)
+        return self._neighborhoods_np
+
+    @neighborhoods.setter
+    def neighborhoods(self, value):
+        self._neighborhoods_np = value
+        self._neighborhoods_dev = None
+
+    @property
+    def node_distances(self):
+        if self._node_distances_np is None and self._node_distances_dev is not None:
+            self._node_distances_np = np.asarray(self._node_distances_dev,
+                                                 dtype=np.float64)
+        return self._node_distances_np
+
+    @node_distances.setter
+    def node_distances(self, value):
+        self._node_distances_np = value
+        self._node_distances_dev = None
+
+    def _neighborhoods_device(self):
+        """(N, N) f32 device array of the indicator, uploading if necessary."""
+        import jax.numpy as jnp
+        if self._neighborhoods_dev is None:
+            if self._neighborhoods_np is None:
+                raise RuntimeError("define_neighborhoods has not been run")
+            self._neighborhoods_dev = jnp.asarray(self._neighborhoods_np,
+                                                  jnp.float32)
+        return self._neighborhoods_dev
+
+    def __getstate__(self):
+        """Pickle support (SAFE.save): materialize NumPy, drop device arrays."""
+        _ = self.neighborhoods, self.node_distances  # force lazy downloads
+        state = dict(self.__dict__)
+        state["_neighborhoods_dev"] = None
+        state["_node_distances_dev"] = None
+        return state
 
     # ------------------------------------------------------------------ p-values
 
@@ -364,17 +442,17 @@ class SAFE:
         N_in_group = np.nansum(n2a, axis=0)  # per-attribute totals (A,)
 
         import jax.numpy as jnp
-        nbr = jnp.asarray(self.neighborhoods, jnp.float32)
+        nbr = self._neighborhoods_device()
         kw = dict(precision=jax.lax.Precision.HIGHEST,
                   preferred_element_type=jnp.float32)
         neighborhood_size = np.asarray(
             jnp.dot(nbr, jnp.asarray(nodes_not_nan, jnp.float32), **kw))  # (N,)
-        counts = np.asarray(
-            jnp.dot(nbr, jnp.asarray(np.where(np.isnan(n2a), 0.0, n2a), jnp.float32),
-                    **kw))  # (N, A)
+        counts = jnp.dot(
+            nbr, jnp.asarray(np.where(np.isnan(n2a), 0.0, n2a), jnp.float32),
+            **kw)  # (N, A), stays on device for the sf tail sum
 
         iters = _hyper.tail_iterations(n, int(neighborhood_size.max(initial=1)))
-        self.pvalues_pos = _hyper.hypergeom_sf(
+        self.pvalues_pos, nes = _hyper.hypergeom_sf_and_nes(
             counts, n, N_in_group[None, :], neighborhood_size[:, None],
             iterations=iters)
 
@@ -386,9 +464,7 @@ class SAFE:
                 self.nes = -np.log10(self.pvalues_pos)
         else:
             # full-precision NES straight from the log-space tail sum
-            self.nes = _hyper.hypergeom_neglog10_sf(
-                counts, n, N_in_group[None, :], neighborhood_size[:, None],
-                iterations=iters)
+            self.nes = nes
 
     def compute_pvalues_by_randomization(self, **kwargs):
         """Two-sided empirical permutation null (reference: safe.py:474-554).
@@ -413,8 +489,10 @@ class SAFE:
         self.validate_config()
 
         n2a = self.node2attribute
-        obs = np.asarray(_score.compute_neighborhood_score(
-            self.neighborhoods, n2a, self.neighborhood_score_type))
+        nbr_dev = self._neighborhoods_device()
+        obs_dev = _score.compute_neighborhood_score(
+            nbr_dev, n2a, self.neighborhood_score_type)
+        obs = np.asarray(obs_dev)
         self.ns = obs
 
         valid_rows = np.flatnonzero(np.sum(~np.isnan(n2a), axis=1))
@@ -425,7 +503,7 @@ class SAFE:
         key = jax.random.PRNGKey(seed)
 
         counts_neg, counts_pos = _perm.run_permutations(
-            self.neighborhoods, n2a, valid_rows, obs, key,
+            nbr_dev, n2a, valid_rows, obs_dev, key,
             score_type=self.neighborhood_score_type,
             num_permutations=int(self.num_permutations))
         counts_neg = np.asarray(counts_neg, dtype=np.float64)
