@@ -56,9 +56,8 @@ def build_network(seed=0):
 
 
 def run_pipeline(sf, attr_df):
-    sf.define_neighborhoods()
     sf.load_attributes(attribute_file=attr_df)
-    sf.compute_pvalues(num_permutations=1000)
+    sf.run_pipeline(num_permutations=1000)  # fused single-dispatch device program
     return sf.nes
 
 

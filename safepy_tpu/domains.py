@@ -111,6 +111,10 @@ def define_domains(attributes, nes, nes_binary,
                                          -np.inf, nes[:, domain_of_attr == d]),
                                 axis=1, initial=-np.inf)
                    for d in unique_domains}
+    # when every attribute clustered (no domain-0 attributes exist), nodes with
+    # no significant enrichment still get primary_domain 0 with NES 0
+    if 0 not in max_nes:
+        max_nes[0] = np.zeros(nes.shape[0])
     node2domain["primary_domain"] = t_idxmax
     node2domain["primary_nes"] = [max_nes[d][i] for i, d in enumerate(t_idxmax.values)]
 
@@ -139,6 +143,8 @@ def trim_domains(attributes, node2domain, *, min_size=10, verbose=True, color_se
     node2domain.loc[idx, ["primary_domain", "primary_nes"]] = 0
 
     a = np.sort(attributes["domain"].unique())
+    if 0 not in a:  # all attributes clustered; nodes may still carry domain 0
+        a = np.concatenate([[0], a])
     renumber = dict(zip(a, np.arange(len(a))))
     attributes["domain"] = [renumber[k] for k in attributes["domain"]]
     node2domain["primary_domain"] = [renumber[k] for k in node2domain["primary_domain"]]

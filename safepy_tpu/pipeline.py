@@ -1,0 +1,93 @@
+"""Fused single-dispatch pipelines: graph in, enrichment out, one jit call.
+
+The stage-based facade issues one device dispatch per pipeline stage, which is
+fine on a local TPU host but dominated by round-trip latency on tunneled/remote
+hosts (~0.3-0.4 s per call measured on the dev tunnel). These fused programs run
+APSP -> threshold -> scores -> null in ONE compiled computation, returning the
+device-resident matrices plus the scalar stats:
+
+  * :func:`fused_permutation_pipeline` — shortest-path neighborhoods + two-sided
+    permutation null (the Example_1 / default workflow);
+  * :func:`fused_hypergeom_pipeline` — shortest-path neighborhoods + the census
+    matmuls and survival-function tail parts for binary annotation matrices.
+
+``SAFE.run_pipeline`` drives these and then populates the same instance
+attributes the stage methods produce.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from safepy_tpu.ops.apsp import _apsp_jax, _on_tpu
+from safepy_tpu.ops.hypergeom import _sf_parts  # device tail-sum core
+from safepy_tpu.ops.permutation import prepare_valid, scan_counts
+from safepy_tpu.ops.score import compute_neighborhood_score
+
+_DOT_KW = dict(precision=jax.lax.Precision.HIGHEST,
+               preferred_element_type=jnp.float32)
+
+
+def _apsp_inline(d0, block):
+    if _on_tpu():
+        from safepy_tpu.ops.apsp_pallas import apsp_blocked_fw
+        return apsp_blocked_fw(d0, block=block)
+    return _apsp_jax(d0)
+
+
+def _threshold(dist, radius, strict):
+    ind = (dist < radius) if strict else (dist <= radius)
+    nbr = ind.astype(jnp.float32)
+    sizes = jnp.sum(nbr, axis=1)
+    return nbr, jnp.mean(sizes), jnp.std(sizes)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "score_type", "num_permutations", "batch_size", "strict", "block"))
+def fused_permutation_pipeline(d0, vals, valid_rows, key, radius, *,
+                               score_type: str = "sum",
+                               num_permutations: int = 1000,
+                               batch_size: int = 1000,
+                               strict: bool = False, block: int = 128):
+    """APSP + neighborhoods + observed scores + permutation counts, one dispatch.
+
+    Returns (dist, nbr, obs, counts_neg, counts_pos, mean_size, std_size); the
+    matrices stay on device.
+    """
+    dist = _apsp_inline(d0, block)
+    nbr, mean, std = _threshold(dist, radius, strict)
+    obs = compute_neighborhood_score(nbr, vals, score_type)
+    nbr_valid, v, m = prepare_valid(nbr, vals, valid_rows)
+    counts_neg, counts_pos = scan_counts(
+        nbr_valid, v, m, obs, key, score_type=score_type,
+        num_permutations=num_permutations, batch_size=batch_size)
+    return dist, nbr, obs, counts_neg, counts_pos, mean, std
+
+
+@functools.partial(jax.jit, static_argnames=("iterations", "strict", "block"))
+def fused_hypergeom_pipeline(d0, vals, lgt, M, radius, *, iterations: int,
+                             strict: bool = False, block: int = 128):
+    """APSP + neighborhoods + hypergeometric census + sf tail parts, one dispatch.
+
+    vals: (N, A) with NaNs. Returns (dist, nbr, counts, nsize, sf_parts...,
+    mean_size, std_size); finalize p/NES on host from the f64 parts (see
+    ops/hypergeom.py for why the exponentials stay off-device).
+    """
+    dist = _apsp_inline(d0, block)
+    nbr, mean, std = _threshold(dist, radius, strict)
+
+    finite = jnp.isfinite(vals)
+    nan0 = jnp.where(finite, vals, 0.0).astype(jnp.float32)
+    nodes_not_nan = jnp.any(finite, axis=1)
+    nsize = jnp.dot(nbr, nodes_not_nan.astype(jnp.float32), **_DOT_KW)
+    counts = jnp.dot(nbr, nan0, **_DOT_KW)
+    K = jnp.sum(nan0, axis=0)
+
+    k64 = counts.astype(jnp.float64)
+    K64 = jnp.broadcast_to(K.astype(jnp.float64)[None, :], counts.shape)
+    n64 = jnp.broadcast_to(nsize.astype(jnp.float64)[:, None], counts.shape)
+    parts = _sf_parts(k64, M, K64, n64, lgt, iterations)
+    return dist, nbr, counts, nsize, parts, mean, std

@@ -534,6 +534,142 @@ class SAFE:
         else:
             self.nes = nes_pos - nes_neg
 
+    # ------------------------------------------------------------- fused pipeline
+
+    def run_pipeline(self, **kwargs):
+        """Neighborhoods + enrichment in ONE device dispatch.
+
+        Equivalent to ``define_neighborhoods(); compute_pvalues(**kwargs)`` but
+        fused into a single compiled program — the fast path for remote/tunneled
+        TPU hosts where per-dispatch latency dominates (see
+        safepy_tpu/pipeline.py). Falls back to the stage methods for the
+        euclidean metric or non-default backgrounds.
+        """
+        import jax.numpy as jnp
+        from safepy_tpu import pipeline as _pipe
+
+        for k in ("node_distance_metric", "neighborhood_radius_type",
+                  "neighborhood_radius"):
+            if k in kwargs:
+                setattr(self, k, kwargs.pop(k))
+        if "how" in kwargs:
+            self.enrichment_type = kwargs.pop("how")
+        if "neighborhood_score_type" in kwargs:
+            self.neighborhood_score_type = kwargs.pop("neighborhood_score_type")
+        if "multiple_testing" in kwargs:
+            self.multiple_testing = kwargs.pop("multiple_testing")
+        if "num_permutations" in kwargs:
+            self.num_permutations = kwargs.pop("num_permutations")
+        if "background" in kwargs:
+            self.background = kwargs.pop("background")
+        self.validate_config()
+
+        if (self.node_distance_metric == "euclidean"
+                or self.background == "network"):
+            self.define_neighborhoods()
+            self.compute_pvalues()
+            return
+
+        num_nodes = self.graph.number_of_nodes()
+        coords, edges, lengths = _ga.graph_to_arrays(self.graph)
+        if self.node_distance_metric == "shortpath_weighted_layout":
+            x = coords[:, 0]
+            nr = self.neighborhood_radius * (np.max(x) - np.min(x))
+            weights = lengths
+        else:
+            nr = self.neighborhood_radius
+            weights = None
+        d0 = jnp.asarray(_nbr.dense_initial_distances(
+            num_nodes, edges, weights, dtype=np.float32))
+        radius = np.float32(nr) * (1 + 1e-6)
+
+        n2a = self.node2attribute
+        num_other = np.sum(~np.isnan(n2a) & ~np.isin(n2a, [0, 1]))
+        binary = (self.enrichment_type == "hypergeometric"
+                  or (self.enrichment_type == "auto" and num_other == 0))
+
+        if binary:
+            nodes_not_nan = np.any(~np.isnan(n2a), axis=1)
+            M = int(nodes_not_nan.sum())
+            iters = _hyper.tail_iterations(M, M)
+            lgt = jnp.asarray(_hyper.lgamma_table(M))
+            (dist, nbr, counts, nsize, parts, mean, std) = \
+                _pipe.fused_hypergeom_pipeline(
+                    d0, jnp.asarray(n2a), lgt, M, radius, iterations=iters)
+            lp0, acc, use_upper, below, above = (np.asarray(p) for p in parts)
+            tail = np.exp(lp0) * acc
+            sf_mat = np.where(use_upper, tail, 1.0 - tail)
+            sf_mat = np.clip(np.where(above, 0.0, np.where(below, 1.0, sf_mat)),
+                             0.0, 1.0)
+            self.pvalues_pos = sf_mat
+            if self.multiple_testing:
+                self.pvalues_pos = np.asarray(_fdr.fdr_bh(self.pvalues_pos))
+                with np.errstate(divide="ignore"):
+                    self.nes = -np.log10(self.pvalues_pos)
+            else:
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    upper_nes = -(lp0 + np.log(np.maximum(acc, 0.0))) / np.log(10.0)
+                    lower_nes = -np.log10(np.clip(1.0 - tail, 0.0, 1.0))
+                nes = np.where(use_upper, upper_nes, lower_nes)
+                nes = np.where(below, 0.0, np.where(above, np.inf, nes))
+                self.nes = np.maximum(nes, 0.0)
+        else:
+            valid_rows = np.flatnonzero(np.sum(~np.isnan(n2a), axis=1))
+            seed = self.random_seed
+            if seed is None:
+                seed = int(np.random.default_rng().integers(2 ** 31 - 1))
+            key = jax.random.PRNGKey(seed)
+            V, A = len(valid_rows), n2a.shape[1]
+            batch = _perm.default_batch_size(V, A, int(self.num_permutations))
+            (dist, nbr, obs, counts_neg, counts_pos, mean, std) = \
+                _pipe.fused_permutation_pipeline(
+                    d0, jnp.asarray(n2a, jnp.float32),
+                    jnp.asarray(valid_rows, jnp.int32), key, radius,
+                    score_type=self.neighborhood_score_type,
+                    num_permutations=int(self.num_permutations),
+                    batch_size=batch)
+            obs = np.asarray(obs)
+            self.ns = obs
+            counts_neg = np.asarray(counts_neg, dtype=np.float64)
+            counts_pos = np.asarray(counts_pos, dtype=np.float64)
+            idx = np.isnan(obs)
+            counts_neg[idx] = np.nan
+            counts_pos[idx] = np.nan
+            self.pvalues_neg = counts_neg / self.num_permutations
+            self.pvalues_pos = counts_pos / self.num_permutations
+            if self.multiple_testing:
+                self.pvalues_neg = np.asarray(_fdr.fdr_bh(self.pvalues_neg))
+                self.pvalues_pos = np.asarray(_fdr.fdr_bh(self.pvalues_pos))
+            nes_pos = -np.log10(np.where(self.pvalues_pos == 0,
+                                         1 / self.num_permutations,
+                                         self.pvalues_pos))
+            nes_neg = -np.log10(np.where(self.pvalues_neg == 0,
+                                         1 / self.num_permutations,
+                                         self.pvalues_neg))
+            if self.attribute_sign == "highest":
+                self.nes = nes_pos
+            elif self.attribute_sign == "lowest":
+                self.nes = nes_neg
+            else:
+                self.nes = nes_pos - nes_neg
+
+        self._neighborhoods_dev = nbr
+        self._neighborhoods_np = None
+        self._node_distances_dev = dist
+        self._node_distances_np = None
+
+        if self.verbose:
+            logging.info("Node distance metric: %s" % self.node_distance_metric)
+            logging.info("Neighborhood definition: %.2f x %s"
+                         % (self.neighborhood_radius, self.neighborhood_radius_type))
+            logging.info("Number of nodes per neighborhood (mean +/- std): "
+                         "%.2f +/- %.2f" % (float(mean), float(std)))
+
+        idx = ~np.isnan(self.nes)
+        self.nes_binary = np.zeros(self.nes.shape)
+        self.nes_binary[idx] = np.abs(self.nes[idx]) > -np.log10(self.enrichment_threshold)
+        self.attributes["num_neighborhoods_enriched"] = np.sum(self.nes_binary, axis=0)
+
     # -------------------------------------------------------------------- domains
 
     def define_top_attributes(self, **kwargs):
@@ -596,3 +732,19 @@ def run_safe_batch(attribute_file):
     sf.load_attributes(attribute_file=attribute_file)
     sf.compute_pvalues(num_permutations=1000)
     return sf.nes
+
+
+# Reference-namespace compatibility: safepy's `safe` module star-imports its io,
+# extras, and colormap helpers (safepy/safe.py:32-34), so user code reaches them
+# as `safe.<name>`. Mirror that surface here.
+from safepy_tpu.colormaps import MidpointRangeNormalize, get_colors  # noqa: E402,F401
+from safepy_tpu.io import (calculate_edge_lengths,  # noqa: E402,F401
+                           apply_network_layout, chop_and_filter,
+                           get_node_coordinates, load_mat,
+                           load_network_from_cys, load_network_from_gpickle,
+                           load_network_from_mat, load_network_from_scatter,
+                           load_network_from_txt, read_attributes)
+from safepy_tpu.ops.score import compute_neighborhood_score  # noqa: E402,F401
+from safepy_tpu.plotting import (mark_nodes, plot_network,  # noqa: E402,F401
+                                 plot_network_contour,
+                                 plot_costanzo2016_network_annotations)
