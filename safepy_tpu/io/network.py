@@ -38,8 +38,12 @@ from safepy_tpu.io.matlab import load_mat
 
 
 def load_network_from_txt(filename, layout="spring_embedded", node_key_attribute="key",
-                          seed=None, verbose=True):
-    """Load a network from a tab-delimited text file and apply a layout."""
+                          seed=None, verbose=True, engine="auto"):
+    """Load a network from a tab-delimited text file and apply a layout.
+
+    engine: 'auto' (native C++ parser when available, else pandas), 'native', or
+    'pandas'. Both engines produce identical graphs (node ordering included).
+    """
     filename = filename.replace("~", expanduser("~"))
 
     opener = gzip.open if Path(filename).suffix == ".gz" else open
@@ -53,6 +57,24 @@ def load_network_from_txt(filename, layout="spring_embedded", node_key_attribute
         read_kws = dict(header=0, names=range(num_cols))
     else:
         raise ValueError(f"extension {first_suffix} not supported")
+
+    if engine in ("auto", "native") and num_cols in (3, 5):
+        from safepy_tpu import native
+        parsed = native.parse_edgelist(filename, num_cols,
+                                       skip_header=first_suffix == ".tsv")
+        if parsed is not None:
+            labels, keys, edge_idx, _weights = parsed
+            G = nx.Graph()
+            G.add_nodes_from(range(len(labels)))
+            for n, (label, key) in enumerate(zip(labels, keys)):
+                G.nodes[n]["label"] = label
+                G.nodes[n][node_key_attribute] = key
+            G.add_edges_from(map(tuple, edge_idx))
+            G = apply_network_layout(G, layout=layout, seed=seed, verbose=verbose)
+            return calculate_edge_lengths(G, verbose=verbose)
+        if engine == "native":
+            raise RuntimeError("native edge-list parser unavailable "
+                               "(g++ build failed?)")
 
     if num_cols == 3:
         data = pd.read_table(filename, sep="\t", dtype={0: str, 1: str, 2: float},
