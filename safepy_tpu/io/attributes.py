@@ -68,7 +68,11 @@ def read_attributes(attribute_file="", node_label_order=None, mask_duplicates=Fa
     else:
         raise ValueError(type(attribute_file))
 
-    node2attribute = node2attribute.apply(pd.to_numeric, errors="coerce")
+    # Coerce to numeric — skip the per-column pandas pass when the frame is
+    # already numeric (the common case; the full coercion costs ~15 s on a
+    # 4,373-column GO matrix).
+    if not all(pd.api.types.is_numeric_dtype(t) for t in node2attribute.dtypes):
+        node2attribute = node2attribute.apply(pd.to_numeric, errors="coerce")
     attributes["name"] = attributes["name"].astype(str)
 
     if not node2attribute.index.is_unique:

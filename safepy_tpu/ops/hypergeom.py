@@ -164,6 +164,42 @@ def hypergeom_sf(k, M, K, n, *, iterations: int | None = None):
     return np.clip(sf, 0.0, 1.0)
 
 
+def finalize_logsf_device(parts, enrichment_threshold):
+    """Device-side finalization to (nes_f32, log_sf_f32, nes_binary_int8).
+
+    Safe-on-TPU recipe: the emulated f64 ``exp`` underflows at the f32 boundary
+    (measured: exp(x) == 0 for x < ~-88, and only ~2^-12 relative accuracy above
+    it), while f64 ``log`` holds ~1e-12 — so the upper-branch log-survival
+    ``lp0 + log(acc)`` stays f64-exact on device, the complement branch's
+    moderate-argument ``exp`` runs in f32 (relative error ~1e-7 on a tail bounded
+    away from the extremes), and the caller recovers p-values HOST-side as
+    ``exp(float64(log_sf_f32))`` — absolute p error <= max_p |log p| * eps_f32
+    ~= 2e-8, well inside the 1e-6 parity budget.
+
+    The significance indicator is decided on device in f64 before any f32
+    rounding, so enriched-pair counts are exact.
+    """
+    import jax.numpy as jnp
+
+    lp0, acc, use_upper, below, above = parts
+    log_acc = jnp.log(jnp.maximum(acc, 1e-300))
+    log_sf_upper = lp0 + log_acc  # f64, exact to ~1e-11
+
+    tail32 = jnp.exp(lp0.astype(jnp.float32)) * acc.astype(jnp.float32)
+    tail32 = jnp.clip(tail32, 0.0, 1.0)
+    log_sf_lower = jnp.log1p(-jnp.minimum(tail32, 1.0 - 1e-7)).astype(jnp.float64)
+
+    log_sf = jnp.where(use_upper, log_sf_upper, log_sf_lower)
+    log_sf = jnp.where(below, 0.0, log_sf)
+    log_sf = jnp.where(above, -jnp.inf, log_sf)
+    log_sf = jnp.minimum(log_sf, 0.0)
+
+    nes = -log_sf / jnp.float64(np.log(10.0))
+    threshold = -jnp.log(jnp.float64(enrichment_threshold))
+    nes_binary = (-log_sf > threshold).astype(jnp.int8)
+    return nes.astype(jnp.float32), log_sf.astype(jnp.float32), nes_binary
+
+
 def hypergeom_sf_and_nes(k, M, K, n, *, iterations: int | None = None):
     """(sf, -log10(sf)) from ONE device tail-sum pass — the enrichment stage needs
     both the p-value matrix and the full-precision NES."""

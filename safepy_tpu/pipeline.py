@@ -68,14 +68,19 @@ def fused_permutation_pipeline(d0, vals, valid_rows, key, radius, *,
 
 
 @functools.partial(jax.jit, static_argnames=("iterations", "strict", "block"))
-def fused_hypergeom_pipeline(d0, vals, lgt, M, radius, *, iterations: int,
-                             strict: bool = False, block: int = 128):
-    """APSP + neighborhoods + hypergeometric census + sf tail parts, one dispatch.
+def fused_hypergeom_pipeline(d0, vals, lgt, M, radius, enrichment_threshold, *,
+                             iterations: int, strict: bool = False,
+                             block: int = 128):
+    """APSP + neighborhoods + hypergeometric enrichment, one dispatch.
 
-    vals: (N, A) with NaNs. Returns (dist, nbr, counts, nsize, sf_parts...,
-    mean_size, std_size); finalize p/NES on host from the f64 parts (see
-    ops/hypergeom.py for why the exponentials stay off-device).
+    vals: (N, A) with NaNs. Returns (dist, nbr, nes_f32, log_sf_f32,
+    nes_binary_int8, mean_size, std_size). p-values come from host-side
+    ``exp(float64(log_sf))`` — see ops/hypergeom.finalize_logsf_device for the
+    precision recipe; the N x N matrices stay on device and the downloads are
+    two f32 (N, A) matrices plus an int8 indicator.
     """
+    from safepy_tpu.ops.hypergeom import finalize_logsf_device
+
     dist = _apsp_inline(d0, block)
     nbr, mean, std = _threshold(dist, radius, strict)
 
@@ -90,4 +95,6 @@ def fused_hypergeom_pipeline(d0, vals, lgt, M, radius, *, iterations: int,
     K64 = jnp.broadcast_to(K.astype(jnp.float64)[None, :], counts.shape)
     n64 = jnp.broadcast_to(nsize.astype(jnp.float64)[:, None], counts.shape)
     parts = _sf_parts(k64, M, K64, n64, lgt, iterations)
-    return dist, nbr, counts, nsize, parts, mean, std
+    nes32, log_sf32, nes_binary = finalize_logsf_device(parts,
+                                                        enrichment_threshold)
+    return dist, nbr, nes32, log_sf32, nes_binary, mean, std

@@ -451,7 +451,11 @@ class SAFE:
             nbr, jnp.asarray(np.where(np.isnan(n2a), 0.0, n2a), jnp.float32),
             **kw)  # (N, A), stays on device for the sf tail sum
 
-        iters = _hyper.tail_iterations(n, int(neighborhood_size.max(initial=1)))
+        # tail length is bounded by min(K, n): use max annotated total AND max
+        # neighborhood size to size the static loop
+        k_max = int(max(1, np.nanmax(N_in_group))) if N_in_group.size else 1
+        iters = _hyper.tail_iterations(
+            n, int(min(k_max, max(1, neighborhood_size.max(initial=1)))))
         self.pvalues_pos, nes = _hyper.hypergeom_sf_and_nes(
             counts, n, N_in_group[None, :], neighborhood_size[:, None],
             iterations=iters)
@@ -588,31 +592,28 @@ class SAFE:
         binary = (self.enrichment_type == "hypergeometric"
                   or (self.enrichment_type == "auto" and num_other == 0))
 
+        nes_binary_from_device = None
         if binary:
             nodes_not_nan = np.any(~np.isnan(n2a), axis=1)
             M = int(nodes_not_nan.sum())
-            iters = _hyper.tail_iterations(M, M)
+            k_max = int(max(1, np.nanmax(np.nansum(n2a, axis=0))))
+            iters = _hyper.tail_iterations(M, min(k_max, M))
             lgt = jnp.asarray(_hyper.lgamma_table(M))
-            (dist, nbr, counts, nsize, parts, mean, std) = \
+            (dist, nbr, nes32, log_sf32, nesbin8, mean, std) = \
                 _pipe.fused_hypergeom_pipeline(
-                    d0, jnp.asarray(n2a), lgt, M, radius, iterations=iters)
-            lp0, acc, use_upper, below, above = (np.asarray(p) for p in parts)
-            tail = np.exp(lp0) * acc
-            sf_mat = np.where(use_upper, tail, 1.0 - tail)
-            sf_mat = np.clip(np.where(above, 0.0, np.where(below, 1.0, sf_mat)),
-                             0.0, 1.0)
-            self.pvalues_pos = sf_mat
+                    d0, jnp.asarray(n2a), lgt, M, radius,
+                    np.float64(self.enrichment_threshold), iterations=iters)
+            log_sf = np.asarray(log_sf32, dtype=np.float64)
+            with np.errstate(over="ignore"):
+                self.pvalues_pos = np.exp(log_sf)
             if self.multiple_testing:
                 self.pvalues_pos = np.asarray(_fdr.fdr_bh(self.pvalues_pos))
                 with np.errstate(divide="ignore"):
                     self.nes = -np.log10(self.pvalues_pos)
             else:
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    upper_nes = -(lp0 + np.log(np.maximum(acc, 0.0))) / np.log(10.0)
-                    lower_nes = -np.log10(np.clip(1.0 - tail, 0.0, 1.0))
-                nes = np.where(use_upper, upper_nes, lower_nes)
-                nes = np.where(below, 0.0, np.where(above, np.inf, nes))
-                self.nes = np.maximum(nes, 0.0)
+                self.nes = np.asarray(nes32, dtype=np.float64)
+                # significance decided on device in f64 BEFORE the f32 rounding
+                nes_binary_from_device = np.asarray(nesbin8).astype(float)
         else:
             valid_rows = np.flatnonzero(np.sum(~np.isnan(n2a), axis=1))
             seed = self.random_seed
@@ -665,9 +666,13 @@ class SAFE:
             logging.info("Number of nodes per neighborhood (mean +/- std): "
                          "%.2f +/- %.2f" % (float(mean), float(std)))
 
-        idx = ~np.isnan(self.nes)
-        self.nes_binary = np.zeros(self.nes.shape)
-        self.nes_binary[idx] = np.abs(self.nes[idx]) > -np.log10(self.enrichment_threshold)
+        if nes_binary_from_device is not None:
+            self.nes_binary = nes_binary_from_device
+        else:
+            idx = ~np.isnan(self.nes)
+            self.nes_binary = np.zeros(self.nes.shape)
+            self.nes_binary[idx] = (np.abs(self.nes[idx])
+                                    > -np.log10(self.enrichment_threshold))
         self.attributes["num_neighborhoods_enriched"] = np.sum(self.nes_binary, axis=0)
 
     # -------------------------------------------------------------------- domains

@@ -41,9 +41,10 @@ def test_fused_hypergeom_matches_stages(network, rng):
     sf2.run_pipeline()
 
     np.testing.assert_array_equal(sf1.neighborhoods, sf2.neighborhoods)
-    np.testing.assert_allclose(sf1.pvalues_pos, sf2.pvalues_pos, atol=1e-12)
+    # fused path recovers p host-side as exp(float64(f32 log_sf)): abs<=2e-8
+    np.testing.assert_allclose(sf1.pvalues_pos, sf2.pvalues_pos, atol=1e-7)
     ok = np.isfinite(sf1.nes)
-    np.testing.assert_allclose(sf1.nes[ok], sf2.nes[ok], rtol=1e-10)
+    np.testing.assert_allclose(sf1.nes[ok], sf2.nes[ok], rtol=1e-6, atol=1e-5)
     np.testing.assert_array_equal(sf1.nes_binary, sf2.nes_binary)
 
 

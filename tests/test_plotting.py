@@ -16,9 +16,16 @@ from safepy_tpu.colormaps import MidpointRangeNormalize, get_colors
 
 @pytest.fixture(scope="module")
 def analyzed(tmp_path_factory):
+    """A pipeline state guaranteed to have >= 2 domains: two ring communities."""
     rng = np.random.default_rng(0)
     n = 80
-    g = nx.connected_watts_strogatz_graph(n, 6, 0.2, seed=1)
+    # two dense communities bridged by one edge -> two spatial regions
+    g = nx.ring_of_cliques = nx.Graph()
+    half = n // 2
+    g.add_edges_from(nx.connected_watts_strogatz_graph(half, 6, 0.1, seed=1).edges())
+    g2 = nx.connected_watts_strogatz_graph(n - half, 6, 0.1, seed=2)
+    g.add_edges_from(((u + half, v + half) for u, v in g2.edges()))
+    g.add_edge(0, half)
     path = tmp_path_factory.mktemp("plotdata") / "net.txt"
     with open(path, "w") as f:
         for u, v in g.edges():
@@ -29,8 +36,8 @@ def analyzed(tmp_path_factory):
     sf.define_neighborhoods()
     labels = [sf.graph.nodes[i]["key"] for i in range(n)]
     vals = np.zeros((n, 6))
-    vals[: n // 2, :3] = (rng.random((n // 2, 3)) < 0.6)
-    vals[n // 2:, 3:] = (rng.random((n - n // 2, 3)) < 0.6)
+    vals[:half, :3] = (rng.random((half, 3)) < 0.8)
+    vals[half:, 3:] = (rng.random((n - half, 3)) < 0.8)
     df = pd.DataFrame(vals, index=labels, columns=[f"attr {i}" for i in range(6)])
     sf.load_attributes(attribute_file=df)
     sf.compute_pvalues()
@@ -39,6 +46,11 @@ def analyzed(tmp_path_factory):
         sf.define_domains()
         sf.trim_domains()
     return sf
+
+
+def test_fixture_has_domains(analyzed):
+    assert analyzed.domains is not None, (
+        "plot fixture must produce domains; adjust the synthetic input")
 
 
 def test_plot_network(analyzed):
@@ -54,11 +66,24 @@ def test_plot_network_with_labels(analyzed):
 
 
 def test_plot_composite_network(analyzed):
-    if analyzed.domains is None:
-        pytest.skip("no domains on this synthetic input")
     fig, axes = analyzed.plot_composite_network(show_each_domain=False,
                                                 color_seed=0)
     assert len(axes) >= 2
+    plt.close("all")
+
+
+def test_plot_composite_network_each_domain(analyzed, tmp_path):
+    out = tmp_path / "composite.png"
+    fig, axes = analyzed.plot_composite_network(show_each_domain=True,
+                                                color_seed=0,
+                                                save_fig=str(out))
+    assert out.exists()
+    plt.close("all")
+
+
+def test_plot_composite_network_contours(analyzed):
+    fig, axes = analyzed.plot_composite_network_contours(color_seed=0)
+    assert len(axes) == 2
     plt.close("all")
 
 
