@@ -38,6 +38,7 @@ class SafeConfig:
     view_name: Optional[str] = None
 
     node_key_attribute: str = "label_orf"
+    layout_algorithm: str = "spring_embedded"  # spring_embedded|kamada_kawai|spring_tpu
 
     attribute_sign: str = "both"  # highest | lowest | both
 
@@ -110,6 +111,11 @@ def read_config(path_to_ini_file: str = "",
         cfg.path_to_attribute_file = attribute_file
 
     cfg.attribute_sign = config.get("Input files", "annotationsign")
+
+    # The reference declares layoutAlgorithm in its INI but never consumes it
+    # (safe_default.ini:9); here it selects the txt-loader layout engine.
+    layout = config.get("Input files", "layoutalgorithm", fallback="") or ""
+    cfg.layout_algorithm = layout.strip() or "spring_embedded"
 
     cfg.background = config.get("Analysis parameters", "background")
     cfg.node_distance_metric = config.get("Analysis parameters", "nodeDistanceType")

@@ -135,6 +135,7 @@ class SAFE:
         self.default_config = defaults
         for field in ("path_to_safe_data", "path_to_network_file",
                       "path_to_attribute_file", "attribute_sign", "background",
+                      "layout_algorithm",
                       "node_distance_metric", "neighborhood_radius_type",
                       "neighborhood_radius", "random_seed",
                       "attribute_unimodality_metric", "attribute_distance_metric",
@@ -189,6 +190,7 @@ class SAFE:
             elif ext in (".txt", ".tsv"):
                 self.graph = _net_io.load_network_from_txt(
                     self.path_to_network_file,
+                    layout=getattr(self, "layout_algorithm", "spring_embedded"),
                     node_key_attribute=self.node_key_attribute,
                     seed=self.random_seed, verbose=self.verbose)
             elif ext == ".cys":
@@ -262,6 +264,11 @@ class SAFE:
             attribute_file=self.path_to_attribute_file,
             node_label_order=node_label_order,
             verbose=self.verbose, **kwargs)
+
+        from safepy_tpu import debug as _debug
+        _debug.validate_attributes(self.node2attribute,
+                                   self.graph.number_of_nodes(),
+                                   warn=self.verbose)
 
     # ------------------------------------------------------------- neighborhoods
 
