@@ -61,9 +61,32 @@ def run_pipeline(sf, attr_df):
     return sf.nes
 
 
+def wait_for_backend(max_tries: int = 10, delay_s: float = 30.0):
+    """The tunneled TPU is single-tenant: if another process held the grant
+    recently, the PJRT plugin fails to register at interpreter startup and the
+    process can never see the device. Recover by re-exec'ing this script after
+    a cooldown (registration only happens at interpreter start)."""
+    import os
+    import jax
+    try:
+        jax.devices()
+        return
+    except RuntimeError as e:
+        tries = int(os.environ.get("SAFEPY_BENCH_TRIES", "0"))
+        if tries >= max_tries:
+            raise
+        print(f"# backend busy ({e}); re-exec {tries + 1}/{max_tries}",
+              file=sys.stderr)
+        time.sleep(delay_s)
+        os.environ["SAFEPY_BENCH_TRIES"] = str(tries + 1)
+        os.execv(sys.executable, [sys.executable] + sys.argv)
+
+
 def main():
     import safepy_tpu
     from safepy_tpu import SAFE
+
+    wait_for_backend()
 
     g, coords = build_network()
     rng = np.random.default_rng(1)
