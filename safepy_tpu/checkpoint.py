@@ -16,7 +16,6 @@ and this module adds an array-native alternative:
 from __future__ import annotations
 
 import json
-import os
 
 import numpy as np
 import pandas as pd

@@ -10,7 +10,6 @@ from __future__ import annotations
 
 import matplotlib.colors as colors
 import numpy as np
-from matplotlib import cm
 
 
 class MidpointRangeNormalize(colors.Normalize):

@@ -19,8 +19,6 @@ from __future__ import annotations
 
 import logging
 
-
-import networkx as nx
 import numpy as np
 import pandas as pd
 from scipy.cluster.hierarchy import fcluster, linkage

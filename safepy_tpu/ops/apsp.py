@@ -23,8 +23,6 @@ Semantics notes (parity with the reference):
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -29,9 +29,6 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
-
-from safepy_tpu.ops.score import compute_neighborhood_score
 
 _DOT_KW = dict(precision=jax.lax.Precision.HIGHEST, preferred_element_type=jnp.float32)
 
