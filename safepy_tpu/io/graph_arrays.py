@@ -18,11 +18,13 @@ import numpy as np
 
 
 def graph_to_arrays(G):
-    """(coords[N,2] f64, edges[E,2] int64, lengths[E] f64 or None).
+    """(coords[N,2] f64, edges[E,2] int64, lengths[E] f64 or None, weights[E] f64).
 
     Nodes must be labeled 0..N-1 (every loader in safepy_tpu.io guarantees this).
     Lengths come from the 'length' edge attribute when present (the
-    shortpath_weighted_layout weights, safepy/safe_io.py:311-333).
+    shortpath_weighted_layout weights, safepy/safe_io.py:311-333); weights from
+    the 'weight' attribute with a default of 1 (the weights NetworkX Dijkstra
+    uses for the plain 'shortpath' metric, reference safe.py:409-410).
     """
     n = G.number_of_nodes()
     xs = dict(G.nodes.data("x"))
@@ -37,11 +39,15 @@ def graph_to_arrays(G):
 
     edges = np.asarray(list(G.edges()), dtype=np.int64).reshape(-1, 2)
     lengths = None
+    weights = np.ones(len(edges), np.float64)
     if G.number_of_edges():
         raw = [d.get("length") for _, _, d in G.edges(data=True)]
         if all(v is not None for v in raw):
             lengths = np.asarray(raw, np.float64)
-    return coords, edges, lengths
+        weights = np.asarray(
+            [float(d.get("weight", 1)) for _, _, d in G.edges(data=True)],
+            np.float64)
+    return coords, edges, lengths, weights
 
 
 def get_node_coordinates(graph, labels=()):

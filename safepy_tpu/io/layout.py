@@ -90,10 +90,12 @@ def spring_layout_tpu(G, k: float = 0.2, iterations: int = 100, seed=None):
 
 
 def calculate_edge_lengths(G, verbose: bool = True):
-    """Euclidean endpoint distance -> 'length' edge attribute (f64 host math).
+    """Layout distance x edge weight -> 'length' edge attribute (f64 host math).
 
-    The reference computes a dense N x N pdist and masks by adjacency
-    (safe_io.py:311-333); endpoint-indexed math here is equivalent and O(E).
+    The reference multiplies a dense N x N pdist by ``nx.adjacency_matrix`` —
+    which carries the 'weight' edge attribute, 1 where absent — and keeps the
+    non-NaN entries (safe_io.py:318-331). Endpoint-indexed math here is
+    equivalent and O(E): length(u, v) = euclidean(u, v) * weight(u, v).
     """
     if verbose:
         logging.info("Calculating edge lengths...")
@@ -101,7 +103,8 @@ def calculate_edge_lengths(G, verbose: bool = True):
     xs = dict(G.nodes.data("x"))
     ys = dict(G.nodes.data("y"))
     lengths = {}
-    for u, v in G.edges():
-        lengths[(u, v)] = float(np.hypot(xs[u] - xs[v], ys[u] - ys[v]))
+    for u, v, data in G.edges(data=True):
+        dist = float(np.hypot(xs[u] - xs[v], ys[u] - ys[v]))
+        lengths[(u, v)] = dist * float(data.get("weight", 1))
     nx.set_edge_attributes(G, lengths, "length")
     return G

@@ -20,6 +20,7 @@
 
 #include <cstdint>
 #include <cstring>
+#include <limits>
 #include <string>
 #include <string_view>
 #include <unordered_map>
@@ -95,7 +96,12 @@ ParseResult* parse(const char* buf, size_t len, int ncols) {
         return res;
       }
     }
-    if (got < ncols) continue;  // ragged tail line
+    if (got < ncols - 1) {
+      // A line missing more than the weight field cannot be interpreted
+      // consistently with the pandas engine — fail loudly instead of diverging.
+      res->error = "ragged line with " + std::to_string(got) + " fields";
+      return res;
+    }
 
     std::string_view k1, k2, l1, l2, w;
     if (ncols == 3) {
@@ -109,11 +115,16 @@ ParseResult* parse(const char* buf, size_t len, int ncols) {
     }
     L1.push_back(l1); K1.push_back(k1);
     L2.push_back(l2); K2.push_back(k2);
-    char tmp[64];
-    size_t wl = w.size() < 63 ? w.size() : 63;
-    memcpy(tmp, w.data(), wl);
-    tmp[wl] = 0;
-    res->weights.push_back(strtod(tmp, nullptr));
+    if (got < ncols || w.empty()) {
+      // missing weight field: NaN, matching pandas' trailing-column fill
+      res->weights.push_back(std::numeric_limits<double>::quiet_NaN());
+    } else {
+      char tmp[64];
+      size_t wl = w.size() < 63 ? w.size() : 63;
+      memcpy(tmp, w.data(), wl);
+      tmp[wl] = 0;
+      res->weights.push_back(strtod(tmp, nullptr));
+    }
   }
 
   // Node ordering parity with the reference: pandas concatenates the full

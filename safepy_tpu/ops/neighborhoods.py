@@ -16,6 +16,8 @@ every metric, matching the reference's commented-out ``fill_diagonal`` (safe.py:
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -40,6 +42,24 @@ def neighborhoods_from_distances(dist, radius, *, strict: bool):
     r = jnp.asarray(radius, dist.dtype)
     ind = (dist < r) if strict else (dist <= r)
     return ind.astype(jnp.float32)
+
+
+def inclusive_radius(nr: float) -> np.float32:
+    """The f32 threshold for `dist <= nr` on f32 FW distances: one relative ulp
+    of slack so f64-exact boundary paths (NetworkX keeps length <= cutoff,
+    reference safe.py:406) don't fall out to f32 rounding."""
+    return np.float32(nr) * np.float32(1 + 1e-6)
+
+
+@functools.partial(jax.jit, static_argnames=("strict",))
+def threshold_and_stats(dist, radius, *, strict: bool):
+    """(indicator f32, mean size, std size) — the single source of truth for the
+    neighborhood threshold, shared by the staged facade and the fused pipeline.
+    The two scalars feed the reference's mean +/- std log line (safe.py:428)
+    without downloading the N x N matrix."""
+    nbr = neighborhoods_from_distances(dist, radius, strict=strict)
+    sizes = jnp.sum(nbr, axis=1)
+    return nbr, jnp.mean(sizes), jnp.std(sizes)
 
 
 def dense_initial_distances(num_nodes: int, edges, weights=None, dtype=np.float32) -> np.ndarray:

@@ -60,7 +60,9 @@ def _apsp_sharded_impl(d_padded, *, mesh, axis, block, use_pallas):
         relax_cols = lambda panel, diag: _relax_jnp(panel, panel, diag)
         relax_full = lambda q, p, d: _relax_jnp(d, q, p)
 
-    @functools.partial(jax.shard_map, mesh=mesh,
+    # check_vma=False: pallas_call outputs inside shard_map lack the
+    # varying-mesh-axes annotation jax would otherwise demand
+    @functools.partial(jax.shard_map, mesh=mesh, check_vma=False,
                        in_specs=P(axis, None), out_specs=P(axis, None))
     def worker(slab):  # (rows_per_dev, npad)
         my = jax.lax.axis_index(axis)

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 
 from safepy_tpu.ops.apsp import _apsp_jax, _on_tpu
 from safepy_tpu.ops.hypergeom import _sf_parts  # device tail-sum core
+from safepy_tpu.ops.neighborhoods import threshold_and_stats
 from safepy_tpu.ops.permutation import prepare_valid, scan_counts
 from safepy_tpu.ops.score import compute_neighborhood_score
 
@@ -36,13 +37,6 @@ def _apsp_inline(d0, block):
         from safepy_tpu.ops.apsp_pallas import apsp_blocked_fw
         return apsp_blocked_fw(d0, block=block)
     return _apsp_jax(d0)
-
-
-def _threshold(dist, radius, strict):
-    ind = (dist < radius) if strict else (dist <= radius)
-    nbr = ind.astype(jnp.float32)
-    sizes = jnp.sum(nbr, axis=1)
-    return nbr, jnp.mean(sizes), jnp.std(sizes)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -58,7 +52,7 @@ def fused_permutation_pipeline(d0, vals, valid_rows, key, radius, *,
     matrices stay on device.
     """
     dist = _apsp_inline(d0, block)
-    nbr, mean, std = _threshold(dist, radius, strict)
+    nbr, mean, std = threshold_and_stats(dist, radius, strict=strict)
     obs = compute_neighborhood_score(nbr, vals, score_type)
     nbr_valid, v, m = prepare_valid(nbr, vals, valid_rows)
     counts_neg, counts_pos = scan_counts(
@@ -82,7 +76,7 @@ def fused_hypergeom_pipeline(d0, vals, lgt, M, radius, enrichment_threshold, *,
     from safepy_tpu.ops.hypergeom import finalize_logsf_device
 
     dist = _apsp_inline(d0, block)
-    nbr, mean, std = _threshold(dist, radius, strict)
+    nbr, mean, std = threshold_and_stats(dist, radius, strict=strict)
 
     finite = jnp.isfinite(vals)
     nan0 = jnp.where(finite, vals, 0.0).astype(jnp.float32)

@@ -48,23 +48,11 @@ from safepy_tpu.ops import permutation as _perm
 from safepy_tpu.ops import score as _score
 
 
-def _threshold_and_stats(dist_dev, radius, *, strict: bool):
-    """Device-side neighborhood threshold plus mean/std of neighborhood sizes.
-
-    Returns (indicator f32, mean, std) — the two scalars feed the reference's
-    mean +/- std log line (safe.py:428) without downloading the N x N matrix.
-    """
-    import jax
+@jax.jit
+def _to_int8(x):
+    """Module-level jit (stable cache key) for the int8 indicator download."""
     import jax.numpy as jnp
-
-    @jax.jit
-    def go(dist, r):
-        ind = (dist < r) if strict else (dist <= r)
-        nbr = ind.astype(jnp.float32)
-        sizes = jnp.sum(nbr, axis=1)
-        return nbr, jnp.mean(sizes), jnp.std(sizes)
-
-    return go(dist_dev, radius)
+    return x.astype(jnp.int8)
 
 
 class SAFE:
@@ -291,15 +279,15 @@ class SAFE:
         self.validate_config()
 
         num_nodes = self.graph.number_of_nodes()
-        coords, edges, lengths = _ga.graph_to_arrays(self.graph)
+        coords, edges, lengths, edge_weights = _ga.graph_to_arrays(self.graph)
 
         if self.node_distance_metric == "euclidean":
             x = coords[:, 0]
             nr = self.neighborhood_radius * (np.max(x) - np.min(x))
             dist_dev = _nbr.euclidean_distance_matrix(
                 jnp.asarray(coords, jnp.float32))
-            nbr_dev, mean, std = _threshold_and_stats(dist_dev, np.float32(nr),
-                                                      strict=True)
+            nbr_dev, mean, std = _nbr.threshold_and_stats(
+                dist_dev, np.float32(nr), strict=True)
         else:
             if self.node_distance_metric == "shortpath_weighted_layout":
                 x = coords[:, 0]
@@ -309,18 +297,18 @@ class SAFE:
                         "shortpath_weighted_layout requires edge 'length' attributes "
                         "(computed by calculate_edge_lengths at network load)")
                 weights = lengths
-            else:  # 'shortpath' — hop distances with absolute radius
+            else:
+                # 'shortpath': absolute radius over edge 'weight' attributes
+                # (1 where absent) — NetworkX Dijkstra's default weight key
+                # (reference safe.py:409-410)
                 nr = self.neighborhood_radius
-                weights = None
+                weights = edge_weights
 
             d0 = _nbr.dense_initial_distances(num_nodes, edges, weights,
                                               dtype=np.float32)
             dist_dev = _apsp_run(jnp.asarray(d0))
-            # NetworkX Dijkstra cutoff keeps paths of length <= nr (safe.py:406).
-            # Guard the f32 boundary: treat distances within one ulp of nr as in.
-            tol = np.float32(nr) * 1e-6
-            nbr_dev, mean, std = _threshold_and_stats(
-                dist_dev, np.float32(nr + tol), strict=False)
+            nbr_dev, mean, std = _nbr.threshold_and_stats(
+                dist_dev, _nbr.inclusive_radius(nr), strict=False)
 
         self._neighborhoods_dev = nbr_dev
         self._neighborhoods_np = None
@@ -339,10 +327,8 @@ class SAFE:
     @property
     def neighborhoods(self):
         if self._neighborhoods_np is None and self._neighborhoods_dev is not None:
-            import jax
-            import jax.numpy as jnp
-            small = jax.jit(lambda x: x.astype(jnp.int8))(self._neighborhoods_dev)
-            self._neighborhoods_np = np.asarray(small).astype(int)
+            self._neighborhoods_np = np.asarray(
+                _to_int8(self._neighborhoods_dev)).astype(int)
         return self._neighborhoods_np
 
     @neighborhoods.setter
@@ -582,17 +568,17 @@ class SAFE:
             return
 
         num_nodes = self.graph.number_of_nodes()
-        coords, edges, lengths = _ga.graph_to_arrays(self.graph)
+        coords, edges, lengths, edge_weights = _ga.graph_to_arrays(self.graph)
         if self.node_distance_metric == "shortpath_weighted_layout":
             x = coords[:, 0]
             nr = self.neighborhood_radius * (np.max(x) - np.min(x))
             weights = lengths
         else:
             nr = self.neighborhood_radius
-            weights = None
+            weights = edge_weights
         d0 = jnp.asarray(_nbr.dense_initial_distances(
             num_nodes, edges, weights, dtype=np.float32))
-        radius = np.float32(nr) * (1 + 1e-6)
+        radius = _nbr.inclusive_radius(nr)
 
         n2a = self.node2attribute
         num_other = np.sum(~np.isnan(n2a) & ~np.isin(n2a, [0, 1]))

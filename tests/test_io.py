@@ -212,10 +212,28 @@ def test_graph_to_arrays():
     g.nodes[0].update(x=0.0, y=0.0)
     g.nodes[1].update(x=1.0, y=1.0)
     calculate_edge_lengths(g, verbose=False)
-    coords, edges, lengths = graph_to_arrays(g)
+    coords, edges, lengths, weights = graph_to_arrays(g)
     assert coords.shape == (2, 2)
     assert edges.shape == (1, 2)
     np.testing.assert_allclose(lengths, [np.sqrt(2)])
+    np.testing.assert_allclose(weights, [1.0])
+
+
+def test_weighted_graph_parity():
+    """Edge 'weight' attributes scale lengths (reference safe_io.py:324-328) and
+    drive the plain shortpath metric (reference safe.py:409)."""
+    g = nx.Graph()
+    g.add_edge(0, 1, weight=2.0)
+    g.add_edge(1, 2, weight=0.5)
+    coords = {0: (0.0, 0.0), 1: (3.0, 4.0), 2: (6.0, 8.0)}
+    for n, (x, y) in coords.items():
+        g.nodes[n]["x"] = x
+        g.nodes[n]["y"] = y
+    calculate_edge_lengths(g, verbose=False)
+    assert g.edges[0, 1]["length"] == 10.0   # 5 * 2
+    assert g.edges[1, 2]["length"] == 2.5    # 5 * 0.5
+    _, _, lengths, weights = graph_to_arrays(g)
+    np.testing.assert_allclose(sorted(weights), [0.5, 2.0])
 
 
 def test_chop_and_filter():
