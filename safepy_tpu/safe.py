@@ -70,6 +70,9 @@ class SAFE:
 
         self.graph = None
         self.graph_euclidean = None
+        # device-resident FW initializations, keyed by distance metric; valid as
+        # long as the loaded graph is unchanged (cleared by load_network)
+        self._d0_cache = {}
         self.node_key_attribute = "label_orf"
 
         self.attributes = None
@@ -203,6 +206,7 @@ class SAFE:
                 % (self.node_key_attribute,
                    ", ".join(map(str, self.graph.nodes[0].keys()))))
 
+        self._d0_cache = {}
         nx.set_node_attributes(self.graph, key_list, name="key")
         label_list = nx.get_node_attributes(self.graph, "label")
         self.nodes = pd.DataFrame(data={"id": list(label_list.keys()),
@@ -304,9 +308,12 @@ class SAFE:
                 nr = self.neighborhood_radius
                 weights = edge_weights
 
-            d0 = _nbr.dense_initial_distances(num_nodes, edges, weights,
-                                              dtype=np.float32)
-            dist_dev = _apsp_run(jnp.asarray(d0))
+            d0_dev = self._d0_cache.get(self.node_distance_metric)
+            if d0_dev is None:
+                d0_dev = jnp.asarray(_nbr.dense_initial_distances(
+                    num_nodes, edges, weights, dtype=np.float32))
+                self._d0_cache[self.node_distance_metric] = d0_dev
+            dist_dev = _apsp_run(d0_dev)
             nbr_dev, mean, std = _nbr.threshold_and_stats(
                 dist_dev, _nbr.inclusive_radius(nr), strict=False)
 
@@ -364,6 +371,7 @@ class SAFE:
         state = dict(self.__dict__)
         state["_neighborhoods_dev"] = None
         state["_node_distances_dev"] = None
+        state["_d0_cache"] = {}
         return state
 
     # ------------------------------------------------------------------ p-values
@@ -576,8 +584,11 @@ class SAFE:
         else:
             nr = self.neighborhood_radius
             weights = edge_weights
-        d0 = jnp.asarray(_nbr.dense_initial_distances(
-            num_nodes, edges, weights, dtype=np.float32))
+        d0 = self._d0_cache.get(self.node_distance_metric)
+        if d0 is None:
+            d0 = jnp.asarray(_nbr.dense_initial_distances(
+                num_nodes, edges, weights, dtype=np.float32))
+            self._d0_cache[self.node_distance_metric] = d0
         radius = _nbr.inclusive_radius(nr)
 
         n2a = self.node2attribute
