@@ -106,6 +106,18 @@ def main():
     nes = run_pipeline(sf, attr_df)
     wall = time.time() - t0
 
+    # isolated APSP steady-state (the headline kernel), forced complete via a
+    # scalar readback
+    import jax.numpy as jnp
+    from safepy_tpu.ops.apsp import apsp
+    d0 = sf._d0_cache.get(sf.node_distance_metric)
+    dist = apsp(d0)
+    _ = float(np.asarray(dist[0, 0]))
+    t0 = time.time()
+    dist = apsp(d0)
+    _ = float(np.asarray(dist[0, 0]))
+    apsp_s = time.time() - t0
+
     enriched = int((sf.nes_binary > 0).sum())
     print(json.dumps({
         "metric": "example1_e2e_wall_s",
@@ -116,6 +128,7 @@ def main():
             "nodes": N_NODES,
             "edges": g.number_of_edges(),
             "num_permutations": 1000,
+            "apsp_steady_s": round(apsp_s, 4),
             "enriched_neighborhoods": enriched,
             "mean_neighborhood_size": float(sf.neighborhoods.sum(1).mean()),
         },
