@@ -58,18 +58,26 @@ def _apsp_jax(dist):
     return jax.lax.fori_loop(0, n, body, dist)
 
 
-@jax.jit
-def _min_plus_jax(a, b):
-    """Min-plus product via a k-loop (fallback; keeps memory at O(N^2))."""
-    n, k_dim = a.shape
+def min_plus_relax_jax(c, a, b):
+    """min(c, a (x) b) via a k-loop — the non-Pallas fallback, O(m n) memory.
+
+    Shared by the fallback product here and the sharded Floyd-Warshall's
+    off-TPU path (parallel/apsp_sharded.py).
+    """
+    m, k_dim = a.shape
 
     def body(k, acc):
-        col = jax.lax.dynamic_slice(a, (0, k), (n, 1))
+        col = jax.lax.dynamic_slice(a, (0, k), (m, 1))
         row = jax.lax.dynamic_slice(b, (k, 0), (1, b.shape[1]))
         return jnp.minimum(acc, col + row)
 
-    init = jnp.full((n, b.shape[1]), jnp.inf, a.dtype)
-    return jax.lax.fori_loop(0, k_dim, body, init)
+    return jax.lax.fori_loop(0, k_dim, body, c)
+
+
+@jax.jit
+def _min_plus_jax(a, b):
+    init = jnp.full((a.shape[0], b.shape[1]), jnp.inf, a.dtype)
+    return min_plus_relax_jax(init, a, b)
 
 
 def _on_tpu(x=None) -> bool:

@@ -156,12 +156,27 @@ def hypergeom_sf(k, M, K, n, *, iterations: int | None = None):
       n: per-neighborhood sizes.
       iterations: static tail-length bound; derived from M when omitted.
     """
-    lp0, acc, use_upper, below, above = _parts(k, M, K, n, iterations)
+    return _host_sf(_parts(k, M, K, n, iterations))
+
+
+def _host_sf(parts):
+    lp0, acc, use_upper, below, above = parts
     tail = np.exp(lp0) * acc
     sf = np.where(use_upper, tail, 1.0 - tail)
     sf = np.where(below, 1.0, sf)
     sf = np.where(above, 0.0, sf)
     return np.clip(sf, 0.0, 1.0)
+
+
+def _host_nes(parts):
+    lp0, acc, use_upper, below, above = parts
+    with np.errstate(divide="ignore", invalid="ignore"):
+        upper_nes = -(lp0 + np.log(np.maximum(acc, 0.0))) / np.log(10.0)
+        lower_nes = -np.log10(np.clip(1.0 - np.exp(lp0) * acc, 0.0, 1.0))
+    nes = np.where(use_upper, upper_nes, lower_nes)
+    nes = np.where(below, 0.0, nes)
+    nes = np.where(above, np.inf, nes)
+    return np.maximum(nes, 0.0)
 
 
 def finalize_logsf_device(parts, enrichment_threshold):
@@ -203,20 +218,8 @@ def finalize_logsf_device(parts, enrichment_threshold):
 def hypergeom_sf_and_nes(k, M, K, n, *, iterations: int | None = None):
     """(sf, -log10(sf)) from ONE device tail-sum pass — the enrichment stage needs
     both the p-value matrix and the full-precision NES."""
-    lp0, acc, use_upper, below, above = _parts(k, M, K, n, iterations)
-    tail = np.exp(lp0) * acc
-    sf = np.where(use_upper, tail, 1.0 - tail)
-    sf = np.where(below, 1.0, sf)
-    sf = np.where(above, 0.0, sf)
-    sf = np.clip(sf, 0.0, 1.0)
-
-    with np.errstate(divide="ignore", invalid="ignore"):
-        upper_nes = -(lp0 + np.log(np.maximum(acc, 0.0))) / np.log(10.0)
-        lower_nes = -np.log10(np.clip(1.0 - tail, 0.0, 1.0))
-    nes = np.where(use_upper, upper_nes, lower_nes)
-    nes = np.where(below, 0.0, nes)
-    nes = np.where(above, np.inf, nes)
-    return sf, np.maximum(nes, 0.0)
+    parts = _parts(k, M, K, n, iterations)
+    return _host_sf(parts), _host_nes(parts)
 
 
 def hypergeom_neglog10_sf(k, M, K, n, *, iterations: int | None = None):
@@ -226,12 +229,4 @@ def hypergeom_neglog10_sf(k, M, K, n, *, iterations: int | None = None):
     the underflow of ``sf`` itself for deeply-enriched neighborhoods (the reference
     caps displayed NES at ``enrichment_max_log10``, but the raw score is exact).
     """
-    lp0, acc, use_upper, below, above = _parts(k, M, K, n, iterations)
-    with np.errstate(divide="ignore", invalid="ignore"):
-        upper_nes = -(lp0 + np.log(np.maximum(acc, 0.0))) / np.log(10.0)
-        tail = np.exp(lp0) * acc
-        lower_nes = -np.log10(np.clip(1.0 - tail, 0.0, 1.0))
-    nes = np.where(use_upper, upper_nes, lower_nes)
-    nes = np.where(below, 0.0, nes)
-    nes = np.where(above, np.inf, nes)
-    return np.maximum(nes, 0.0)
+    return _host_nes(_parts(k, M, K, n, iterations))

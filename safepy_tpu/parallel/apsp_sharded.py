@@ -29,19 +29,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from safepy_tpu.ops import apsp_pallas
-from safepy_tpu.ops.apsp import pad_distances
-
-
-def _relax_jnp(c, a, b):
-    """min(c, a (x) b) via a k-loop — off-TPU fallback, O(m n) memory."""
-    m, kd = a.shape
-
-    def body(k, acc):
-        col = jax.lax.dynamic_slice(a, (0, k), (m, 1))
-        row = jax.lax.dynamic_slice(b, (k, 0), (1, b.shape[1]))
-        return jnp.minimum(acc, col + row)
-
-    return jax.lax.fori_loop(0, kd, body, c)
+from safepy_tpu.ops.apsp import min_plus_relax_jax as _relax_jnp, pad_distances
 
 
 @functools.partial(jax.jit, static_argnames=("mesh", "axis", "block", "use_pallas"))

@@ -31,6 +31,7 @@ if "matplotlib" not in sys.modules:
     matplotlib.use("Agg")
 
 import jax
+import jax.numpy as jnp
 import networkx as nx
 import numpy as np
 import pandas as pd
@@ -51,7 +52,6 @@ from safepy_tpu.ops import score as _score
 @jax.jit
 def _to_int8(x):
     """Module-level jit (stable cache key) for the int8 indicator download."""
-    import jax.numpy as jnp
     return x.astype(jnp.int8)
 
 
@@ -273,8 +273,7 @@ class SAFE:
         the single biggest cost on tunneled TPU hosts and are unnecessary for the
         rest of the device pipeline).
         """
-        import jax.numpy as jnp
-
+    
         for k in ("node_distance_metric", "neighborhood_radius_type",
                   "neighborhood_radius"):
             if k in kwargs:
@@ -357,7 +356,6 @@ class SAFE:
 
     def _neighborhoods_device(self):
         """(N, N) f32 device array of the indicator, uploading if necessary."""
-        import jax.numpy as jnp
         if self._neighborhoods_dev is None:
             if self._neighborhoods_np is None:
                 raise RuntimeError("define_neighborhoods has not been run")
@@ -412,10 +410,7 @@ class SAFE:
         else:
             self.compute_pvalues_by_randomization(**kwargs)
 
-        idx = ~np.isnan(self.nes)
-        self.nes_binary = np.zeros(self.nes.shape)
-        self.nes_binary[idx] = np.abs(self.nes[idx]) > -np.log10(self.enrichment_threshold)
-        self.attributes["num_neighborhoods_enriched"] = np.sum(self.nes_binary, axis=0)
+        self._update_binary_enrichment()
 
     def compute_pvalues_by_hypergeom(self, **kwargs):
         """One-sided hypergeometric enrichment (reference: safe.py:556-608).
@@ -442,7 +437,6 @@ class SAFE:
 
         N_in_group = np.nansum(n2a, axis=0)  # per-attribute totals (A,)
 
-        import jax.numpy as jnp
         nbr = self._neighborhoods_device()
         kw = dict(precision=jax.lax.Precision.HIGHEST,
                   preferred_element_type=jnp.float32)
@@ -470,6 +464,48 @@ class SAFE:
         else:
             # full-precision NES straight from the log-space tail sum
             self.nes = nes
+
+    def _finalize_randomization(self, counts_neg, counts_pos, obs):
+        """counts -> p-values -> NES, reference semantics (safe.py:528-554):
+        NaN-mask where obs is NaN, optional FDR, p-floor at 1/P, sign select."""
+        counts_neg = np.asarray(counts_neg, dtype=np.float64)
+        counts_pos = np.asarray(counts_pos, dtype=np.float64)
+        idx = np.isnan(obs)
+        counts_neg[idx] = np.nan
+        counts_pos[idx] = np.nan
+
+        self.pvalues_neg = counts_neg / self.num_permutations
+        self.pvalues_pos = counts_pos / self.num_permutations
+
+        if self.multiple_testing:
+            logging.info("Running FDR-adjustment of p-values...")
+            self.pvalues_neg = np.asarray(_fdr.fdr_bh(self.pvalues_neg))
+            self.pvalues_pos = np.asarray(_fdr.fdr_bh(self.pvalues_pos))
+
+        # p = 0 floored to 1/num_permutations before the log (safe.py:545-547)
+        nes_pos = -np.log10(np.where(self.pvalues_pos == 0,
+                                     1 / self.num_permutations, self.pvalues_pos))
+        nes_neg = -np.log10(np.where(self.pvalues_neg == 0,
+                                     1 / self.num_permutations, self.pvalues_neg))
+
+        if self.attribute_sign == "highest":
+            self.nes = nes_pos
+        elif self.attribute_sign == "lowest":
+            self.nes = nes_neg
+        else:
+            self.nes = nes_pos - nes_neg
+
+    def _update_binary_enrichment(self, nes_binary=None):
+        """nes_binary + per-attribute enriched counts (safe.py:468-472)."""
+        if nes_binary is not None:
+            self.nes_binary = nes_binary
+        else:
+            idx = ~np.isnan(self.nes)
+            self.nes_binary = np.zeros(self.nes.shape)
+            self.nes_binary[idx] = (np.abs(self.nes[idx])
+                                    > -np.log10(self.enrichment_threshold))
+        self.attributes["num_neighborhoods_enriched"] = np.sum(self.nes_binary,
+                                                               axis=0)
 
     def compute_pvalues_by_randomization(self, **kwargs):
         """Two-sided empirical permutation null (reference: safe.py:474-554).
@@ -511,33 +547,7 @@ class SAFE:
             nbr_dev, n2a, valid_rows, obs_dev, key,
             score_type=self.neighborhood_score_type,
             num_permutations=int(self.num_permutations))
-        counts_neg = np.asarray(counts_neg, dtype=np.float64)
-        counts_pos = np.asarray(counts_pos, dtype=np.float64)
-
-        idx = np.isnan(obs)
-        counts_neg[idx] = np.nan
-        counts_pos[idx] = np.nan
-
-        self.pvalues_neg = counts_neg / self.num_permutations
-        self.pvalues_pos = counts_pos / self.num_permutations
-
-        if self.multiple_testing:
-            logging.info("Running FDR-adjustment of p-values...")
-            self.pvalues_neg = np.asarray(_fdr.fdr_bh(self.pvalues_neg))
-            self.pvalues_pos = np.asarray(_fdr.fdr_bh(self.pvalues_pos))
-
-        # p = 0 floored to 1/num_permutations before the log (safe.py:545-547)
-        nes_pos = -np.log10(np.where(self.pvalues_pos == 0,
-                                     1 / self.num_permutations, self.pvalues_pos))
-        nes_neg = -np.log10(np.where(self.pvalues_neg == 0,
-                                     1 / self.num_permutations, self.pvalues_neg))
-
-        if self.attribute_sign == "highest":
-            self.nes = nes_pos
-        elif self.attribute_sign == "lowest":
-            self.nes = nes_neg
-        else:
-            self.nes = nes_pos - nes_neg
+        self._finalize_randomization(counts_neg, counts_pos, obs)
 
     # ------------------------------------------------------------- fused pipeline
 
@@ -550,7 +560,6 @@ class SAFE:
         safepy_tpu/pipeline.py). Falls back to the stage methods for the
         euclidean metric or non-default backgrounds.
         """
-        import jax.numpy as jnp
         from safepy_tpu import pipeline as _pipe
 
         for k in ("node_distance_metric", "neighborhood_radius_type",
@@ -635,28 +644,7 @@ class SAFE:
                     batch_size=batch)
             obs = np.asarray(obs)
             self.ns = obs
-            counts_neg = np.asarray(counts_neg, dtype=np.float64)
-            counts_pos = np.asarray(counts_pos, dtype=np.float64)
-            idx = np.isnan(obs)
-            counts_neg[idx] = np.nan
-            counts_pos[idx] = np.nan
-            self.pvalues_neg = counts_neg / self.num_permutations
-            self.pvalues_pos = counts_pos / self.num_permutations
-            if self.multiple_testing:
-                self.pvalues_neg = np.asarray(_fdr.fdr_bh(self.pvalues_neg))
-                self.pvalues_pos = np.asarray(_fdr.fdr_bh(self.pvalues_pos))
-            nes_pos = -np.log10(np.where(self.pvalues_pos == 0,
-                                         1 / self.num_permutations,
-                                         self.pvalues_pos))
-            nes_neg = -np.log10(np.where(self.pvalues_neg == 0,
-                                         1 / self.num_permutations,
-                                         self.pvalues_neg))
-            if self.attribute_sign == "highest":
-                self.nes = nes_pos
-            elif self.attribute_sign == "lowest":
-                self.nes = nes_neg
-            else:
-                self.nes = nes_pos - nes_neg
+            self._finalize_randomization(counts_neg, counts_pos, obs)
 
         self._neighborhoods_dev = nbr
         self._neighborhoods_np = None
@@ -670,14 +658,7 @@ class SAFE:
             logging.info("Number of nodes per neighborhood (mean +/- std): "
                          "%.2f +/- %.2f" % (float(mean), float(std)))
 
-        if nes_binary_from_device is not None:
-            self.nes_binary = nes_binary_from_device
-        else:
-            idx = ~np.isnan(self.nes)
-            self.nes_binary = np.zeros(self.nes.shape)
-            self.nes_binary[idx] = (np.abs(self.nes[idx])
-                                    > -np.log10(self.enrichment_threshold))
-        self.attributes["num_neighborhoods_enriched"] = np.sum(self.nes_binary, axis=0)
+        self._update_binary_enrichment(nes_binary_from_device)
 
     # -------------------------------------------------------------------- domains
 
