@@ -30,7 +30,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-_DOT_KW = dict(precision=jax.lax.Precision.HIGHEST, preferred_element_type=jnp.float32)
+from safepy_tpu.ops.score import dot_kwargs
 
 
 def default_batch_size(num_valid: int, num_attributes: int,
@@ -40,7 +40,8 @@ def default_batch_size(num_valid: int, num_attributes: int,
     return int(max(1, min(num_permutations, budget_bytes // per_perm)))
 
 
-def permutation_scores(nbr_valid, vals, mask, perm_idx, score_type: str):
+def permutation_scores(nbr_valid, vals, mask, perm_idx, score_type: str,
+                       precision: str = "highest"):
     """Scores of a chunk of row-permuted attribute matrices.
 
     Args:
@@ -53,6 +54,7 @@ def permutation_scores(nbr_valid, vals, mask, perm_idx, score_type: str):
     Returns:
       (C, N, A) f32 scores (NaN where the z-score is undefined).
     """
+    _DOT_KW = dot_kwargs(precision)
     Bp = jnp.take(vals, perm_idx, axis=0)          # (C, V, A)
     AB = jnp.einsum("nv,cva->cna", nbr_valid, Bp, **_DOT_KW)
     if score_type == "sum":
@@ -71,7 +73,8 @@ def permutation_scores(nbr_valid, vals, mask, perm_idx, score_type: str):
 
 
 def scan_counts(nbr_valid, vals, mask, obs, key, *, score_type: str,
-                num_permutations: int, batch_size: int):
+                num_permutations: int, batch_size: int,
+                precision: str = "highest"):
     """Core count loop over permutation chunks (shard_map-compatible).
 
     All shapes static; `key` is a single PRNG key. Returns int32 (N, A) counts.
@@ -85,7 +88,8 @@ def scan_counts(nbr_valid, vals, mask, obs, key, *, score_type: str,
         counts_neg, counts_pos = carry
         chunk_keys, chunk_start = inputs
         perm_idx = jax.vmap(lambda k: jax.random.permutation(k, V))(chunk_keys)
-        scores = permutation_scores(nbr_valid, vals, mask, perm_idx, score_type)
+        scores = permutation_scores(nbr_valid, vals, mask, perm_idx, score_type,
+                                    precision)
         live = (chunk_start + jnp.arange(batch_size)) < num_permutations
         live = live[:, None, None]
         counts_neg = counts_neg + jnp.sum(
@@ -114,10 +118,11 @@ def prepare_valid(neighborhoods, node2attribute, valid_rows):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("score_type", "num_permutations", "batch_size"))
+    jax.jit,
+    static_argnames=("score_type", "num_permutations", "batch_size", "precision"))
 def run_permutations(neighborhoods, node2attribute, valid_rows, obs, key,
                      *, score_type: str = "sum", num_permutations: int = 1000,
-                     batch_size: int | None = None):
+                     batch_size: int | None = None, precision: str = "highest"):
     """Two-sided empirical null counts over keyed permutations.
 
     Args:
@@ -141,4 +146,5 @@ def run_permutations(neighborhoods, node2attribute, valid_rows, obs, key,
         batch_size = default_batch_size(V, A, num_permutations)
 
     return scan_counts(nbr_valid, vals, mask, obs, key, score_type=score_type,
-                       num_permutations=num_permutations, batch_size=batch_size)
+                       num_permutations=num_permutations, batch_size=batch_size,
+                       precision=precision)

@@ -40,12 +40,14 @@ def _apsp_inline(d0, block):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "score_type", "num_permutations", "batch_size", "strict", "block"))
+    "score_type", "num_permutations", "batch_size", "strict", "block",
+    "precision"))
 def fused_permutation_pipeline(d0, vals, valid_rows, key, radius, *,
                                score_type: str = "sum",
                                num_permutations: int = 1000,
                                batch_size: int = 1000,
-                               strict: bool = False, block: int = 128):
+                               strict: bool = False, block: int = 128,
+                               precision: str = "highest"):
     """APSP + neighborhoods + observed scores + permutation counts, one dispatch.
 
     Returns (dist, nbr, obs, counts_neg, counts_pos, mean_size, std_size); the
@@ -53,11 +55,12 @@ def fused_permutation_pipeline(d0, vals, valid_rows, key, radius, *,
     """
     dist = _apsp_inline(d0, block)
     nbr, mean, std = threshold_and_stats(dist, radius, strict=strict)
-    obs = compute_neighborhood_score(nbr, vals, score_type)
+    obs = compute_neighborhood_score(nbr, vals, score_type, precision)
     nbr_valid, v, m = prepare_valid(nbr, vals, valid_rows)
     counts_neg, counts_pos = scan_counts(
         nbr_valid, v, m, obs, key, score_type=score_type,
-        num_permutations=num_permutations, batch_size=batch_size)
+        num_permutations=num_permutations, batch_size=batch_size,
+        precision=precision)
     return dist, nbr, obs, counts_neg, counts_pos, mean, std
 
 

@@ -94,6 +94,9 @@ class SAFE:
         self.enrichment_max_log10 = 16
         self.attribute_enrichment_min_size = 10
         self.random_seed = None
+        # 'highest' = exact f32 score matmuls (tie parity); 'default' = fast
+        # single-pass bf16 MXU path for large-N permutation nulls
+        self.matmul_precision = "highest"
 
         self._neighborhoods_np = None
         self._neighborhoods_dev = None
@@ -532,7 +535,7 @@ class SAFE:
         n2a = self.node2attribute
         nbr_dev = self._neighborhoods_device()
         obs_dev = _score.compute_neighborhood_score(
-            nbr_dev, n2a, self.neighborhood_score_type)
+            nbr_dev, n2a, self.neighborhood_score_type, self.matmul_precision)
         obs = np.asarray(obs_dev)
         self.ns = obs
 
@@ -546,7 +549,8 @@ class SAFE:
         counts_neg, counts_pos = _perm.run_permutations(
             nbr_dev, n2a, valid_rows, obs_dev, key,
             score_type=self.neighborhood_score_type,
-            num_permutations=int(self.num_permutations))
+            num_permutations=int(self.num_permutations),
+            precision=self.matmul_precision)
         self._finalize_randomization(counts_neg, counts_pos, obs)
 
     # ------------------------------------------------------------- fused pipeline
@@ -641,7 +645,7 @@ class SAFE:
                     jnp.asarray(valid_rows, jnp.int32), key, radius,
                     score_type=self.neighborhood_score_type,
                     num_permutations=int(self.num_permutations),
-                    batch_size=batch)
+                    batch_size=batch, precision=self.matmul_precision)
             obs = np.asarray(obs)
             self.ns = obs
             self._finalize_randomization(counts_neg, counts_pos, obs)
