@@ -97,6 +97,10 @@ class SAFE:
         # 'highest' = exact f32 score matmuls (tie parity); 'default' = fast
         # single-pass bf16 MXU path for large-N permutation nulls
         self.matmul_precision = "highest"
+        # a jax.sharding.Mesh enables multi-chip execution: APSP row-sharded
+        # over a 'data' axis, permutation batches over a 'perm' axis (counts
+        # psum-reduced over ICI). None = single-device.
+        self.mesh = None
 
         self._neighborhoods_np = None
         self._neighborhoods_dev = None
@@ -315,7 +319,11 @@ class SAFE:
                 d0_dev = jnp.asarray(_nbr.dense_initial_distances(
                     num_nodes, edges, weights, dtype=np.float32))
                 self._d0_cache[self.node_distance_metric] = d0_dev
-            dist_dev = _apsp_run(d0_dev)
+            if self.mesh is not None and "data" in self.mesh.shape:
+                from safepy_tpu.parallel import apsp_sharded
+                dist_dev = apsp_sharded(d0_dev, self.mesh, axis="data")
+            else:
+                dist_dev = _apsp_run(d0_dev)
             nbr_dev, mean, std = _nbr.threshold_and_stats(
                 dist_dev, _nbr.inclusive_radius(nr), strict=False)
 
@@ -546,11 +554,21 @@ class SAFE:
             seed = int(np.random.default_rng().integers(2 ** 31 - 1))
         key = jax.random.PRNGKey(seed)
 
-        counts_neg, counts_pos = _perm.run_permutations(
-            nbr_dev, n2a, valid_rows, obs_dev, key,
-            score_type=self.neighborhood_score_type,
-            num_permutations=int(self.num_permutations),
-            precision=self.matmul_precision)
+        if self.mesh is not None and "perm" in self.mesh.shape:
+            from safepy_tpu.parallel import run_permutations_sharded
+            counts_neg, counts_pos, total = run_permutations_sharded(
+                nbr_dev, n2a, valid_rows, obs_dev, key, mesh=self.mesh,
+                score_type=self.neighborhood_score_type,
+                num_permutations=int(self.num_permutations))
+            # rounded up to a multiple of the mesh axis, like the reference
+            # rounds to its worker count (safe.py:503-504)
+            self.num_permutations = total
+        else:
+            counts_neg, counts_pos = _perm.run_permutations(
+                nbr_dev, n2a, valid_rows, obs_dev, key,
+                score_type=self.neighborhood_score_type,
+                num_permutations=int(self.num_permutations),
+                precision=self.matmul_precision)
         self._finalize_randomization(counts_neg, counts_pos, obs)
 
     # ------------------------------------------------------------- fused pipeline
@@ -583,7 +601,8 @@ class SAFE:
         self.validate_config()
 
         if (self.node_distance_metric == "euclidean"
-                or self.background == "network"):
+                or self.background == "network"
+                or self.mesh is not None):
             self.define_neighborhoods()
             self.compute_pvalues()
             return
