@@ -82,11 +82,27 @@ def wait_for_backend(max_tries: int = 10, delay_s: float = 30.0):
         os.execv(sys.executable, [sys.executable] + sys.argv)
 
 
-def main():
+def main(argv=None):
+    import argparse
+
+    parser = argparse.ArgumentParser(description="safepy_tpu benchmarks")
+    parser.add_argument("--nodes", type=int, default=N_NODES,
+                        help="network size (default: Costanzo scale)")
+    parser.add_argument("--attributes", type=int, default=1,
+                        help="number of attributes (binary GO-style when > 1 "
+                             "with --binary)")
+    parser.add_argument("--binary", action="store_true",
+                        help="binary annotations -> hypergeometric engine")
+    parser.add_argument("--permutations", type=int, default=1000)
+    args = parser.parse_args(argv)
+
     import safepy_tpu
     from safepy_tpu import SAFE
 
     wait_for_backend()
+
+    if args.nodes != N_NODES or args.attributes != 1 or args.binary:
+        return _custom_bench(args)
 
     g, coords = build_network()
     rng = np.random.default_rng(1)
@@ -132,6 +148,59 @@ def main():
             "enriched_neighborhoods": enriched,
             "mean_neighborhood_size": float(sf.neighborhoods.sum(1).mean()),
         },
+    }))
+    return 0
+
+
+def _custom_bench(args):
+    """Non-headline scales: --nodes/--attributes/--binary/--permutations."""
+    from scipy.spatial import cKDTree
+    from safepy_tpu import SAFE
+    from safepy_tpu.io.layout import calculate_edge_lengths
+
+    rng = np.random.default_rng(0)
+    n = args.nodes
+    coords = rng.uniform(-1, 1, (n, 2))
+    tree = cKDTree(coords)
+    _, nn = tree.query(coords, k=9)
+    g = nx.Graph()
+    g.add_nodes_from(range(n))
+    for i in range(n):
+        for j in nn[i, 1:]:
+            g.add_edge(i, int(j))
+    for i in range(n):
+        g.nodes[i]["label"] = g.nodes[i]["key"] = f"n{i}"
+        g.nodes[i]["x"], g.nodes[i]["y"] = coords[i]
+    calculate_edge_lengths(g, verbose=False)
+
+    if args.binary:
+        vals = (rng.random((n, args.attributes)) < 0.05).astype(float)
+    else:
+        vals = rng.normal(size=(n, args.attributes))
+    attr = pd.DataFrame(vals, index=[f"n{i}" for i in range(n)],
+                        columns=[f"a{i}" for i in range(args.attributes)])
+
+    sf = SAFE(verbose=False)
+    sf.random_seed = 1885
+    sf.load_network(network_file=g, node_key_attribute="key")
+
+    def run():
+        sf.load_attributes(attribute_file=attr)
+        sf.run_pipeline(num_permutations=args.permutations)
+
+    run()  # warm-up/compile
+    t0 = time.time()
+    run()
+    wall = time.time() - t0
+    print(json.dumps({
+        "metric": "custom_e2e_wall_s",
+        "value": round(wall, 4),
+        "unit": "s",
+        "vs_baseline": round(BASELINE_S / wall, 3),
+        "detail": {"nodes": n, "edges": g.number_of_edges(),
+                   "attributes": args.attributes, "binary": args.binary,
+                   "num_permutations": args.permutations,
+                   "enriched": int((sf.nes_binary > 0).sum())},
     }))
     return 0
 

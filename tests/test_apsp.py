@@ -90,3 +90,13 @@ def test_apsp_squaring_interpret(rng):
         got = np.asarray(apsp(jnp.asarray(d0), method="pallas_squaring", block=64))
     want = _oracle(n, edges, weights)
     np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_min_plus_product_dispatch(rng):
+    a = rng.uniform(0, 5, size=(9, 12))
+    b = rng.uniform(0, 5, size=(12, 7))
+    got = np.asarray(min_plus_product(a, b, method="jax"))
+    want = np.min(a[:, :, None] + b[None, :, :], axis=1)
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+    with pytest.raises(ValueError):
+        apsp(np.zeros((4, 4)), method="bogus")
