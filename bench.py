@@ -25,29 +25,29 @@ N_EDGES = 28202
 BASELINE_S = 5.0
 
 
-def build_network(seed=0):
+def build_network(seed=0, n=N_NODES, k=16, edge_budget=N_EDGES, prefix="gene"):
+    """Synthetic geometric benchmark network: k-nearest-neighbor edges over
+    uniform coordinates, optionally capped at an edge budget, with the node
+    attributes every loader in the framework expects. Shared by the headline
+    benchmark, the custom scales, and the TPU validation battery."""
     rng = np.random.default_rng(seed)
-    coords = rng.uniform(-1, 1, (N_NODES, 2))
-    # geometric-ish edges: connect near neighbors until the edge budget is hit
+    coords = rng.uniform(-1, 1, (n, 2))
     g = nx.Graph()
-    g.add_nodes_from(range(N_NODES))
-    # k-nearest-neighbor candidates via grid hashing (fast, deterministic)
+    g.add_nodes_from(range(n))
     from scipy.spatial import cKDTree
     tree = cKDTree(coords)
-    _, nn = tree.query(coords, k=16)
+    _, nn = tree.query(coords, k=k)
     edges = set()
-    for i in range(N_NODES):
+    for i in range(n):
         for j in nn[i, 1:]:
-            e = (min(i, int(j)), max(i, int(j)))
-            edges.add(e)
-            if len(edges) >= N_EDGES:
+            edges.add((min(i, int(j)), max(i, int(j))))
+            if edge_budget and len(edges) >= edge_budget:
                 break
-        if len(edges) >= N_EDGES:
+        if edge_budget and len(edges) >= edge_budget:
             break
     g.add_edges_from(edges)
-    for i in range(N_NODES):
-        g.nodes[i]["label"] = f"gene{i}"
-        g.nodes[i]["key"] = f"gene{i}"
+    for i in range(n):
+        g.nodes[i]["label"] = g.nodes[i]["key"] = f"{prefix}{i}"
         g.nodes[i]["x"] = float(coords[i, 0])
         g.nodes[i]["y"] = float(coords[i, 1])
     from safepy_tpu.io.layout import calculate_edge_lengths
@@ -55,9 +55,9 @@ def build_network(seed=0):
     return g, coords
 
 
-def run_pipeline(sf, attr_df):
+def run_pipeline(sf, attr_df, num_permutations=1000):
     sf.load_attributes(attribute_file=attr_df)
-    sf.run_pipeline(num_permutations=1000)  # fused single-dispatch device program
+    sf.run_pipeline(num_permutations=num_permutations)  # fused device program
     return sf.nes
 
 
@@ -116,10 +116,10 @@ def main(argv=None):
     sf.load_network(network_file=g, node_key_attribute="key")
 
     # warm-up: compile every kernel at the benchmark shapes
-    run_pipeline(sf, attr_df)
+    run_pipeline(sf, attr_df, args.permutations)
 
     t0 = time.time()
-    nes = run_pipeline(sf, attr_df)
+    nes = run_pipeline(sf, attr_df, args.permutations)
     wall = time.time() - t0
 
     # isolated APSP steady-state (the headline kernel), forced complete via a
@@ -143,7 +143,7 @@ def main(argv=None):
         "detail": {
             "nodes": N_NODES,
             "edges": g.number_of_edges(),
-            "num_permutations": 1000,
+            "num_permutations": args.permutations,
             "apsp_steady_s": round(apsp_s, 4),
             "enriched_neighborhoods": enriched,
             "mean_neighborhood_size": float(sf.neighborhoods.sum(1).mean()),
@@ -154,24 +154,11 @@ def main(argv=None):
 
 def _custom_bench(args):
     """Non-headline scales: --nodes/--attributes/--binary/--permutations."""
-    from scipy.spatial import cKDTree
     from safepy_tpu import SAFE
-    from safepy_tpu.io.layout import calculate_edge_lengths
 
     rng = np.random.default_rng(0)
     n = args.nodes
-    coords = rng.uniform(-1, 1, (n, 2))
-    tree = cKDTree(coords)
-    _, nn = tree.query(coords, k=9)
-    g = nx.Graph()
-    g.add_nodes_from(range(n))
-    for i in range(n):
-        for j in nn[i, 1:]:
-            g.add_edge(i, int(j))
-    for i in range(n):
-        g.nodes[i]["label"] = g.nodes[i]["key"] = f"n{i}"
-        g.nodes[i]["x"], g.nodes[i]["y"] = coords[i]
-    calculate_edge_lengths(g, verbose=False)
+    g, _coords = build_network(n=n, k=9, edge_budget=None, prefix="n")
 
     if args.binary:
         vals = (rng.random((n, args.attributes)) < 0.05).astype(float)

@@ -9,7 +9,9 @@ for attempt in $(seq 1 12); do
   PYTHONPATH=/root/repo:${PYTHONPATH:-} python "$@" 2>&1 | \
     grep --line-buffered -v WARNING | tee "$OUT"
   rc=${PIPESTATUS[0]}
-  if grep -q "not in the list of known backends" "$OUT"; then
+  # retry only on FAILED runs whose output shows the grant contention (a
+  # successful run may legitimately mention the message while self-recovering)
+  if [ $rc -ne 0 ] && grep -q "not in the list of known backends" "$OUT"; then
     rm -f "$OUT"
     echo "[tpu_run] attempt $attempt: grant busy, retrying in 30s" >&2
     sleep 30

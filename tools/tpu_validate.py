@@ -24,6 +24,7 @@ import scipy.sparse as sp, scipy.sparse.csgraph as csg
 want = csg.shortest_path(sp.coo_matrix((w,(edges[:,0],edges[:,1])),shape=(300,300)), directed=False)
 err = np.abs(got[np.isfinite(want)]-want[np.isfinite(want)]).max()
 print(f"sharded FW (pallas, 1-dev TPU mesh): {time.time()-t0:.1f}s err={err:.1e}", flush=True)
+assert err < 1e-4, f"sharded FW diverged from the scipy oracle: {err}"
 
 # 2. z-score permutation drive at Costanzo scale
 from bench import build_network, N_NODES
@@ -44,18 +45,7 @@ assert np.nanmax(sf.pvalues_pos) <= 1.0
 
 # 3. 8k-node end-to-end stress
 N3 = 8000
-coords = rng.uniform(-1,1,(N3,2))
-from scipy.spatial import cKDTree
-tr = cKDTree(coords); _, nn = tr.query(coords, k=9)
-g3 = nx.Graph(); g3.add_nodes_from(range(N3))
-for i in range(N3):
-    for j in nn[i,1:]:
-        g3.add_edge(i, int(j))
-for i in range(N3):
-    g3.nodes[i]["label"]=g3.nodes[i]["key"]=f"n{i}"
-    g3.nodes[i]["x"],g3.nodes[i]["y"]=coords[i]
-from safepy_tpu.io.layout import calculate_edge_lengths
-calculate_edge_lengths(g3, verbose=False)
+g3, _c3 = build_network(n=N3, k=9, edge_budget=None, prefix="n")
 vals3 = rng.normal(size=(N3,1))
 attr3 = pd.DataFrame(vals3, index=[f"n{i}" for i in range(N3)], columns=["q"])
 sf3 = SAFE(verbose=False); sf3.random_seed=6
