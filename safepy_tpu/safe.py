@@ -381,6 +381,7 @@ class SAFE:
         state["_neighborhoods_dev"] = None
         state["_node_distances_dev"] = None
         state["_d0_cache"] = {}
+        state["mesh"] = None  # Mesh holds live Device objects; not picklable
         return state
 
     # ------------------------------------------------------------------ p-values

@@ -70,3 +70,15 @@ def test_run_pipeline_with_mesh(network):
     sf.load_attributes(attribute_file=df)
     sf.run_pipeline(num_permutations=80)  # falls back to sharded stage path
     assert sf.nes is not None
+
+
+def test_mesh_session_pickles(network, tmp_path):
+    """SAFE.save must work with a mesh set (Device objects aren't picklable)."""
+    import pickle
+    sf = _run(network, make_mesh({"perm": 8}), perms=16)
+    out = tmp_path / "mesh_session.p"
+    sf.save(output_file=str(out))
+    with open(out, "rb") as f:
+        sf2 = pickle.load(f)
+    assert sf2.mesh is None
+    np.testing.assert_array_equal(sf2.neighborhoods, sf.neighborhoods)
