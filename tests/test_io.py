@@ -240,3 +240,33 @@ def test_chop_and_filter():
     s = pd.Series(["regulation of DNA repair", "DNA repair", "repair of the DNA"])
     label = chop_and_filter(s)
     assert "DNA" in label and "repair" in label and "of" not in label.split(", ")
+
+
+def test_spring_tpu_layout_quality():
+    """The accelerator FR layout must place graph neighbors closer than
+    non-neighbors on average (same qualitative property as nx spring)."""
+    from safepy_tpu.io.layout import spring_layout_tpu
+    g = nx.connected_watts_strogatz_graph(40, 4, 0.1, seed=3)
+    pos = spring_layout_tpu(g, seed=0)
+    coords = np.array([pos[i] for i in range(40)])
+    d = np.linalg.norm(coords[:, None] - coords[None, :], axis=-1)
+    adj = nx.to_numpy_array(g) > 0
+    off = ~adj & ~np.eye(40, dtype=bool)
+    assert d[adj].mean() < 0.7 * d[off].mean()
+
+
+def test_facade_layout_algorithm_config(tmp_path):
+    """layoutAlgorithm from the INI selects the txt-loader layout engine."""
+    from safepy_tpu import SAFE
+    net = tmp_path / "net.txt"
+    with open(net, "w") as f:
+        for u, v in nx.path_graph(12).edges():
+            f.write(f"g{u}\tg{v}\t1.0\n")
+    ini = tmp_path / "cfg.ini"
+    ini.write_text(f"[Input files]\nnetworkfile = {net}\n"
+                   "layoutAlgorithm = spring_tpu\n"
+                   "[Analysis parameters]\nrandomSeed = 3\n")
+    sf = SAFE(path_to_ini_file=str(ini), verbose=False)
+    assert sf.layout_algorithm == "spring_tpu"
+    sf.load_network(node_key_attribute="key")
+    assert all(np.isfinite(sf.graph.nodes[n]["x"]) for n in sf.graph)
