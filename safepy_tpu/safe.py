@@ -109,7 +109,8 @@ class SAFE:
 
         self.ns = None
         self.pvalues_neg = None
-        self.pvalues_pos = None
+        self._pvalues_pos_np = None
+        self._logsf_dev = None
         self.nes = None
         self.nes_threshold = None
         self.nes_binary = None
@@ -365,6 +366,22 @@ class SAFE:
         self._node_distances_np = value
         self._node_distances_dev = None
 
+    @property
+    def pvalues_pos(self):
+        if self._pvalues_pos_np is None and self._logsf_dev is not None:
+            # GO-scale fused path defers the log-survival download + host exp
+            # until p-values are actually consumed (NES/domain workflows never
+            # touch them)
+            log_sf = np.asarray(self._logsf_dev, dtype=np.float64)
+            with np.errstate(over="ignore"):
+                self._pvalues_pos_np = np.exp(log_sf)
+        return self._pvalues_pos_np
+
+    @pvalues_pos.setter
+    def pvalues_pos(self, value):
+        self._pvalues_pos_np = value
+        self._logsf_dev = None
+
     def _neighborhoods_device(self):
         """(N, N) f32 device array of the indicator, uploading if necessary."""
         if self._neighborhoods_dev is None:
@@ -377,9 +394,11 @@ class SAFE:
     def __getstate__(self):
         """Pickle support (SAFE.save): materialize NumPy, drop device arrays."""
         _ = self.neighborhoods, self.node_distances  # force lazy downloads
+        _ = self.pvalues_pos  # force the lazy p-value materialization too
         state = dict(self.__dict__)
         state["_neighborhoods_dev"] = None
         state["_node_distances_dev"] = None
+        state["_logsf_dev"] = None
         state["_d0_cache"] = {}
         state["mesh"] = None  # Mesh holds live Device objects; not picklable
         return state
@@ -640,14 +659,16 @@ class SAFE:
                 _pipe.fused_hypergeom_pipeline(
                     d0, jnp.asarray(n2a), lgt, M, radius,
                     np.float64(self.enrichment_threshold), iterations=iters)
-            log_sf = np.asarray(log_sf32, dtype=np.float64)
-            with np.errstate(over="ignore"):
-                self.pvalues_pos = np.exp(log_sf)
             if self.multiple_testing:
-                self.pvalues_pos = np.asarray(_fdr.fdr_bh(self.pvalues_pos))
+                log_sf = np.asarray(log_sf32, dtype=np.float64)
+                with np.errstate(over="ignore"):
+                    self.pvalues_pos = np.asarray(_fdr.fdr_bh(np.exp(log_sf)))
                 with np.errstate(divide="ignore"):
                     self.nes = -np.log10(self.pvalues_pos)
             else:
+                # p-values materialize lazily from the device log-survival
+                self._pvalues_pos_np = None
+                self._logsf_dev = log_sf32
                 self.nes = np.asarray(nes32, dtype=np.float64)
                 # significance decided on device in f64 BEFORE the f32 rounding
                 nes_binary_from_device = np.asarray(nesbin8).astype(float)
