@@ -111,7 +111,8 @@ class SAFE:
         self.pvalues_neg = None
         self._pvalues_pos_np = None
         self._logsf_dev = None
-        self.nes = None
+        self._nes_np = None
+        self._nes_dev = None
         self.nes_threshold = None
         self.nes_binary = None
 
@@ -367,6 +368,17 @@ class SAFE:
         self._node_distances_dev = None
 
     @property
+    def nes(self):
+        if self._nes_np is None and self._nes_dev is not None:
+            self._nes_np = np.asarray(self._nes_dev, dtype=np.float64)
+        return self._nes_np
+
+    @nes.setter
+    def nes(self, value):
+        self._nes_np = value
+        self._nes_dev = None
+
+    @property
     def pvalues_pos(self):
         if self._pvalues_pos_np is None and self._logsf_dev is not None:
             # GO-scale fused path defers the log-survival download + host exp
@@ -394,11 +406,12 @@ class SAFE:
     def __getstate__(self):
         """Pickle support (SAFE.save): materialize NumPy, drop device arrays."""
         _ = self.neighborhoods, self.node_distances  # force lazy downloads
-        _ = self.pvalues_pos  # force the lazy p-value materialization too
+        _ = self.pvalues_pos, self.nes  # and the lazy statistics
         state = dict(self.__dict__)
         state["_neighborhoods_dev"] = None
         state["_node_distances_dev"] = None
         state["_logsf_dev"] = None
+        state["_nes_dev"] = None
         state["_d0_cache"] = {}
         state["mesh"] = None  # Mesh holds live Device objects; not picklable
         return state
@@ -666,10 +679,11 @@ class SAFE:
                 with np.errstate(divide="ignore"):
                     self.nes = -np.log10(self.pvalues_pos)
             else:
-                # p-values materialize lazily from the device log-survival
+                # p-values and NES materialize lazily from the device arrays
                 self._pvalues_pos_np = None
                 self._logsf_dev = log_sf32
-                self.nes = np.asarray(nes32, dtype=np.float64)
+                self._nes_np = None
+                self._nes_dev = nes32
                 # significance decided on device in f64 BEFORE the f32 rounding
                 nes_binary_from_device = np.asarray(nesbin8).astype(float)
         else:
