@@ -79,3 +79,22 @@ def test_fused_falls_back_for_euclidean(network, rng):
     sf.run_pipeline(node_distance_metric="euclidean")
     assert sf.nes is not None
     assert sf.node_distance_metric == "euclidean"
+
+
+def test_fused_zscore_matches_stages(network, rng):
+    sf1, sf2 = _mk(network), _mk(network)
+    n = sf1.graph.number_of_nodes()
+    labels = [sf1.graph.nodes[i]["key"] for i in range(n)]
+    vals = rng.normal(size=(n, 2))
+    vals[rng.random((n, 2)) < 0.15] = np.nan
+    df = pd.DataFrame(vals, index=labels, columns=["u", "v"])
+
+    sf1.load_attributes(attribute_file=df)
+    sf1.define_neighborhoods()
+    sf1.compute_pvalues(num_permutations=80, neighborhood_score_type="z-score")
+
+    sf2.load_attributes(attribute_file=df)
+    sf2.run_pipeline(num_permutations=80, neighborhood_score_type="z-score")
+
+    np.testing.assert_allclose(sf1.pvalues_pos, sf2.pvalues_pos, equal_nan=True)
+    np.testing.assert_allclose(sf1.nes, sf2.nes, equal_nan=True)
