@@ -1,0 +1,215 @@
+"""Differential parity against the ACTUAL reference implementation.
+
+Every other test pins kernels against independent oracles (scipy / networkx); this
+module runs the reference framework itself (/root/reference, imported via
+tests/reference_compat.py) and ours on the same input files with the same seed and
+asserts the BASELINE.json metric directly:
+
+  * loader + layout chain bit-identical (same node order, same spring coordinates,
+    edge lengths <= 1e-12 — reference safe_io.py:30-121, 288-333),
+  * neighborhoods binary-identical (reference safe.py:369-430),
+  * hypergeometric p-values and NES within 1e-6 absolute (reference safe.py:556-608;
+    measured ~2e-12 on the planted network),
+  * permutation-null p-values within a per-cell binomial tolerance — the RNG streams
+    are deliberately different (keyed JAX permutations vs NumPy in-place shuffles,
+    reference safe_extras.py:36-70), so parity is distributional, like the
+    reference's own 637+/-20 assertion (reference tests/test_enrichments.py:98-101),
+  * identical top attributes, domains, and node-to-domain assignment on a fixed
+    seed (reference safe.py:610-745).
+
+The planted network (4 communities, one binary attribute per community) guarantees
+top attributes and multiple domains exist, which the vendored mini network is too
+sparse for.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import networkx as nx
+
+import reference_compat
+
+ref = reference_compat.load_reference()
+
+pytestmark = pytest.mark.skipif(ref is None, reason="/root/reference not available")
+
+SEED = 2024
+N_PERM = 500
+
+
+def _planted_network(rng, n=240, communities=4):
+    comm = np.repeat(np.arange(communities), n // communities)
+    edges = []
+    for i in range(n):
+        for j in range(i + 1, n):
+            p = 0.12 if comm[i] == comm[j] else 0.004
+            if rng.random() < p:
+                edges.append((f"g{i}", f"g{j}"))
+    return comm, edges
+
+
+@pytest.fixture(scope="module")
+def planted_files(tmp_path_factory):
+    """Planted-community network + binary and quantitative attribute files."""
+    tmp = tmp_path_factory.mktemp("refparity")
+    rng = np.random.default_rng(7)
+    n, communities = 240, 4
+    comm, edges = _planted_network(rng, n, communities)
+
+    net_file = tmp / "net.txt"
+    net_file.write_text("".join(f"{a}\t{b}\t1.0\n" for a, b in edges))
+
+    binary = np.zeros((n, 5))
+    for c in range(communities):
+        binary[:, c] = ((comm == c) & (rng.random(n) < 0.8)).astype(float)
+    binary[:, 4] = (rng.random(n) < 0.3).astype(float)
+    bin_df = pd.DataFrame(binary, columns=[f"attr{k}" for k in range(5)])
+    bin_df.insert(0, "gene", [f"g{i}" for i in range(n)])
+    bin_file = tmp / "attr_binary.txt"
+    bin_df.to_csv(bin_file, sep="\t", index=False)
+
+    quant = rng.normal(size=(n, 2))
+    quant[rng.random(n) < 0.3, 0] = np.nan
+    quant_df = pd.DataFrame(quant, columns=["q0", "q1"])
+    quant_df.insert(0, "gene", [f"g{i}" for i in range(n)])
+    quant_file = tmp / "attr_quant.txt"
+    quant_df.to_csv(quant_file, sep="\t", index=False)
+
+    return {"net": str(net_file), "binary": str(bin_file), "quant": str(quant_file)}
+
+
+def _run_reference(net_file, attr_file, **pv_kwargs):
+    sf = ref.SAFE()
+    sf.random_seed = SEED
+    sf.load_network(network_file=net_file)
+    sf.load_attributes(attribute_file=attr_file)
+    sf.define_neighborhoods()
+    sf.compute_pvalues(**pv_kwargs)
+    return sf
+
+
+def _run_ours(net_file, attr_file, **pv_kwargs):
+    from safepy_tpu import SAFE
+
+    sf = SAFE(verbose=False)
+    sf.random_seed = SEED
+    sf.load_network(network_file=net_file, node_key_attribute="key")
+    sf.load_attributes(attribute_file=attr_file)
+    sf.define_neighborhoods()
+    sf.compute_pvalues(**pv_kwargs)
+    return sf
+
+
+@pytest.fixture(scope="module")
+def binary_runs(planted_files):
+    rsf = _run_reference(planted_files["net"], planted_files["binary"])
+    osf = _run_ours(planted_files["net"], planted_files["binary"])
+    for sf in (rsf, osf):
+        sf.define_top_attributes()
+        sf.define_domains()
+        sf.trim_domains()
+    return rsf, osf
+
+
+@pytest.fixture(scope="module")
+def quant_runs(planted_files):
+    rsf = _run_reference(planted_files["net"], planted_files["quant"],
+                         num_permutations=N_PERM)
+    osf = _run_ours(planted_files["net"], planted_files["quant"],
+                    num_permutations=N_PERM)
+    return rsf, osf
+
+
+def test_loader_and_layout_parity(binary_runs):
+    rsf, osf = binary_runs
+    assert list(rsf.nodes["key"]) == list(osf.nodes["key"])
+    ref_coords = np.array([[rsf.graph.nodes[i]["x"], rsf.graph.nodes[i]["y"]]
+                           for i in rsf.graph])
+    our_coords = np.array([[osf.graph.nodes[i]["x"], osf.graph.nodes[i]["y"]]
+                           for i in osf.graph])
+    # same networkx spring_layout call, same seed -> bit-identical coordinates
+    np.testing.assert_array_equal(ref_coords, our_coords)
+    ref_len = nx.get_edge_attributes(rsf.graph, "length")
+    our_len = nx.get_edge_attributes(osf.graph, "length")
+    assert set(map(frozenset, ref_len)) == set(map(frozenset, our_len))
+    for edge, length in ref_len.items():
+        ours = our_len.get(edge, our_len.get((edge[1], edge[0])))
+        # O(E) endpoint math vs the reference's dense pdist (safe_io.py:318-331)
+        assert abs(length - ours) <= 1e-12
+
+
+def test_neighborhoods_binary_identical(binary_runs):
+    rsf, osf = binary_runs
+    ref_nbr = np.asarray(rsf.neighborhoods)
+    our_nbr = np.asarray(osf.neighborhoods)
+    mismatches = int(np.sum(ref_nbr != our_nbr))
+    assert mismatches == 0, f"{mismatches} neighborhood cells differ"
+
+
+def test_hypergeom_pvalue_parity(binary_runs):
+    rsf, osf = binary_runs
+    assert np.nanmax(np.abs(rsf.pvalues_pos - osf.pvalues_pos)) <= 1e-6
+    assert np.nanmax(np.abs(rsf.nes - osf.nes)) <= 1e-6
+    np.testing.assert_array_equal(rsf.nes_binary, osf.nes_binary)
+    np.testing.assert_array_equal(
+        rsf.attributes["num_neighborhoods_enriched"].to_numpy(),
+        osf.attributes["num_neighborhoods_enriched"].to_numpy())
+
+
+def test_hypergeom_fdr_parity(planted_files):
+    rsf = _run_reference(planted_files["net"], planted_files["binary"],
+                         multiple_testing=True)
+    osf = _run_ours(planted_files["net"], planted_files["binary"],
+                    multiple_testing=True)
+    assert np.nanmax(np.abs(rsf.pvalues_pos - osf.pvalues_pos)) <= 1e-6
+    np.testing.assert_array_equal(rsf.nes_binary, osf.nes_binary)
+
+
+def test_domains_identical(binary_runs):
+    rsf, osf = binary_runs
+    np.testing.assert_array_equal(rsf.attributes["top"].to_numpy(),
+                                  osf.attributes["top"].to_numpy())
+    assert len(rsf.domains) == len(osf.domains)
+    np.testing.assert_array_equal(
+        np.asarray(rsf.node2domain["primary_domain"]),
+        np.asarray(osf.node2domain["primary_domain"]))
+    assert list(rsf.domains["label"]) == list(osf.domains["label"])
+
+
+def test_permutation_null_within_binomial_tolerance(quant_runs):
+    rsf, osf = quant_runs
+    # observed scores: deterministic, f32 GEMM vs f64 BLAS
+    assert np.nanmax(np.abs(rsf.ns - osf.ns)) <= 1e-5
+    np.testing.assert_array_equal(np.isnan(rsf.pvalues_pos),
+                                  np.isnan(osf.pvalues_pos))
+    for ref_p, our_p in ((rsf.pvalues_pos, osf.pvalues_pos),
+                         (rsf.pvalues_neg, osf.pvalues_neg)):
+        pooled = (np.nan_to_num(ref_p) + np.nan_to_num(our_p)) / 2
+        # both estimates are Binomial(P, p)/P draws from independent streams:
+        # 6 sigma of the difference + discretization slack
+        tol = 6 * np.sqrt(pooled * (1 - pooled) * 2 / N_PERM) + 3 / N_PERM
+        diff = np.abs(np.nan_to_num(ref_p) - np.nan_to_num(our_p))
+        assert np.all(diff <= tol), \
+            f"max excess {np.max(diff - tol)} at p~{pooled[diff - tol > 0]}"
+    ref_enriched = int(rsf.nes_binary.sum())
+    our_enriched = int(osf.nes_binary.sum())
+    assert abs(ref_enriched - our_enriched) <= max(10, 0.3 * ref_enriched), \
+        (ref_enriched, our_enriched)
+
+
+def test_mini_network_parity():
+    """The vendored mini dataset through both frameworks (hypergeometric)."""
+    import os
+
+    data = os.path.join(os.path.dirname(__file__), "data")
+    net = os.path.join(data, "mini_network.txt")
+    attrs = os.path.join(data, "mini_attributes.txt")
+    rsf = _run_reference(net, attrs)
+    osf = _run_ours(net, attrs)
+    np.testing.assert_array_equal(np.asarray(rsf.neighborhoods),
+                                  np.asarray(osf.neighborhoods))
+    assert np.nanmax(np.abs(rsf.pvalues_pos - osf.pvalues_pos)) <= 1e-6
+    np.testing.assert_array_equal(rsf.nes_binary, osf.nes_binary)
