@@ -20,9 +20,9 @@ class MidpointRangeNormalize(colors.Normalize):
         colors.Normalize.__init__(self, vmin, vmax, clip)
 
     def __call__(self, value, clip=None):
-        x = [self.vmin, self.midrange[0], self.midrange[1], self.midrange[2], self.vmax]
-        y = [0, 0.25, 0.5, 0.75, 1]
-        return np.ma.masked_array(np.interp(value, x, y))
+        anchors = np.array([self.vmin, *self.midrange, self.vmax], dtype=float)
+        quarters = np.linspace(0.0, 1.0, anchors.size)
+        return np.ma.masked_invalid(np.interp(value, anchors, quarters))
 
 
 def get_colors(colormap="hsv", n=10, seed=None):

@@ -163,6 +163,22 @@ def trim_domains(attributes, node2domain, *, min_size=10, verbose=True, color_se
     attributes["domain"] = [renumber[k] for k in attributes["domain"]]
     node2domain["primary_domain"] = [renumber[k] for k in node2domain["primary_domain"]]
 
+    # Renumber the per-domain count columns too: fold trimmed domains' counts
+    # into domain 0 (where their attributes went) and rename the survivors.
+    # The reference leaves these columns under the ORIGINAL cluster ids, so its
+    # node report misindexes them once a middle domain is trimmed (safe.py:1294
+    # indexes renumbered domains['id'] into original-id columns) — fixed here,
+    # divergence documented in PARITY.md.
+    count_cols = [c for c in node2domain.columns
+                  if c not in ("primary_domain", "primary_nes")]
+    folded = [c for c in count_cols if c in to_remove and c != 0]
+    if folded:
+        if 0 not in node2domain.columns:
+            node2domain.insert(0, 0, 0)
+        node2domain[0] = node2domain[0] + node2domain[folded].sum(axis=1)
+        node2domain.drop(columns=folded, inplace=True)
+    node2domain.rename(columns=renumber, inplace=True)
+
     domains = np.sort(attributes["domain"].unique())
     domain_labels = attributes.groupby("domain")["name"].apply(chop_and_filter)
     domains_df = pd.DataFrame(data={"id": domains, "label": domain_labels})

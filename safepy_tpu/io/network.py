@@ -1,29 +1,34 @@
 """Network loaders: tab text, gpickle, MATLAB sessions, Cytoscape bundles, scatter.
 
-Behavioral spec is the reference loader suite (safepy/safe_io.py:30-285):
+Behavioral spec is the reference loader suite (safepy/safe_io.py:30-285); the
+implementations here are independent:
 
   * ``load_network_from_txt`` — 3-column (key1, key2, weight) or 5-column
     (label1, key1, label2, key2, weight) tab files, ``.gz`` supported; ``.txt`` has
-    no header, ``.tsv`` has one. Nodes renumbered 0..N-1; spring layout + edge
-    lengths applied.
+    no header, ``.tsv`` has one. The primary engine is the native C++ parser
+    (native/edgelist.cpp); the fallback is a pure-Python single pass. Both number
+    nodes by first appearance (endpoint-1 column before endpoint-2 column — the
+    order the reference's table concat produces, safe_io.py:90-97), then apply the
+    layout and edge lengths.
   * ``load_network_from_gpickle`` — a pickled, fully-prepared graph.
   * ``load_network_from_mat`` — legacy MATLAB SAFE session
     (``layout.edges/label/label_orf/x/y``) with fixed coordinates.
-  * ``load_network_from_cys`` — a Cytoscape session zip: node x/y from the XGMML
-    view, edges from the network XML, node attributes from the SHARED_ATTRS
-    node.cytable CSV; node ids relabeled to 0..N-1.
+  * ``load_network_from_cys`` — a Cytoscape session zip, parsed directly from the
+    archive streams (never extracted to disk): node x/y from the XGMML view, edges
+    from the network XML, node attributes from the SHARED_ATTRS node.cytable; node
+    ids relabeled to 0..N-1.
   * ``load_network_from_scatter`` — a TSV of (key, x, y, label): an edgeless graph
     of positioned nodes for annotating UMAP/t-SNE-style embeddings.
 """
 
 from __future__ import annotations
 
+import csv
 import gzip
+import io as _io
+import itertools
 import logging
-import os
 import pickle
-import shutil
-import tempfile
 import zipfile
 from os.path import expanduser
 from pathlib import Path
@@ -36,32 +41,74 @@ import pandas as pd
 from safepy_tpu.io.layout import apply_network_layout, calculate_edge_lengths
 from safepy_tpu.io.matlab import load_mat
 
+# ------------------------------------------------------------------ tab text
+
+
+def _open_text(filename):
+    if filename.endswith(".gz"):
+        return gzip.open(filename, "rt")
+    return open(filename, "rt")
+
+
+def _sniff_format(filename):
+    """-> (num_cols, has_header). .txt = headerless, .tsv = one header line;
+    format decided by the FIRST suffix so 'net.txt.gz' still reads as .txt."""
+    kind = Path(filename).suffixes[0]
+    if kind not in (".txt", ".tsv"):
+        raise ValueError(f"extension {kind} not supported")
+    with _open_text(filename) as fh:
+        num_cols = len(fh.readline().rstrip("\n").split("\t"))
+    if num_cols not in (3, 5):
+        raise ValueError("Unknown network file format. 3 or 5 columns are expected.")
+    return num_cols, kind == ".tsv"
+
+
+def _coerce_column(values):
+    """Whole-column type inference for 5-column files (the reference leaves these
+    to pandas, safe_io.py:81): all-int -> ints, all-float -> floats, else strings."""
+    for cast in (int, float):
+        try:
+            return [cast(v) for v in values]
+        except ValueError:
+            break
+    return values
+
+
+def _graph_from_endpoints(labels1, keys1, labels2, keys2, node_key_attribute):
+    """Nodes numbered by first appearance of their (label, key) pair; edges
+    resolved by label."""
+    index_by_pair = {}
+    for pair in itertools.chain(zip(labels1, keys1), zip(labels2, keys2)):
+        index_by_pair.setdefault(pair, len(index_by_pair))
+    index_by_label = {}
+    for (label, _key), idx in index_by_pair.items():
+        index_by_label.setdefault(label, idx)
+
+    G = nx.Graph()
+    for (label, key), idx in index_by_pair.items():
+        G.add_node(idx)
+        G.nodes[idx]["label"] = label
+        G.nodes[idx][node_key_attribute] = key
+    G.add_edges_from((index_by_label[a], index_by_label[b])
+                     for a, b in zip(labels1, labels2))
+    return G
+
 
 def load_network_from_txt(filename, layout="spring_embedded", node_key_attribute="key",
                           seed=None, verbose=True, engine="auto"):
     """Load a network from a tab-delimited text file and apply a layout.
 
-    engine: 'auto' (native C++ parser when available, else pandas), 'native', or
-    'pandas'. Both engines produce identical graphs (node ordering included).
+    engine: 'auto' (native C++ parser when available, else pure Python),
+    'native', or 'python'. All engines produce identical graphs (node ordering
+    included).
     """
     filename = filename.replace("~", expanduser("~"))
+    num_cols, has_header = _sniff_format(filename)
 
-    opener = gzip.open if Path(filename).suffix == ".gz" else open
-    with opener(filename, "rt") as f:
-        num_cols = len(f.readline().split("\t"))
-
-    first_suffix = Path(filename).suffixes[0]
-    if first_suffix == ".txt":
-        read_kws = dict(header=None)
-    elif first_suffix == ".tsv":
-        read_kws = dict(header=0, names=range(num_cols))
-    else:
-        raise ValueError(f"extension {first_suffix} not supported")
-
-    if engine in ("auto", "native") and num_cols in (3, 5):
+    if engine in ("auto", "native"):
         from safepy_tpu import native
-        parsed = native.parse_edgelist(filename, num_cols,
-                                       skip_header=first_suffix == ".tsv")
+
+        parsed = native.parse_edgelist(filename, num_cols, skip_header=has_header)
         if parsed is not None:
             labels, keys, edge_idx, _weights = parsed
             G = nx.Graph()
@@ -76,48 +123,36 @@ def load_network_from_txt(filename, layout="spring_embedded", node_key_attribute
             raise RuntimeError("native edge-list parser unavailable "
                                "(g++ build failed?)")
 
+    with _open_text(filename) as fh:
+        lines = fh.read().splitlines()
+    if has_header:
+        lines = lines[1:]
+    cells = [line.split("\t") for line in lines if line.strip()]
+    columns = [list(col) for col in zip(*cells)]
+
     if num_cols == 3:
-        data = pd.read_table(filename, sep="\t", dtype={0: str, 1: str, 2: float},
-                             **read_kws)
-        data = data.rename(columns={0: "node_key1", 1: "node_key2", 2: "edge_weight"})
-        data["node_label1"] = data["node_key1"]
-        data["node_label2"] = data["node_key2"]
-    elif num_cols == 5:
-        data = pd.read_table(filename, sep="\t", **read_kws)
-        data = data.rename(columns={0: "node_label1", 1: "node_key1",
-                                    2: "node_label2", 3: "node_key2",
-                                    4: "edge_weight"})
+        # (key1, key2, weight): keys double as labels and stay strings, like the
+        # reference's explicit str dtype (safe_io.py:71-77)
+        labels1 = keys1 = columns[0]
+        labels2 = keys2 = columns[1]
     else:
-        raise ValueError("Unknown network file format. 3 or 5 columns are expected.")
+        labels1, keys1, labels2, keys2 = map(_coerce_column, columns[:4])
 
-    t1 = data[["node_label1", "node_key1"]]
-    t2 = data[["node_label2", "node_key2"]].rename(
-        columns={"node_label2": "node_label1", "node_key2": "node_key1"})
-    nodes = pd.concat([t1, t2], ignore_index=True).drop_duplicates()
-    nodes = nodes.reset_index(drop=True)
-
-    nodes_by_label = nodes.reset_index().set_index("node_label1")
-    data["node_index1"] = nodes_by_label.loc[data["node_label1"], "index"].values
-    data["node_index2"] = nodes_by_label.loc[data["node_label2"], "index"].values
-
-    G = nx.Graph()
-    nodes_by_index = nodes_by_label.reset_index().set_index("index")
-    G.add_nodes_from(nodes_by_index.index.values)
-    for n in G:
-        G.nodes[n]["label"] = nodes_by_index.loc[n, "node_label1"]
-        G.nodes[n][node_key_attribute] = nodes_by_index.loc[n, "node_key1"]
-
-    G.add_edges_from(tuple(x) for x in data[["node_index1", "node_index2"]].values)
-
+    G = _graph_from_endpoints(labels1, keys1, labels2, keys2, node_key_attribute)
     G = apply_network_layout(G, layout=layout, seed=seed, verbose=verbose)
-    G = calculate_edge_lengths(G, verbose=verbose)
-    return G
+    return calculate_edge_lengths(G, verbose=verbose)
+
+
+# ------------------------------------------------------------------ gpickle
 
 
 def load_network_from_gpickle(filename, verbose=True):
     filename = filename.replace("~", expanduser("~"))
     with open(filename, "rb") as f:
         return pickle.load(f)
+
+
+# ------------------------------------------------------------------ MATLAB
 
 
 def load_network_from_mat(filename, verbose=True):
@@ -139,91 +174,109 @@ def load_network_from_mat(filename, verbose=True):
     return calculate_edge_lengths(G, verbose=verbose)
 
 
+# ---------------------------------------------------------------- Cytoscape
+
+
+def _xgmml_view_nodes(stream):
+    """XGMML view -> {cy:nodeId: (label, x, y)} for nodes that carry graphics."""
+    doc = minidom.parse(stream)
+    placed = {}
+    for node in doc.getElementsByTagName("node"):
+        try:
+            node_id = int(node.attributes["cy:nodeId"].value)
+            label = node.attributes["label"].value
+        except KeyError:
+            continue
+        graphics = [child for child in node.childNodes
+                    if child.nodeType == child.ELEMENT_NODE
+                    and child.tagName == "graphics"]
+        if graphics:
+            placed[node_id] = (label,
+                               float(graphics[0].attributes["x"].value),
+                               float(graphics[0].attributes["y"].value))
+    return placed
+
+
+def _xgmml_network_edges(stream):
+    """Network XML -> [(source_id, target_id), ...]."""
+    doc = minidom.parse(stream)
+    edges = []
+    for edge in doc.getElementsByTagName("edge"):
+        attrs = edge.attributes
+        if attrs.get("source") is not None and attrs.get("target") is not None:
+            edges.append((int(attrs["source"].value), int(attrs["target"].value)))
+    return edges
+
+
+def _cytable_rows(text):
+    """node.cytable CSV -> (column names, data rows keyed by int SUID).
+
+    The format front-loads metadata: somewhere in the first rows sits a header row
+    whose first cell is 'SUID', and the data begins at the first row whose first
+    cell is an integer.
+    """
+    rows = list(csv.reader(_io.StringIO(text)))
+    header = next((row for row in rows[:7] if row and row[0] == "SUID"), None)
+    if header is None:
+        return None, []
+    data = [(int(row[0]), row) for row in rows
+            if row and row[0].isdigit() and len(row) == len(header)]
+    return header, data
+
+
 def load_network_from_cys(filename, view_name=None, verbose=True):
+    """Cytoscape session bundle, parsed in-stream (nothing extracted to disk)."""
     filename = filename.replace("~", expanduser("~"))
     if verbose:
         logging.info("Loading the cys file %s..." % filename)
 
-    # Extract into a private temp dir (the reference unzips into cwd and deletes
-    # afterwards, safe_io.py:162-266 — same lifecycle, safer location).
-    workdir = tempfile.mkdtemp(prefix="safepy_cys_")
-    try:
-        with zipfile.ZipFile(filename, "r") as zf:
-            files = zf.namelist()
-            zf.extractall(workdir)
+    with zipfile.ZipFile(filename, "r") as bundle:
+        members = bundle.namelist()
 
-        view_files = [f for f in files if "/views/" in f]
+        views = [m for m in members if "/views/" in m]
         if view_name:
-            view_file = [v for v in view_files if v.endswith(view_name + ".xgmml")][0]
-        else:
-            view_file = view_files[0]
+            views = [m for m in views if m.endswith(view_name + ".xgmml")]
+        if not views:
+            raise ValueError(f"no matching view in {filename}")
         if verbose:
-            logging.info("Loading the view: %s" % view_file)
+            logging.info("Loading the view: %s" % views[0])
+        with bundle.open(views[0]) as stream:
+            placed = _xgmml_view_nodes(stream)
 
-        doc = minidom.parse(os.path.join(workdir, view_file))
-        node_labels, node_xs, node_ys = {}, {}, {}
-        for node in doc.getElementsByTagName("node"):
-            node_id = int(node.attributes["cy:nodeId"].value)
-            node_labels[node_id] = node.attributes["label"].value
-            for child in node.childNodes:
-                if child.nodeType == 1 and child.tagName == "graphics":
-                    node_xs[node_id] = float(child.attributes["x"].value)
-                    node_ys[node_id] = float(child.attributes["y"].value)
-
-        network_file = [f for f in files if "/networks/" in f][0]
+        network = next(m for m in members if "/networks/" in m)
         if verbose:
-            logging.info("Loading the first network: %s" % network_file)
-        doc = minidom.parse(os.path.join(workdir, network_file))
-        edge_list = []
-        for edge in doc.getElementsByTagName("edge"):
-            attrs = edge.attributes.keys()
-            if "source" in attrs and "target" in attrs:
-                edge_list.append((int(edge.attributes["source"].value),
-                                  int(edge.attributes["target"].value)))
+            logging.info("Loading the first network: %s" % network)
+        with bundle.open(network) as stream:
+            edge_list = _xgmml_network_edges(stream)
 
         G = nx.Graph()
         G.add_edges_from(edge_list)
-
-        to_remove = []
-        for node in G.nodes:
-            if node in node_labels:
-                G.nodes[node]["label"] = node_labels[node]
-                G.nodes[node]["x"] = node_xs[node]
-                G.nodes[node]["y"] = node_ys[node]
-            else:
-                to_remove.append(node)
-        for node in to_remove:
+        # keep only nodes the view places; everything else has no coordinates
+        for node in [n for n in G.nodes if n not in placed]:
             G.remove_node(node)
+        for node in G.nodes:
+            label, x, y = placed[node]
+            G.nodes[node].update(label=label, x=x, y=y)
 
-        # Node attribute table (SHARED_ATTRS node.cytable next to the network).
-        file_name = os.path.splitext(os.path.basename(network_file))[0]
-        contains = ["/tables/", file_name, "SHARED_ATTRS", "node.cytable"]
-        attr_files = [f for f in files if all(c in f for c in contains)]
-        if attr_files:
-            attributes = pd.read_csv(os.path.join(workdir, attr_files[0]),
-                                     sep=",", header=None, skiprows=1)
-            col_headers, row_start = [], 0
-            for ix_row in range(min(7, len(attributes))):
-                val = attributes.iloc[ix_row, 0]
-                if val == "SUID":
-                    col_headers = list(attributes.iloc[ix_row, :])
-                elif str(val).isnumeric():
-                    row_start = ix_row
-                    break
-            if col_headers:
-                attributes.columns = col_headers
-                attributes = attributes.iloc[row_start:, :]
-                attributes["SUID"] = attributes["SUID"].astype(int)
-                for _, row in attributes.iterrows():
-                    if row["SUID"] in G.nodes:
-                        for c in col_headers[1:]:
-                            G.nodes[row["SUID"]][c] = row[c]
+        # node attribute table: the SHARED_ATTRS node.cytable belonging to the
+        # loaded network
+        network_name = Path(network).stem
+        tables = [m for m in members
+                  if "/tables/" in m and network_name in m
+                  and "SHARED_ATTRS" in m and "node.cytable" in m]
+        if tables:
+            text = bundle.read(tables[0]).decode("utf-8", errors="replace")
+            header, rows = _cytable_rows(text)
+            if header:
+                for suid, row in rows:
+                    if suid in G.nodes:
+                        G.nodes[suid].update(zip(header[1:], row[1:]))
 
-        mapping = {node: ix for ix, node in enumerate(G.nodes)}
-        G = nx.relabel_nodes(G, mapping)
-        return calculate_edge_lengths(G, verbose=verbose)
-    finally:
-        shutil.rmtree(workdir, ignore_errors=True)
+    G = nx.relabel_nodes(G, {node: ix for ix, node in enumerate(G.nodes)})
+    return calculate_edge_lengths(G, verbose=verbose)
+
+
+# ------------------------------------------------------------------ scatter
 
 
 def load_network_from_scatter(filename, node_key_attribute="key", verbose=True):

@@ -3,7 +3,7 @@
 The only native piece the workload needs host-side is the edge-list parser (the
 accelerator kernels are Pallas — see ops/apsp_pallas.py). ``libedgelist.so`` is
 compiled from ``edgelist.cpp`` with g++ on first use and cached next to the
-source; every consumer falls back to the pandas path when the toolchain or the
+source; every consumer falls back to the pure-Python path when the toolchain or the
 build is unavailable, so the native layer is a pure accelerant.
 """
 
@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import ctypes
 import gzip
+import hashlib
 import logging
 import os
 import subprocess
@@ -21,10 +22,26 @@ import numpy as np
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SO = os.path.join(_HERE, "libedgelist.so")
 _SRC = os.path.join(_HERE, "edgelist.cpp")
+_STAMP = _SO + ".sha256"  # content hash of the source the .so was built from
 
 _lock = threading.Lock()
 _lib = None
 _build_failed = False
+
+
+def _src_digest() -> str:
+    with open(_SRC, "rb") as f:
+        return hashlib.sha256(f.read()).hexdigest()
+
+
+def _stale() -> bool:
+    """The binary is never version-controlled (see .gitignore); it is trusted
+    only when the recorded source hash matches — mtime is meaningless after a
+    fresh clone."""
+    if not os.path.exists(_SO) or not os.path.exists(_STAMP):
+        return True
+    with open(_STAMP) as f:
+        return f.read().strip() != _src_digest()
 
 
 def _load() -> ctypes.CDLL | None:
@@ -34,17 +51,18 @@ def _load() -> ctypes.CDLL | None:
             return _lib
         if _build_failed:
             return None
-        if not os.path.exists(_SO) or (os.path.getmtime(_SO)
-                                       < os.path.getmtime(_SRC)):
+        if _stale():
             try:
                 subprocess.run(
                     ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC,
                      "-o", _SO + ".tmp"],
                     check=True, capture_output=True, timeout=120)
                 os.replace(_SO + ".tmp", _SO)
+                with open(_STAMP, "w") as f:
+                    f.write(_src_digest())
             except Exception as e:  # toolchain missing / compile error
                 logging.info("native edgelist build unavailable (%s); using "
-                             "the pandas loader", e)
+                             "the pure-Python loader", e)
                 _build_failed = True
                 return None
         lib = ctypes.CDLL(_SO)

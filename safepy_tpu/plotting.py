@@ -1,13 +1,24 @@
 """Visualization: base network plots, composite domain landscapes, attribute maps.
 
-Host-side matplotlib over fetched arrays; behavioral spec is the reference L4 layer
-(safepy/safe.py:747-1265 and safepy/safe_io.py:433-690). Differences from the
-reference are deliberate and noted inline:
+Host-side matplotlib over fetched arrays. The behavioral spec is the reference L4
+layer (safepy/safe.py:747-1265, safepy/safe_io.py:433-690) — same public entry
+points, figure layouts, and visual constants — built here as three layers:
+
+  * ``Style`` — foreground/background resolution and every piece of repeated
+    text/legend/axis styling;
+  * canvas helpers — panel grids and per-panel finishing;
+  * renderers — KDE isolines, diverging enrichment colormaps, the log-p colorbar —
+    shared by the public functions instead of re-inlined per plot.
+
+Deliberate differences from the reference, noted inline:
 
   * the random edge sampling for huge networks and the domain color shuffle are
     seedable (the reference uses global RNG state — nondeterministic plots);
   * the per-domain contour plot indexes its axes correctly (the reference has a
-    latent ``ax[1].contour`` on a non-subscriptable Axes, safe.py:837).
+    latent ``ax[1].contour`` on a non-subscriptable Axes, safe.py:837);
+  * per-domain subplots apply the NES-scaled alpha the reference sketched and
+    abandoned (its ``c[:, 3] = alpha`` is commented out, safe.py:972) — this is the
+    one live consumer of the ``enrichment_max_log10`` setting.
 """
 
 from __future__ import annotations
@@ -15,7 +26,6 @@ from __future__ import annotations
 import logging
 import os
 import random
-import re
 import textwrap
 
 import matplotlib.pyplot as plt
@@ -30,65 +40,198 @@ from scipy.stats import gaussian_kde
 from safepy_tpu.colormaps import MidpointRangeNormalize, get_colors
 from safepy_tpu.io.graph_arrays import get_node_coordinates
 
+# --------------------------------------------------------------------- style
+
+
+class Style:
+    """Foreground/background pairing plus the shared text & legend styling.
+
+    A white background always flips the foreground to black (the reference
+    repeats this guard at the top of every plot function, e.g. safe.py:869-871).
+    """
+
+    def __init__(self, foreground="#ffffff", background="#000000"):
+        self.background = background
+        self.foreground = "#000000" if background == "#ffffff" else foreground
+
+    def node_label_font(self, size=14):
+        color = "white" if self.background == "#000000" else "k"
+        return {"color": color, "size": size, "weight": "bold"}
+
+    def title_font(self, size=16):
+        return {"size": size, "color": self.foreground, "weight": "bold"}
+
+    def legend(self, ax, handles, labels, title, loc="upper left"):
+        """Background-matched legend with foreground text (safe_io.py:624-645)."""
+        leg = ax.legend(handles, labels, loc=loc, bbox_to_anchor=(0, 1),
+                        title=title, scatterpoints=1, fancybox=False,
+                        facecolor=self.background, edgecolor=self.background)
+        for text in leg.get_texts():
+            text.set_color(self.foreground)
+        leg.get_title().set_color(self.foreground)
+        return leg
+
+    def finish_panel(self, ax, title=None, invert_y=False):
+        ax.set_aspect("equal")
+        ax.set_facecolor(self.background)
+        ax.grid(False)
+        ax.margins(0.1, 0.1)
+        if invert_y:
+            ax.invert_yaxis()
+        if title is not None:
+            ax.set_title(title, color=self.foreground)
+
+
+def _panel_grid(num_panels, style, panel_size=10):
+    """Two-column grid of square panels with shared axes (the reference's
+    repeated subplots block, e.g. safe.py:873-878)."""
+    nrows = int(np.ceil(num_panels / 2))
+    ncols = min(num_panels, 2)
+    fig, axes = plt.subplots(nrows=nrows, ncols=ncols,
+                             figsize=(panel_size * ncols, panel_size * nrows),
+                             sharex=True, sharey=True,
+                             facecolor=style.background)
+    return fig, np.atleast_1d(np.asarray(axes)).ravel()
+
+
+def _save_figure(fig, save_fig, style, output_dir=""):
+    if not save_fig:
+        return
+    path = save_fig
+    if output_dir and not os.path.isabs(path):
+        path = os.path.join(output_dir, path)
+    logging.info("Output path: %s" % path)
+    fig.savefig(path, facecolor=style.background)
+
+
+# ------------------------------------------------------------------ renderers
+
+
+def _kde_isoline(ax, points, bounds, color, level=1e-6, grid_points=100):
+    """Gaussian-KDE density isoline of a point cloud (the contour core shared by
+    the Costanzo overlay, safe_io.py:569-586, and the domain contours,
+    safe.py:817-838)."""
+    kernel = gaussian_kde(points.T)
+    (x_lo, x_hi), (y_lo, y_hi) = bounds
+    grid_x, grid_y = np.mgrid[x_lo:x_hi:complex(0, grid_points),
+                              y_lo:y_hi:complex(0, grid_points)]
+    density = kernel(np.vstack([grid_x.ravel(), grid_y.ravel()]))
+    return ax.contour(grid_x, grid_y, density.reshape(grid_x.shape), [level],
+                      colors=[tuple(color)] if color is not None else None,
+                      alpha=1)
+
+
+def _label_isoline(contour_set, number, name):
+    contour_set.levels = [number]
+    plt.clabel(contour_set, contour_set.levels, inline=True, fmt="%d", fontsize=16)
+    logging.info("%d -- %s" % (number, name))
+
+
+def _hex_to_rgb(hex_color):
+    digits = hex_color.lstrip("#")
+    return tuple(int(digits[i:i + 2], 16) / 255 for i in (0, 2, 4))
+
+
+def _diverging_enrichment_cmap(low_hex, high_hex, style):
+    """Two accent colors fading through the background at the center — the
+    attribute-landscape colormap (safe.py:1102-1106)."""
+    anchors = [low_hex, style.background, style.background, style.background,
+               high_hex]
+    return LinearSegmentedColormap.from_list(
+        "enrichment", [_hex_to_rgb(c) for c in anchors])
+
+
+def _log_p_colorbar(fig, ax, scatter, style, vmin, midrange, vmax):
+    """Horizontal colorbar with 10^x tick labels under the panel
+    (safe.py:1112-1145)."""
+    box = ax.get_position()
+    width = box.width * 0.75
+    cax = fig.add_axes([box.x0 + (box.width - width) / 2, box.y0,
+                        width, box.height * 0.05])
+    bar = plt.colorbar(scatter, cax=cax, orientation="horizontal",
+                       ticks=[vmin, *midrange, vmax], drawedges=False)
+    bar.set_label("Neighborhood enrichment p-value", color=style.foreground)
+    cax.xaxis.set_tick_params(color=style.foreground)
+    bar.outline.set_edgecolor(style.foreground)
+    bar.outline.set_linewidth(1)
+    plt.setp(plt.getp(bar.ax.axes, "xticklabels"), color=style.foreground)
+    bar.ax.set_xticklabels(
+        [r"$10^{%d}$" % vmin, r"$10^{%d}$" % midrange[0], r"$1$",
+         r"$10^{%d}$" % -midrange[2], r"$10^{-%d}$" % vmax])
+    for x, side, align in ((cax.get_xlim()[0], "Lower than random", "left"),
+                           (cax.get_xlim()[1], "Higher than random", "right")):
+        cax.text(x, 1, side, verticalalignment="bottom",
+                 horizontalalignment=align, fontdict={"color": style.foreground})
+    return bar
+
+
+# ------------------------------------------------------------- base network
+
 
 def plot_network(G, ax=None, foreground_color="#ffffff", background_color="#000000",
                  random_sampling_edges_min=30000, title="Network", node_size=10,
                  alpha=0.2, seed=None):
     """Base scatter+edge rendering of the network (safe_io.py:433-486)."""
-    if background_color == "#ffffff":
-        foreground_color = "#000000"
-
+    style = Style(foreground_color, background_color)
     node_xy = get_node_coordinates(G)
 
     if ax is None:
-        fig, ax = plt.subplots(figsize=(20, 10), facecolor=background_color,
-                               edgecolor=foreground_color)
-        fig.set_facecolor(background_color)
+        fig, ax = plt.subplots(figsize=(20, 10), facecolor=style.background,
+                               edgecolor=style.foreground)
+        fig.set_facecolor(style.background)
 
     edges = tuple(G.edges())
     if len(edges) >= random_sampling_edges_min:
         logging.warning(
             "Edges are randomly sampled because the network (edges=%d) is too big "
-            "(random_sampling_edges_min=%d)." % (len(edges), random_sampling_edges_min))
+            "(random_sampling_edges_min=%d)." % (len(edges),
+                                                 random_sampling_edges_min))
         edges = random.Random(seed).sample(edges, int(len(edges) * 0.1))
 
     pos = {n: node_xy[i] for i, n in enumerate(G)}
-    nx.draw(G, ax=ax, pos=pos, edgelist=edges, node_color=foreground_color,
-            edge_color=foreground_color, node_size=node_size, width=1, alpha=alpha)
+    nx.draw(G, ax=ax, pos=pos, edgelist=edges, node_color=style.foreground,
+            edge_color=style.foreground, node_size=node_size, width=1, alpha=alpha)
 
-    ax.set_aspect("equal")
-    ax.set_facecolor(background_color)
-    ax.grid(False)
-    ax.invert_yaxis()
-    ax.margins(0.1, 0.1)
-    ax.set_title(title, color=foreground_color)
+    style.finish_panel(ax, title=title, invert_y=True)
     plt.axis("off")
     return ax
 
 
 def plot_network_contour(graph, ax, background_color="#000000"):
     """Least-squares circle through the layout's convex hull (safe_io.py:489-529)."""
-    foreground_color = "#ffffff" if background_color != "#ffffff" else "#000000"
+    style = Style(background=background_color)
 
     node_xy = get_node_coordinates(graph)
     hull = ConvexHull(node_xy)
-    vx = node_xy[hull.vertices, 0]
-    vy = node_xy[hull.vertices, 1]
+    hull_x = node_xy[hull.vertices, 0]
+    hull_y = node_xy[hull.vertices, 1]
 
-    xm, ym = np.nanmean(vx), np.nanmean(vy)
-    rm = np.nanmean(np.sqrt((vx - xm) ** 2 + (vy - ym) ** 2))
+    center_x, center_y = np.nanmean(hull_x), np.nanmean(hull_y)
+    radius0 = np.nanmean(np.hypot(hull_x - center_x, hull_y - center_y))
 
-    def err(x0):
-        w, v, r = x0
-        pts = np.sqrt((vx - w) ** 2 + (vy - v) ** 2) - r
-        return (pts ** 2).sum()
+    def residual(params):
+        cx, cy, r = params
+        return ((np.hypot(hull_x - cx, hull_y - cy) - r) ** 2).sum()
 
-    xf, yf, rf = fmin(err, [xm, ym, rm], disp=False)
+    fit_x, fit_y, fit_r = fmin(residual, [center_x, center_y, radius0], disp=False)
 
-    circ = plt.Circle((xf, yf), radius=rf * 1.01, color=foreground_color,
-                      linewidth=1, fill=False)
-    ax.add_patch(circ)
-    return xf, yf, rf
+    ax.add_patch(plt.Circle((fit_x, fit_y), radius=fit_r * 1.01,
+                            color=style.foreground, linewidth=1, fill=False))
+    return fit_x, fit_y, fit_r
+
+
+def _read_costanzo_clusters(path_to_data):
+    """The published cluster-identity table. safe-data ships it as xlsx
+    (safe_io.py:549-551, needs an Excel engine); a same-schema .tsv next to it
+    is accepted as well — that path keeps the overlay testable in environments
+    without openpyxl."""
+    base = os.path.join(
+        path_to_data, "other/Data File S5_SAFE analysis_Gene cluster identity "
+                      "and functional enrichments")
+    if os.path.exists(base + ".xlsx"):
+        return pd.read_excel(base + ".xlsx",
+                             sheet_name="Global net. cluster gene list")
+    return pd.read_csv(base + ".tsv", sep="\t")
 
 
 def plot_costanzo2016_network_annotations(graph, ax, path_to_data, colors=True,
@@ -97,78 +240,57 @@ def plot_costanzo2016_network_annotations(graph, ax, path_to_data, colors=True,
                                           background_color="#000000"):
     """Published process-region KDE contours from the safe-data bundle
     (safe_io.py:532-586)."""
-    if background_color == "#ffffff":
-        foreground_color = "#000000"
+    style = Style(foreground_color, background_color)
 
-    annot = ("other/Data File S5_SAFE analysis_Gene cluster identity and "
-             "functional enrichments.xlsx")
-    costanzo2016 = pd.read_excel(os.path.join(path_to_data, annot),
-                                 sheet_name="Global net. cluster gene list")
-    processes = costanzo2016["Global Similarity Network Region name"].unique()
-    processes = processes[pd.notnull(processes)]
+    clusters = _read_costanzo_clusters(path_to_data)
+    region_column = "Global Similarity Network Region name"
+    processes = clusters[region_column].dropna().unique()
 
-    process_colors = pd.read_csv(
+    color_table = pd.read_csv(
         os.path.join(path_to_data, "other/costanzo_2016_colors.txt"), sep="\t")
     if colors:
-        process_colors = process_colors[["R", "G", "B"]].values / 256
-    elif foreground_color == "#ffffff":
-        process_colors = np.ones((process_colors.shape[0], 3))
+        process_colors = color_table[["R", "G", "B"]].values / 256
     else:
-        process_colors = np.zeros((process_colors.shape[0], 3))
+        fill = 1.0 if style.foreground == "#ffffff" else 0.0
+        process_colors = np.full((color_table.shape[0], 3), fill)
 
-    labels = nx.get_node_attributes(graph, "label")
-    label2node = {v: k for k, v in labels.items()}
+    label2node = {label: node for node, label
+                  in nx.get_node_attributes(graph, "label").items()}
     node_xy = get_node_coordinates(graph)
-    x, y = node_xy[:, 0], node_xy[:, 1]
+    bounds = ((node_xy[:, 0].min(), node_xy[:, 0].max()),
+              (node_xy[:, 1].min(), node_xy[:, 1].max()))
 
-    for n_process, process in enumerate(processes):
-        genes = costanzo2016.loc[
-            costanzo2016["Global Similarity Network Region name"] == process,
-            "Gene/Allele"]
-        idx = [label2node[g] for g in genes if g in label2node]
-        pos3 = node_xy[idx, :]
-
-        kernel = gaussian_kde(pos3.T)
-        X, Y = np.mgrid[np.min(x):np.max(x):100j, np.min(y):np.max(y):100j]
-        Z = np.reshape(kernel(np.vstack([X.ravel(), Y.ravel()])).T, X.shape)
-
-        C = ax.contour(X, Y, Z, [1e-6],
-                       colors=[tuple(process_colors[n_process, :])], alpha=1)
+    for number, process in enumerate(processes):
+        genes = clusters.loc[clusters[region_column] == process, "Gene/Allele"]
+        members = [label2node[g] for g in genes if g in label2node]
+        isoline = _kde_isoline(ax, node_xy[members, :], bounds,
+                               process_colors[number, :])
         if clabels:
-            C.levels = [n_process + 1]
-            plt.clabel(C, C.levels, inline=True, fmt="%d", fontsize=16)
-            logging.info("%d -- %s" % (n_process + 1, process))
+            _label_isoline(isoline, number + 1, process)
 
 
 def mark_nodes(x, y, kind, ax=None, foreground_color="#ffffff",
                background_color="#000000", labels=None, label_va="center",
                legend_label=None, **kws):
     """Mark and/or text-label selected nodes (safe_io.py:589-646)."""
+    style = Style(foreground_color, background_color)
     if ax is None:
         ax = plt.gca()
     if isinstance(kind, str):
         kind = [kind]
 
-    sn1 = None
+    marks = None
     if "mark" in kind:
-        sn1 = ax.scatter(x, y, **kws)
+        marks = ax.scatter(x, y, **kws)
 
     if "label" in kind:
         assert len(x) == len(labels), f"len(x)!=len(labels): {len(x)}!={len(labels)}"
-        for i, label in enumerate(labels):
-            ax.text(x[i], y[i], label,
-                    fontdict={"color": "white" if background_color == "#000000" else "k",
-                              "size": 14, "weight": "bold"},
+        for xi, yi, label in zip(x, y, labels):
+            ax.text(xi, yi, label, fontdict=style.node_label_font(),
                     ha="center", va=label_va)
 
-    if legend_label is not None and sn1 is not None:
-        leg = ax.legend([sn1], [legend_label], loc="upper left",
-                        bbox_to_anchor=(0, 1), title="Significance",
-                        scatterpoints=1, fancybox=False,
-                        facecolor=background_color, edgecolor=background_color)
-        for leg_txt in leg.get_texts():
-            leg_txt.set_color(foreground_color)
-        leg.get_title().set_color(foreground_color)
+    if legend_label is not None and marks is not None:
+        style.legend(ax, [marks], [legend_label], title="Significance")
     return ax
 
 
@@ -178,12 +300,23 @@ def plot_safe_network(sf, foreground_color="#ffffff", background_color="#000000"
     ax = plot_network(sf.graph, background_color=background_color,
                       node_size=node_size, alpha=alpha)
     if len(labels) > 0:
-        node_xy_labels, labels_found = get_node_coordinates(sf.graph, labels=labels)
-        ax = mark_nodes(node_xy_labels[:, 0], node_xy_labels[:, 1], kind=["label"],
-                        labels=labels_found, ax=ax,
-                        foreground_color=foreground_color,
-                        background_color=background_color, **kwargs_mark_nodes)
+        _mark_labeled_nodes(sf.graph, labels, ax, foreground_color,
+                            background_color, **kwargs_mark_nodes)
     return ax
+
+
+def _mark_labeled_nodes(graph, labels, ax, foreground_color, background_color,
+                        **kwargs):
+    """Shared "text-label these genes on this panel" step (the reference repeats
+    it in every landscape plot, e.g. safe.py:932-949, 985-996, 1223-1236)."""
+    node_xy_labels, labels_found = get_node_coordinates(graph, labels=labels)
+    return mark_nodes(node_xy_labels[:, 0], node_xy_labels[:, 1], kind=["label"],
+                      labels=labels_found, ax=ax,
+                      foreground_color=foreground_color,
+                      background_color=background_color, **kwargs)
+
+
+# ------------------------------------------------------- composite landscape
 
 
 def _domain_colors(sf, seed=None):
@@ -193,16 +326,9 @@ def _domain_colors(sf, seed=None):
     return domains, domain2rgb
 
 
-def plot_composite_network(sf, show_each_domain=False, show_domain_ids=True,
-                           show_network_contour=True, save_fig=None, labels=(),
-                           foreground_color="#ffffff", background_color="#000000",
-                           color_seed=None):
-    """All nodes colored by their domain mixtures (safe.py:851-1003)."""
-    if background_color == "#ffffff":
-        foreground_color = "#000000"
-
-    domains, domain2rgb = _domain_colors(sf, seed=color_seed)
-
+def _domain_mixture_colors(sf, domain2rgb):
+    """Node color = enrichment-count-weighted mixture of its domains' colors,
+    brightness normalized to mean 0.1 (safe.py:884-904)."""
     domain_of_attr = sf.attributes["domain"].values
     unique_domains = np.sort(np.unique(domain_of_attr))
     counts = np.stack([sf.nes_binary[:, domain_of_attr == d].sum(axis=1)
@@ -210,115 +336,135 @@ def plot_composite_network(sf, show_each_domain=False, show_domain_ids=True,
     total = counts.sum(axis=1, keepdims=True)
 
     with np.errstate(divide="ignore", invalid="ignore"):
-        c = (counts @ domain2rgb[:counts.shape[1]]) / total
+        mixture = (counts @ domain2rgb[:counts.shape[1]]) / total
 
-    t = np.sum(c, axis=1)
-    c[np.isnan(t) | np.isinf(t), :] = [0, 0, 0, 0]
+    brightness = np.sum(mixture, axis=1)
+    mixture[np.isnan(brightness) | np.isinf(brightness), :] = [0, 0, 0, 0]
 
-    coeff = 0.1 / np.nanmean(np.ravel(c[:, :-1])) if np.nanmean(np.ravel(c[:, :-1])) else 1.0
-    if coeff > 1:
-        c = c * coeff
-    c = np.clip(c, None, 1)
+    mean_rgb = np.nanmean(np.ravel(mixture[:, :-1]))
+    gain = 0.1 / mean_rgb if mean_rgb else 1.0
+    if gain > 1:
+        mixture = mixture * gain
+    return np.clip(mixture, None, 1)
 
-    ix = np.argsort(np.sum(c, axis=1))  # dimmest first
+
+def plot_composite_network(sf, show_each_domain=False, show_domain_ids=True,
+                           show_network_contour=True, save_fig=None, labels=(),
+                           foreground_color="#ffffff", background_color="#000000",
+                           color_seed=None):
+    """All nodes colored by their domain mixtures (safe.py:851-1003)."""
+    style = Style(foreground_color, background_color)
+    domains, domain2rgb = _domain_colors(sf, seed=color_seed)
+    node_colors = _domain_mixture_colors(sf, domain2rgb)
     node_xy = get_node_coordinates(sf.graph)
 
-    num_plots = 2 + (len(domains) - 1 if show_each_domain else 0)
-    nrows = int(np.ceil(num_plots / 2))
-    ncols = min(num_plots, 2)
-    fig, axes = plt.subplots(nrows=nrows, ncols=ncols,
-                             figsize=(10 * ncols, 10 * nrows), sharex=True,
-                             sharey=True, facecolor=background_color)
-    axes = np.atleast_1d(axes).ravel()
+    num_panels = 2 + (len(domains) - 1 if show_each_domain else 0)
+    fig, axes = _panel_grid(num_panels, style)
 
-    plot_network(sf.graph, ax=axes[0], background_color=background_color)
+    plot_network(sf.graph, ax=axes[0], background_color=style.background)
 
-    axes[1].scatter(node_xy[ix, 0], node_xy[ix, 1], c=c[ix], s=60, edgecolor=None)
-    axes[1].set_aspect("equal")
-    axes[1].set_facecolor(background_color)
+    dimmest_first = np.argsort(np.sum(node_colors, axis=1))
+    axes[1].scatter(node_xy[dimmest_first, 0], node_xy[dimmest_first, 1],
+                    c=node_colors[dimmest_first], s=60, edgecolor=None)
+    style.finish_panel(axes[1])
 
     if show_network_contour:
-        plot_network_contour(sf.graph, axes[1], background_color=background_color)
+        plot_network_contour(sf.graph, axes[1], background_color=style.background)
 
     if len(labels) != 0:
-        node_xy_labels, labels_found = get_node_coordinates(sf.graph, labels=labels)
-        mark_nodes(node_xy_labels[:, 0], node_xy_labels[:, 1], kind=["label"],
-                   labels=labels_found, ax=axes[1],
-                   foreground_color=foreground_color,
-                   background_color=background_color)
+        _mark_labeled_nodes(sf.graph, labels, axes[1], style.foreground,
+                            style.background)
 
     if show_domain_ids:
         for domain in domains[domains > 0]:
-            idx = sf.node2domain["primary_domain"] == domain
-            axes[1].text(np.nanmean(node_xy[idx, 0]), np.nanmean(node_xy[idx, 1]),
-                         str(domain),
-                         fontdict={"size": 16, "color": foreground_color,
-                                   "weight": "bold"})
+            members = sf.node2domain["primary_domain"] == domain
+            axes[1].text(np.nanmean(node_xy[members, 0]),
+                         np.nanmean(node_xy[members, 1]), str(domain),
+                         fontdict=style.title_font())
 
     if show_each_domain:
-        node2nes = pd.DataFrame(sf.nes)
         for domain in domains[domains > 0]:
-            ax = axes[1 + domain]
-            domain_color = np.reshape(domain2rgb[domain, :], (1, 4))
-            idx = (sf.node2domain["primary_domain"] == domain).values
-            cc = np.repeat(domain_color, len(node_xy), axis=0)
-            ax.scatter(node_xy[idx, 0], node_xy[idx, 1], c=cc[idx], s=60,
-                       edgecolor=None)
-            ax.set_aspect("equal")
-            ax.set_facecolor(background_color)
-            ax.set_title("Domain %d\n%s"
-                         % (domain, sf.domains.loc[domain, "label"]),
-                         color=foreground_color)
-            if show_network_contour:
-                plot_network_contour(sf.graph, ax, background_color=background_color)
+            _plot_single_domain(sf, axes[1 + domain], domain, domain2rgb[domain],
+                                node_xy, style, show_network_contour, labels)
 
-    fig.set_facecolor(background_color)
-    if save_fig:
-        logging.info("Output path: %s" % save_fig)
-        plt.savefig(save_fig, facecolor=background_color)
+    fig.set_facecolor(style.background)
+    _save_figure(fig, save_fig, style)
     return fig, axes
+
+
+def _plot_single_domain(sf, ax, domain, rgba, node_xy, style,
+                        show_network_contour, labels):
+    """One per-domain panel: member nodes in the domain color with NES-scaled
+    alpha — the transparency the reference sketched but left commented out
+    (safe.py:966-972); enrichment_max_log10 saturates the scale."""
+    members = (sf.node2domain["primary_domain"] == domain).values
+    alpha = sf.node2domain["primary_nes"].values / sf.enrichment_max_log10
+    alpha = np.clip(alpha, 0.2, 1.0)  # floor keeps weakly-enriched nodes visible
+
+    colors = np.tile(np.asarray(rgba, dtype=float), (int(members.sum()), 1))
+    colors[:, 3] = alpha[members]
+    ax.scatter(node_xy[members, 0], node_xy[members, 1], c=colors, s=60,
+               edgecolor=None)
+    style.finish_panel(
+        ax, title="Domain %d\n%s" % (domain, sf.domains.loc[domain, "label"]))
+    if show_network_contour:
+        plot_network_contour(sf.graph, ax, background_color=style.background)
+    if len(labels) != 0:
+        _mark_labeled_nodes(sf.graph, labels, ax, style.foreground,
+                            style.background)
 
 
 def plot_composite_network_contours(sf, save_fig=None, clabels=False,
                                     background_color="#000000", color_seed=None):
-    """KDE contour per domain over the base network (safe.py:786-849)."""
-    domains, domain2rgb = _domain_colors(sf, seed=color_seed)
+    """KDE contour per domain over the base network (safe.py:786-849; the
+    reference's ax[1]-on-Axes indexing bug does not carry over)."""
+    style = Style(background=background_color)
+    _domain_colors(sf, seed=color_seed)
     node_xy = get_node_coordinates(sf.graph)
 
-    fig, axes = plt.subplots(nrows=1, ncols=2, figsize=(20, 10), sharex=True,
-                             sharey=True, facecolor=background_color)
-    axes = axes.ravel()
+    fig, axes = _panel_grid(2, style)
+    plot_network(sf.graph, ax=axes[0], background_color=style.background)
+    style.finish_panel(axes[1])
 
-    plot_network(sf.graph, ax=axes[0], background_color=background_color)
-    axes[1].set_aspect("equal")
-    axes[1].set_facecolor(background_color)
-
-    for n_domain, domain_label in enumerate(sf.domains["label"].values):
-        if n_domain not in sf.node2domain.columns:
+    for number, domain_label in enumerate(sf.domains["label"].values):
+        if number not in sf.node2domain.columns:
             continue
-        nodes_indices = sf.node2domain.loc[
-            sf.node2domain.loc[:, n_domain] > 0].index.values
-        if len(nodes_indices) < 3:
+        members = sf.node2domain.index.values[
+            sf.node2domain[number].values > 0]
+        if len(members) < 3:
             continue
-        pos3 = node_xy[nodes_indices, :]
-        kernel = gaussian_kde(pos3.T)
-        X, Y = np.mgrid[np.min(pos3[:, 0]):np.max(pos3[:, 0]):100j,
-                        np.min(pos3[:, 1]):np.max(pos3[:, 1]):100j]
-        Z = np.reshape(kernel(np.vstack([X.ravel(), Y.ravel()])).T, X.shape)
-
-        C = axes[1].contour(X, Y, Z, [1e-6],
-                            colors=[tuple(sf.domains.loc[n_domain, "rgba"])]
-                            if "rgba" in sf.domains else None, alpha=1)
+        points = node_xy[members, :]
+        bounds = ((points[:, 0].min(), points[:, 0].max()),
+                  (points[:, 1].min(), points[:, 1].max()))
+        color = (sf.domains.loc[number, "rgba"]
+                 if "rgba" in sf.domains else None)
+        isoline = _kde_isoline(axes[1], points, bounds, color)
         if clabels:
-            C.levels = [n_domain + 1]
-            plt.clabel(C, C.levels, inline=True, fmt="%d", fontsize=16)
-            logging.info("%d -- %s" % (n_domain + 1, domain_label))
+            _label_isoline(isoline, number + 1, domain_label)
 
-    fig.set_facecolor(background_color)
-    if save_fig:
-        logging.info("Output path: %s" % save_fig)
-        plt.savefig(save_fig, facecolor=background_color)
+    fig.set_facecolor(style.background)
+    _save_figure(fig, save_fig, style)
     return fig, axes
+
+
+# ------------------------------------------------------- attribute landscape
+
+
+def _select_attributes(sf, attributes, top_attributes_only, seed):
+    """Count / name / list-of-names selection (safe.py:1040-1048)."""
+    candidates = sf.attributes.index.values
+    if top_attributes_only:
+        candidates = candidates[sf.attributes["top"]]
+
+    if isinstance(attributes, int):
+        if attributes < len(candidates):
+            return np.random.default_rng(seed).choice(candidates, attributes,
+                                                      replace=False)
+        return np.arange(len(candidates))
+    names = list(sf.attributes["name"].values)
+    if isinstance(attributes, str):
+        return [names.index(attributes)]
+    return [names.index(a) for a in attributes]
 
 
 def plot_sample_attributes(sf, attributes=1, top_attributes_only=False,
@@ -330,177 +476,114 @@ def plot_sample_attributes(sf, attributes=1, top_attributes_only=False,
                            foreground_color="#ffffff", background_color="#000000",
                            labels=(), save_fig=None, seed=None, **kwargs):
     """Per-attribute enrichment landscapes (safe.py:1005-1265)."""
-    if background_color == "#ffffff":
-        foreground_color = "#000000"
-
-    all_attributes = sf.attributes.index.values
-    if top_attributes_only:
-        all_attributes = all_attributes[sf.attributes["top"]]
-
-    if isinstance(attributes, int):
-        if attributes < len(all_attributes):
-            attributes = np.random.default_rng(seed).choice(
-                all_attributes, attributes, replace=False)
-        else:
-            attributes = np.arange(len(all_attributes))
-    elif isinstance(attributes, str):
-        attributes = [list(sf.attributes["name"].values).index(attributes)]
-    elif isinstance(attributes, list):
-        attributes = [list(sf.attributes["name"].values).index(a) for a in attributes]
-
+    style = Style(foreground_color, background_color)
+    chosen = _select_attributes(sf, attributes, top_attributes_only, seed)
     node_xy = get_node_coordinates(sf.graph)
 
-    nax = 1 if show_network else 0
-    nrows = int(np.ceil((len(attributes) + nax) / 2))
-    ncols = min(len(attributes) + nax, 2)
-    fig, axes = plt.subplots(nrows=nrows, ncols=ncols,
-                             figsize=(10 * ncols, 10 * nrows), sharex=True,
-                             sharey=True, facecolor=background_color)
-    axes = np.atleast_1d(np.asarray(axes)).ravel()
+    base_panels = 1 if show_network else 0
+    fig, axes = _panel_grid(len(chosen) + base_panels, style)
 
     if show_network:
-        plot_network(sf.graph, ax=axes[0], background_color=background_color)
+        plot_network(sf.graph, ax=axes[0], background_color=style.background)
 
-    score = sf.nes
-
-    for idx_attribute, attribute in enumerate(attributes):
-        ax = axes[idx_attribute + nax]
-        sc = None
+    for panel, attribute in enumerate(chosen):
+        ax = axes[panel + base_panels]
+        scatter = None
         vmin = vmax = None
         midrange = kwargs.get("midrange", [np.log10(0.05), 0, -np.log10(0.05)])
 
         if show_nes:
+            nes_column = sf.nes[:, attribute]
             vmin = kwargs.get("vmin", np.nanmin(
                 [np.log10(1 / sf.num_permutations),
-                 np.nanmin(-np.abs(score[:, attribute]))]))
+                 np.nanmin(-np.abs(nes_column))]))
             vmax = kwargs.get("vmax", np.nanmax(
                 [-np.log10(1 / sf.num_permutations),
-                 np.nanmax(np.abs(score[:, attribute]))]))
+                 np.nanmax(np.abs(nes_column))]))
+            strongest_last = np.argsort(np.abs(nes_column))
+            cmap = _diverging_enrichment_cmap("#" + colors[0].lstrip("#"),
+                                              "#" + colors[1].lstrip("#"), style)
+            scatter = ax.scatter(
+                node_xy[strongest_last, 0], node_xy[strongest_last, 1],
+                c=nes_column[strongest_last], s=60, cmap=cmap,
+                norm=MidpointRangeNormalize(midrange=midrange,
+                                            vmin=vmin, vmax=vmax),
+                edgecolors=None)
 
-            order = np.argsort(np.abs(score[:, attribute]))
-
-            colors_hex = [colors[0], background_color, background_color,
-                          background_color, colors[1]]
-            colors_hex = [re.sub(r"^#", "", c) for c in colors_hex]
-            colors_rgb = [tuple(int(c[i:i + 2], 16) / 255 for i in (0, 2, 4))
-                          for c in colors_hex]
-            cmap = LinearSegmentedColormap.from_list("my_cmap", colors_rgb)
-
-            sc = ax.scatter(node_xy[order, 0], node_xy[order, 1],
-                            c=score[order, attribute], s=60, cmap=cmap,
-                            norm=MidpointRangeNormalize(midrange=midrange,
-                                                        vmin=vmin, vmax=vmax),
-                            edgecolors=None)
-
-        if show_colorbar and sc is not None:
-            pos_ax = ax.get_position()
-            w = pos_ax.width * 0.75
-            x0 = pos_ax.x0 + (pos_ax.width - w) / 2
-            cax = fig.add_axes([x0, pos_ax.y0, w, pos_ax.height * 0.05])
-            cb = plt.colorbar(sc, cax=cax, orientation="horizontal",
-                              ticks=[vmin, *midrange, vmax], drawedges=False)
-            cb.set_label("Neighborhood enrichment p-value", color=foreground_color)
-            cax.xaxis.set_tick_params(color=foreground_color)
-            cb.outline.set_edgecolor(foreground_color)
-            cb.outline.set_linewidth(1)
-            plt.setp(plt.getp(cb.ax.axes, "xticklabels"), color=foreground_color)
-            cb.ax.set_xticklabels(
-                [r"$10^{%d}$" % vmin, r"$10^{%d}$" % midrange[0], r"$1$",
-                 r"$10^{%d}$" % -midrange[2], r"$10^{-%d}$" % vmax])
-            cax.text(cax.get_xlim()[0], 1, "Lower than random",
-                     verticalalignment="bottom",
-                     fontdict={"color": foreground_color})
-            cax.text(cax.get_xlim()[1], 1, "Higher than random",
-                     verticalalignment="bottom", horizontalalignment="right",
-                     fontdict={"color": foreground_color})
+        if show_colorbar and scatter is not None:
+            _log_p_colorbar(fig, ax, scatter, style, vmin, midrange, vmax)
 
         if show_raw_data:
-            _plot_raw_data(sf, ax, attribute, node_xy, foreground_color,
-                           background_color)
+            _plot_raw_data(sf, ax, attribute, node_xy, style)
 
         if show_significant_nodes:
-            with np.errstate(divide="ignore", invalid="ignore"):
-                sig = np.abs(sf.nes_binary[:, attribute]) > 0
-            mark_nodes(node_xy[sig, 0], node_xy[sig, 1], kind=["mark"], ax=ax,
+            significant = sf.nes_binary[:, attribute] > 0
+            mark_nodes(node_xy[significant, 0], node_xy[significant, 1],
+                       kind=["mark"], ax=ax,
                        legend_label="p < %.2e" % sf.enrichment_threshold,
-                       foreground_color=foreground_color,
-                       background_color=background_color, marker="+")
+                       foreground_color=style.foreground,
+                       background_color=style.background, marker="+")
 
         if show_costanzo2016:
             plot_costanzo2016_network_annotations(
                 sf.graph, ax, sf.path_to_safe_data,
                 colors=show_costanzo2016_colors,
                 clabels=show_costanzo2016_clabels,
-                background_color=background_color)
+                background_color=style.background)
 
         if show_network_contour:
-            plot_network_contour(sf.graph, ax, background_color=background_color)
+            plot_network_contour(sf.graph, ax, background_color=style.background)
 
         if len(labels) != 0:
-            node_xy_labels, labels_found = get_node_coordinates(sf.graph,
-                                                                labels=labels)
-            mark_nodes(node_xy_labels[:, 0], node_xy_labels[:, 1], kind=["label"],
-                       labels=labels_found, ax=ax,
-                       foreground_color=foreground_color,
-                       background_color=background_color)
+            _mark_labeled_nodes(sf.graph, labels, ax, style.foreground,
+                                style.background)
 
-        ax.set_aspect("equal")
-        ax.set_facecolor(background_color)
-        ax.grid(False)
-        ax.margins(0.1, 0.1)
-        if idx_attribute + nax == 0:
-            ax.invert_yaxis()
         title = "\n".join(textwrap.wrap(
             str(sf.attributes.loc[attribute, "name"]), width=30))
-        ax.set_title(title, color=foreground_color)
+        style.finish_panel(ax, title=title,
+                           invert_y=(panel + base_panels == 0))
         ax.set_frame_on(False)
 
-    fig.set_facecolor(background_color)
-    if save_fig:
-        path_to_fig = save_fig
-        if not os.path.isabs(path_to_fig):
-            path_to_fig = os.path.join(sf.output_dir, save_fig)
-        logging.info("Output path: %s" % path_to_fig)
-        plt.savefig(path_to_fig, facecolor=background_color)
+    fig.set_facecolor(style.background)
+    _save_figure(fig, save_fig, style, output_dir=sf.output_dir)
     return fig, axes
 
 
-def _plot_raw_data(sf, ax, attribute, node_xy, foreground_color, background_color):
+RAW_NEGATIVE_COLOR = "#ff1d23"
+RAW_POSITIVE_COLOR = "#00ff44"
+RAW_MARKER_SIZES = (5, 5, 55)  # zero, min, max (safe.py:1152-1154)
+
+
+def _plot_raw_data(sf, ax, attribute, node_xy, style):
     """Size-scaled pos/neg raw-value markers with legend (safe.py:1147-1199)."""
-    with np.errstate(divide="ignore", invalid="ignore"):
-        s_zero, s_min, s_max = 5, 5, 55
-        n = sf.node2attribute[:, attribute]
-        n2a = np.abs(n)
-        if set(np.unique(n2a[~np.isnan(n2a)])).issubset([0, 1]):
-            s = np.zeros(len(n2a))
-            s[n2a > 0] = s_max
-            n_min, n_max = 0, 1
-        else:
-            n_min, n_max = np.nanpercentile(np.unique(n2a), [5, 95])
-            a = (s_max - s_min) / (n_max - n_min)
-            b = s_min - a * n_min
-            s = np.clip(a * n2a + b, s_min, s_max)
+    size_zero, size_min, size_max = RAW_MARKER_SIZES
+    values = sf.node2attribute[:, attribute]
+    magnitude = np.abs(values)
 
-        neg_color, pos_color, zero_color = "#ff1d23", "#00ff44", foreground_color
+    finite = magnitude[~np.isnan(magnitude)]
+    if set(np.unique(finite)).issubset([0, 1]):
+        sizes = np.where(magnitude > 0, size_max, 0.0)
+        value_min, value_max = 0, 1
+    else:
+        value_min, value_max = np.nanpercentile(np.unique(magnitude), [5, 95])
+        slope = (size_max - size_min) / (value_max - value_min)
+        sizes = np.clip(slope * (magnitude - value_min) + size_min,
+                        size_min, size_max)
 
-        for sel, color, size in (((n < 0), neg_color, None),
-                                 ((n > 0), pos_color, None),
-                                 ((n == 0), zero_color, s_zero)):
-            sizes = s[sel] if size is None else size
-            ax.scatter(node_xy[sel, 0], node_xy[sel, 1], s=sizes, c=color,
-                       marker=".")
+    with np.errstate(invalid="ignore"):
+        groups = ((values < 0, RAW_NEGATIVE_COLOR, None),
+                  (values > 0, RAW_POSITIVE_COLOR, None),
+                  (values == 0, style.foreground, size_zero))
+    for selector, color, fixed_size in groups:
+        ax.scatter(node_xy[selector, 0], node_xy[selector, 1],
+                   s=sizes[selector] if fixed_size is None else fixed_size,
+                   c=color, marker=".")
 
-        handles = [plt.scatter([], [], s=s_max, c=pos_color, edgecolors="none"),
-                   plt.scatter([], [], s=s_min, c=pos_color, edgecolors="none"),
-                   plt.scatter([], [], s=s_zero, c=zero_color, edgecolors="none"),
-                   plt.scatter([], [], s=s_min, c=neg_color, edgecolors="none"),
-                   plt.scatter([], [], s=s_max, c=neg_color, edgecolors="none")]
-        legend_labels = ["{0:.2f}".format(v)
-                         for v in [n_max, n_min, 0, -n_min, -n_max]]
-        leg = ax.legend(handles, legend_labels, loc="upper left",
-                        bbox_to_anchor=(0, 1), title="Raw data", scatterpoints=1,
-                        fancybox=False, facecolor=background_color,
-                        edgecolor=background_color)
-        for leg_txt in leg.get_texts():
-            leg_txt.set_color(foreground_color)
-        leg.get_title().set_color(foreground_color)
+    swatches = [(size_max, RAW_POSITIVE_COLOR), (size_min, RAW_POSITIVE_COLOR),
+                (size_zero, style.foreground), (size_min, RAW_NEGATIVE_COLOR),
+                (size_max, RAW_NEGATIVE_COLOR)]
+    handles = [plt.scatter([], [], s=s, c=c, edgecolors="none")
+               for s, c in swatches]
+    legend_values = [value_max, value_min, 0, -value_min, -value_max]
+    style.legend(ax, handles, ["{0:.2f}".format(v) for v in legend_values],
+                 title="Raw data")

@@ -645,6 +645,13 @@ class SAFE:
         if self.node_distance_metric == "shortpath_weighted_layout":
             x = coords[:, 0]
             nr = self.neighborhood_radius * (np.max(x) - np.min(x))
+            if lengths is None:
+                # same guard as the staged path: a user-supplied graph that never
+                # went through calculate_edge_lengths must not silently fall back
+                # to unit weights (hop counts against a layout-scale radius)
+                raise ValueError(
+                    "shortpath_weighted_layout requires edge 'length' attributes "
+                    "(computed by calculate_edge_lengths at network load)")
             weights = lengths
         else:
             nr = self.neighborhood_radius

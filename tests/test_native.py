@@ -28,11 +28,11 @@ def test_3col_parity(tmp_path):
         f.write("a\tc\t2.0\n")
         f.write("c\tb\t0.5\n")
     g_native = load_network_from_txt(path, seed=1, verbose=False, engine="native")
-    g_pandas = load_network_from_txt(path, seed=1, verbose=False, engine="pandas")
-    _graphs_identical(g_native, g_pandas)
+    g_python = load_network_from_txt(path, seed=1, verbose=False, engine="python")
+    _graphs_identical(g_native, g_python)
     # seeded layout on identical node order -> identical coordinates
     for n in g_native:
-        assert g_native.nodes[n]["x"] == g_pandas.nodes[n]["x"]
+        assert g_native.nodes[n]["x"] == g_python.nodes[n]["x"]
 
 
 def test_5col_parity_gz(tmp_path):
@@ -42,12 +42,12 @@ def test_5col_parity_gz(tmp_path):
         f.write("geneA\tORFA\tgeneC\tORFC\t2.0\n")
     g_native = load_network_from_txt(path, node_key_attribute="label_orf",
                                      seed=0, verbose=False, engine="native")
-    g_pandas = load_network_from_txt(path, node_key_attribute="label_orf",
-                                     seed=0, verbose=False, engine="pandas")
-    assert list(g_native.nodes) == list(g_pandas.nodes)
+    g_python = load_network_from_txt(path, node_key_attribute="label_orf",
+                                     seed=0, verbose=False, engine="python")
+    assert list(g_native.nodes) == list(g_python.nodes)
     for n in g_native:
-        assert g_native.nodes[n]["label"] == g_pandas.nodes[n]["label"]
-        assert g_native.nodes[n]["label_orf"] == g_pandas.nodes[n]["label_orf"]
+        assert g_native.nodes[n]["label"] == g_python.nodes[n]["label"]
+        assert g_native.nodes[n]["label_orf"] == g_python.nodes[n]["label_orf"]
 
 
 def test_parse_edgelist_arrays(tmp_path):

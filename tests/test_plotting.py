@@ -108,3 +108,94 @@ def test_get_colors_seeded():
     c2 = get_colors("hsv", 7, seed=4)
     np.testing.assert_array_equal(c1, c2)
     assert tuple(c1[0]) == (0, 0, 0, 1)
+
+
+# ---- content assertions (not just "returns axes") --------------------------
+
+def test_composite_network_content(analyzed):
+    """Domain-mixture panel draws every node, one id text per domain, and the
+    per-domain panels carry NES-scaled alpha in [0.2, 1]."""
+    n = analyzed.graph.number_of_nodes()
+    num_domains = int((analyzed.domains["id"] > 0).sum())
+    fig, axes = analyzed.plot_composite_network(show_each_domain=True,
+                                                color_seed=0)
+    mixture = axes[1].collections[0]
+    assert len(mixture.get_offsets()) == n
+    assert len(axes[1].texts) == num_domains  # one id label per domain
+
+    for domain in range(1, num_domains + 1):
+        panel = axes[1 + domain]
+        assert panel.get_title().startswith(f"Domain {domain}")
+        members = panel.collections[0]
+        expected = int((analyzed.node2domain["primary_domain"] == domain).sum())
+        assert len(members.get_offsets()) == expected
+        alphas = members.get_facecolors()[:, 3]
+        assert np.all((alphas >= 0.2) & (alphas <= 1.0))
+        # NES-scaled transparency is live (reference sketched and abandoned it)
+        nes = analyzed.node2domain.loc[
+            analyzed.node2domain["primary_domain"] == domain, "primary_nes"]
+        expected_alpha = np.clip(nes.values / analyzed.enrichment_max_log10,
+                                 0.2, 1.0)
+        np.testing.assert_allclose(alphas, expected_alpha, atol=1e-6)
+    plt.close("all")
+
+
+def test_attribute_map_content(analyzed):
+    """NES scatter covers all nodes, the significant nodes get exactly one mark
+    each, and the log-p colorbar axis exists."""
+    fig, axes = analyzed.plot_sample_attributes(
+        attributes="attr 0", show_raw_data=False, show_significant_nodes=True)
+    panel = axes[1]
+    n = analyzed.graph.number_of_nodes()
+    sizes = [len(c.get_offsets()) for c in panel.collections]
+    assert n in sizes  # the NES scatter
+    n_significant = int((analyzed.nes_binary[:, 0] > 0).sum())
+    assert n_significant > 0 and n_significant in sizes  # the "+" marks
+    # the colorbar was added as an extra (non-shared) axes on the figure
+    assert len(fig.axes) > len(axes)
+    plt.close("all")
+
+
+def test_costanzo_overlay_draws_contours(analyzed, tmp_path):
+    """Synthetic safe-data bundle (same-schema TSV + color table): the KDE
+    contour path draws one isoline per published process region."""
+    from safepy_tpu.plotting import plot_costanzo2016_network_annotations
+
+    other = tmp_path / "other"
+    other.mkdir()
+    half = analyzed.graph.number_of_nodes() // 2
+    rows = [("Process One", f"g{i}") for i in range(0, half, 2)]
+    rows += [("Process Two", f"g{i}") for i in range(half, 2 * half, 2)]
+    clusters = pd.DataFrame(rows, columns=[
+        "Global Similarity Network Region name", "Gene/Allele"])
+    clusters.to_csv(other / ("Data File S5_SAFE analysis_Gene cluster identity "
+                             "and functional enrichments.tsv"),
+                    sep="\t", index=False)
+    pd.DataFrame({"R": [255, 0, 64], "G": [0, 255, 64], "B": [0, 0, 192]}).to_csv(
+        other / "costanzo_2016_colors.txt", sep="\t", index=False)
+
+    fig, ax = plt.subplots()
+    plot_costanzo2016_network_annotations(analyzed.graph, ax, str(tmp_path))
+    assert len(ax.collections) == 2  # one contour set per process
+    plt.close("all")
+
+
+def test_fused_pipeline_requires_edge_lengths():
+    """run_pipeline must reject shortpath_weighted_layout on graphs without
+    'length' edge attributes, like define_neighborhoods does."""
+    import networkx as _nx
+    from safepy_tpu import SAFE as _SAFE
+
+    g = _nx.path_graph(12)
+    for node in g:
+        g.nodes[node]["x"] = float(node)
+        g.nodes[node]["y"] = 0.0
+        g.nodes[node]["label"] = g.nodes[node]["key"] = f"n{node}"
+    sf = _SAFE(verbose=False)
+    sf.load_network(network_file=g, node_key_attribute="key")
+    df = pd.DataFrame({"a": np.ones(12)}, index=[f"n{i}" for i in range(12)])
+    sf.load_attributes(attribute_file=df)
+    with pytest.raises(ValueError, match="length"):
+        sf.run_pipeline(num_permutations=10)
+    with pytest.raises(ValueError, match="length"):
+        sf.define_neighborhoods()
