@@ -18,11 +18,13 @@ jax.sharding meshes:
 from safepy_tpu.parallel.mesh import make_mesh
 from safepy_tpu.parallel.permutation_sharded import run_permutations_sharded
 from safepy_tpu.parallel.apsp_sharded import apsp_sharded
-from safepy_tpu.parallel.hypergeom_sharded import hypergeom_counts_sharded
+from safepy_tpu.parallel.hypergeom_sharded import (
+    hypergeom_counts_sharded, hypergeom_enrichment_sharded)
 
 __all__ = [
     "make_mesh",
     "run_permutations_sharded",
     "apsp_sharded",
     "hypergeom_counts_sharded",
+    "hypergeom_enrichment_sharded",
 ]

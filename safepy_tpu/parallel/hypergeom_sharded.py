@@ -53,3 +53,44 @@ def hypergeom_counts_sharded(neighborhoods, node2attribute, *, mesh: Mesh,
 
     counts, nsize = _census(nbr, vals, nodes_not_nan, mesh=mesh, axis=axis)
     return counts[:, :A], nsize
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "axis", "M", "iterations",
+                                             "threshold"))
+def _enrichment(nbr, vals, lgt, *, mesh, axis, M, iterations, threshold):
+    from safepy_tpu.pipeline import _hypergeom_tail
+
+    return _hypergeom_tail(nbr, vals, lgt, M, threshold, iterations=iterations,
+                           mesh=mesh, attr_axis=axis)
+
+
+def hypergeom_enrichment_sharded(neighborhoods, node2attribute, *, mesh: Mesh,
+                                 axis: str = "attr",
+                                 enrichment_threshold: float = 0.05,
+                                 iterations: int | None = None):
+    """Full sharded hypergeometric enrichment for the staged facade path.
+
+    Columns of ``node2attribute`` shard over `axis`; every device runs its own
+    census matmuls AND survival-function tail (ops/hypergeom._sf_parts) with no
+    inter-device traffic — the GO-scale flagship batch case on as many chips as
+    the mesh provides (reference analog: the column-chunked CLI pool,
+    safepy/safe.py:1335-1355).
+
+    Returns ``(nes_f32, log_sf_f32, nes_binary_int8)``, each (N, A) and sharded
+    over `axis`; p-values materialize host-side as ``exp(float64(log_sf))``.
+    """
+    import numpy as np
+
+    from safepy_tpu.ops.hypergeom import lgamma_table, tail_iterations
+
+    n2a = np.asarray(node2attribute, dtype=np.float64)
+    M = int(np.any(~np.isnan(n2a), axis=1).sum())
+    if iterations is None:
+        totals = np.nansum(n2a, axis=0)
+        k_max = int(max(1, np.nanmax(totals))) if totals.size else 1
+        iterations = tail_iterations(M, min(k_max, max(M, 1)))
+    lgt = jnp.asarray(lgamma_table(max(M, 1)))
+    nbr = jnp.asarray(neighborhoods, jnp.float32)
+    return _enrichment(nbr, jnp.asarray(n2a), lgt, mesh=mesh, axis=axis,
+                       M=M, iterations=int(iterations),
+                       threshold=float(enrichment_threshold))

@@ -11,6 +11,13 @@ device-resident matrices plus the scalar stats:
   * :func:`fused_hypergeom_pipeline` — shortest-path neighborhoods + the census
     matmuls and survival-function tail parts for binary annotation matrices.
 
+Both accept an optional ``mesh`` and then compose the multi-chip shards into the
+SAME single dispatch: the Floyd-Warshall rounds row-sharded over the 'data' axis
+(pivot panels pmin-broadcast over ICI), the permutation batch sharded over every
+mesh axis with psum count reduction, and the hypergeometric tail column-sharded
+over an 'attr' axis — the reference's two pool parallelisms (safepy/safe.py:501-519
+and 1335-1355) as collectives inside one program instead of process boundaries.
+
 ``SAFE.run_pipeline`` drives these and then populates the same instance
 attributes the stage methods produce.
 """
@@ -21,9 +28,10 @@ import functools
 
 import jax
 import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
 
-from safepy_tpu.ops.apsp import _apsp_jax, _on_tpu
-from safepy_tpu.ops.hypergeom import _sf_parts  # device tail-sum core
+from safepy_tpu.ops.apsp import _apsp_jax, _on_tpu, pad_distances
+from safepy_tpu.ops.hypergeom import _sf_parts, finalize_logsf_device
 from safepy_tpu.ops.neighborhoods import threshold_and_stats
 from safepy_tpu.ops.permutation import prepare_valid, scan_counts
 from safepy_tpu.ops.score import compute_neighborhood_score
@@ -32,42 +40,118 @@ _DOT_KW = dict(precision=jax.lax.Precision.HIGHEST,
                preferred_element_type=jnp.float32)
 
 
-def _apsp_inline(d0, block):
+def _apsp_inline(d0, block, mesh=None, data_axis="data"):
+    """FW distances inside a fused program: row-sharded over `data_axis` when the
+    mesh has one, local Pallas/jnp otherwise."""
+    if mesh is not None and data_axis in mesh.shape:
+        from safepy_tpu.parallel.apsp_sharded import _apsp_sharded_impl
+
+        n = d0.shape[0]
+        d = pad_distances(d0, block * mesh.shape[data_axis])
+        out = _apsp_sharded_impl(d, mesh=mesh, axis=data_axis, block=block,
+                                 use_pallas=_on_tpu())
+        return out[:n, :n]
     if _on_tpu():
         from safepy_tpu.ops.apsp_pallas import apsp_blocked_fw
         return apsp_blocked_fw(d0, block=block)
     return _apsp_jax(d0)
 
 
+def _sharded_null(nbr_valid, vals, mask, obs, key, mesh, *, score_type,
+                  per_device, batch_size, precision):
+    """Permutation counts sharded over every mesh axis, psum-reduced over ICI."""
+    axes = tuple(mesh.axis_names)
+    ndev = 1
+    for a in axes:
+        ndev *= mesh.shape[a]
+    keys = jax.random.split(key, ndev)
+
+    @functools.partial(jax.shard_map, mesh=mesh,
+                       in_specs=(P(), P(), P(), P(), P(axes)),
+                       out_specs=(P(), P()))
+    def worker(nbr_valid, vals, mask, obs, key_slice):
+        cn, cp = scan_counts(nbr_valid, vals, mask, obs, key_slice[0],
+                             score_type=score_type, num_permutations=per_device,
+                             batch_size=batch_size, precision=precision)
+        return jax.lax.psum(cn, axes), jax.lax.psum(cp, axes)
+
+    return worker(nbr_valid, vals, mask, obs, keys)
+
+
 @functools.partial(jax.jit, static_argnames=(
     "score_type", "num_permutations", "batch_size", "strict", "block",
-    "precision"))
+    "precision", "mesh"))
 def fused_permutation_pipeline(d0, vals, valid_rows, key, radius, *,
                                score_type: str = "sum",
                                num_permutations: int = 1000,
                                batch_size: int = 1000,
                                strict: bool = False, block: int = 128,
-                               precision: str = "highest"):
+                               precision: str = "highest", mesh=None):
     """APSP + neighborhoods + observed scores + permutation counts, one dispatch.
 
-    Returns (dist, nbr, obs, counts_neg, counts_pos, mean_size, std_size); the
-    matrices stay on device.
+    With a mesh, ``num_permutations`` is the PER-DEVICE count (the facade rounds
+    the total up to a device multiple, like the reference rounds to its worker
+    count, safe.py:503-504). Returns (dist, nbr, obs, counts_neg, counts_pos,
+    mean_size, std_size); the matrices stay on device.
     """
-    dist = _apsp_inline(d0, block)
+    dist = _apsp_inline(d0, block, mesh)
     nbr, mean, std = threshold_and_stats(dist, radius, strict=strict)
     obs = compute_neighborhood_score(nbr, vals, score_type, precision)
     nbr_valid, v, m = prepare_valid(nbr, vals, valid_rows)
-    counts_neg, counts_pos = scan_counts(
-        nbr_valid, v, m, obs, key, score_type=score_type,
-        num_permutations=num_permutations, batch_size=batch_size,
-        precision=precision)
+    if mesh is None:
+        counts_neg, counts_pos = scan_counts(
+            nbr_valid, v, m, obs, key, score_type=score_type,
+            num_permutations=num_permutations, batch_size=batch_size,
+            precision=precision)
+    else:
+        counts_neg, counts_pos = _sharded_null(
+            nbr_valid, v, m, obs, key, mesh, score_type=score_type,
+            per_device=num_permutations, batch_size=batch_size,
+            precision=precision)
     return dist, nbr, obs, counts_neg, counts_pos, mean, std
 
 
-@functools.partial(jax.jit, static_argnames=("iterations", "strict", "block"))
+def _hypergeom_tail(nbr, vals, lgt, M, enrichment_threshold, *, iterations,
+                    mesh=None, attr_axis="attr"):
+    """Census matmuls + survival tail + device finalization; columns sharded over
+    `attr_axis` when the mesh has one (reference CLI column parallelism,
+    safe.py:1335-1355, with zero inter-device traffic)."""
+    finite = jnp.isfinite(vals)
+    nan0 = jnp.where(finite, vals, 0.0).astype(jnp.float32)
+    nodes_not_nan = jnp.any(finite, axis=1).astype(jnp.float32)
+
+    def tail(nbr, nan0_cols, nodes_not_nan, lgt):
+        nsize = jnp.dot(nbr, nodes_not_nan, **_DOT_KW)
+        counts = jnp.dot(nbr, nan0_cols, **_DOT_KW)
+        K = jnp.sum(nan0_cols, axis=0)
+        k64 = counts.astype(jnp.float64)
+        K64 = jnp.broadcast_to(K.astype(jnp.float64)[None, :], counts.shape)
+        n64 = jnp.broadcast_to(nsize.astype(jnp.float64)[:, None], counts.shape)
+        parts = _sf_parts(k64, M, K64, n64, lgt, iterations)
+        return finalize_logsf_device(parts, enrichment_threshold)
+
+    if mesh is None or attr_axis not in mesh.shape:
+        return tail(nbr, nan0, nodes_not_nan, lgt)
+
+    num_attrs = nan0.shape[1]
+    pad = (-num_attrs) % mesh.shape[attr_axis]
+    if pad:
+        nan0 = jnp.pad(nan0, ((0, 0), (0, pad)))
+
+    worker = jax.shard_map(
+        tail, mesh=mesh,
+        in_specs=(P(), P(None, attr_axis), P(), P()),
+        out_specs=(P(None, attr_axis),) * 3)
+    nes32, log_sf32, nes_binary = worker(nbr, nan0, nodes_not_nan, lgt)
+    return (nes32[:, :num_attrs], log_sf32[:, :num_attrs],
+            nes_binary[:, :num_attrs])
+
+
+@functools.partial(jax.jit, static_argnames=("iterations", "strict", "block",
+                                             "mesh"))
 def fused_hypergeom_pipeline(d0, vals, lgt, M, radius, enrichment_threshold, *,
                              iterations: int, strict: bool = False,
-                             block: int = 128):
+                             block: int = 128, mesh=None):
     """APSP + neighborhoods + hypergeometric enrichment, one dispatch.
 
     vals: (N, A) with NaNs. Returns (dist, nbr, nes_f32, log_sf_f32,
@@ -76,22 +160,9 @@ def fused_hypergeom_pipeline(d0, vals, lgt, M, radius, enrichment_threshold, *,
     precision recipe; the N x N matrices stay on device and the downloads are
     two f32 (N, A) matrices plus an int8 indicator.
     """
-    from safepy_tpu.ops.hypergeom import finalize_logsf_device
-
-    dist = _apsp_inline(d0, block)
+    dist = _apsp_inline(d0, block, mesh)
     nbr, mean, std = threshold_and_stats(dist, radius, strict=strict)
-
-    finite = jnp.isfinite(vals)
-    nan0 = jnp.where(finite, vals, 0.0).astype(jnp.float32)
-    nodes_not_nan = jnp.any(finite, axis=1)
-    nsize = jnp.dot(nbr, nodes_not_nan.astype(jnp.float32), **_DOT_KW)
-    counts = jnp.dot(nbr, nan0, **_DOT_KW)
-    K = jnp.sum(nan0, axis=0)
-
-    k64 = counts.astype(jnp.float64)
-    K64 = jnp.broadcast_to(K.astype(jnp.float64)[None, :], counts.shape)
-    n64 = jnp.broadcast_to(nsize.astype(jnp.float64)[:, None], counts.shape)
-    parts = _sf_parts(k64, M, K64, n64, lgt, iterations)
-    nes32, log_sf32, nes_binary = finalize_logsf_device(parts,
-                                                        enrichment_threshold)
+    nes32, log_sf32, nes_binary = _hypergeom_tail(
+        nbr, vals, lgt, M, enrichment_threshold, iterations=iterations,
+        mesh=mesh)
     return dist, nbr, nes32, log_sf32, nes_binary, mean, std

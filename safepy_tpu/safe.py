@@ -115,6 +115,8 @@ class SAFE:
         self._nes_dev = None
         self.nes_threshold = None
         self.nes_binary = None
+        # device-decided significance indicator awaiting _update_binary_enrichment
+        self._nes_binary_pending = None
 
         self.attribute_unimodality_metric = "connectivity"
         self.attribute_distance_metric = "jaccard"
@@ -476,6 +478,32 @@ class SAFE:
             logging.info("Using the hypergeometric test to calculate enrichment...")
 
         n2a = self.node2attribute
+
+        if self.mesh is not None and "attr" in self.mesh.shape:
+            # attribute-column parallelism over the mesh (the reference's CLI
+            # pool, safe.py:1335-1355): census AND sf tail inside the shard_map
+            # workers, gather only the f32 (N, A) results
+            from safepy_tpu.parallel import hypergeom_enrichment_sharded
+            nes32, log_sf32, nes_binary8 = hypergeom_enrichment_sharded(
+                self._neighborhoods_device(), n2a, mesh=self.mesh,
+                enrichment_threshold=self.enrichment_threshold)
+            if self.multiple_testing:
+                if self.verbose:
+                    logging.info("Running FDR-adjustment of p-values...")
+                log_sf = np.asarray(log_sf32, dtype=np.float64)
+                with np.errstate(over="ignore"):
+                    self.pvalues_pos = np.asarray(_fdr.fdr_bh(np.exp(log_sf)))
+                with np.errstate(divide="ignore"):
+                    self.nes = -np.log10(self.pvalues_pos)
+            else:
+                self._pvalues_pos_np = None
+                self._logsf_dev = log_sf32
+                self._nes_np = None
+                self._nes_dev = nes32
+                # significance decided on device in f64 before the f32 rounding
+                self._nes_binary_pending = np.asarray(nes_binary8).astype(float)
+            return
+
         nodes_not_nan = np.any(~np.isnan(n2a), axis=1)
         n = int(np.sum(nodes_not_nan))
 
@@ -541,6 +569,9 @@ class SAFE:
 
     def _update_binary_enrichment(self, nes_binary=None):
         """nes_binary + per-attribute enriched counts (safe.py:468-472)."""
+        if nes_binary is None and self._nes_binary_pending is not None:
+            nes_binary = self._nes_binary_pending
+            self._nes_binary_pending = None
         if nes_binary is not None:
             self.nes_binary = nes_binary
         else:
@@ -634,8 +665,7 @@ class SAFE:
         self.validate_config()
 
         if (self.node_distance_metric == "euclidean"
-                or self.background == "network"
-                or self.mesh is not None):
+                or self.background == "network"):
             self.define_neighborhoods()
             self.compute_pvalues()
             return
@@ -678,7 +708,8 @@ class SAFE:
             (dist, nbr, nes32, log_sf32, nesbin8, mean, std) = \
                 _pipe.fused_hypergeom_pipeline(
                     d0, jnp.asarray(n2a), lgt, M, radius,
-                    np.float64(self.enrichment_threshold), iterations=iters)
+                    np.float64(self.enrichment_threshold), iterations=iters,
+                    mesh=self.mesh)
             if self.multiple_testing:
                 log_sf = np.asarray(log_sf32, dtype=np.float64)
                 with np.errstate(over="ignore"):
@@ -700,14 +731,23 @@ class SAFE:
                 seed = int(np.random.default_rng().integers(2 ** 31 - 1))
             key = jax.random.PRNGKey(seed)
             V, A = len(valid_rows), n2a.shape[1]
-            batch = _perm.default_batch_size(V, A, int(self.num_permutations))
+            per_device = int(self.num_permutations)
+            if self.mesh is not None:
+                # batch rounds up to a device multiple, like the reference's
+                # worker-count rounding (safe.py:503-504)
+                ndev = int(np.prod([self.mesh.shape[a]
+                                    for a in self.mesh.axis_names]))
+                per_device = -(-per_device // ndev)
+                self.num_permutations = per_device * ndev
+            batch = _perm.default_batch_size(V, A, per_device)
             (dist, nbr, obs, counts_neg, counts_pos, mean, std) = \
                 _pipe.fused_permutation_pipeline(
                     d0, jnp.asarray(n2a, jnp.float32),
                     jnp.asarray(valid_rows, jnp.int32), key, radius,
                     score_type=self.neighborhood_score_type,
-                    num_permutations=int(self.num_permutations),
-                    batch_size=batch, precision=self.matmul_precision)
+                    num_permutations=per_device,
+                    batch_size=batch, precision=self.matmul_precision,
+                    mesh=self.mesh)
             obs = np.asarray(obs)
             self.ns = obs
             self._finalize_randomization(counts_neg, counts_pos, obs)
