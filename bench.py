@@ -136,17 +136,39 @@ def main(argv=None):
     nes = run_pipeline(sf, attr_df, args.permutations)
     wall = time.time() - t0
 
-    # isolated APSP steady-state (the headline kernel), forced complete via a
-    # scalar readback
+    # isolated APSP steady-state, forced complete via a scalar readback:
+    # the production path (radius-bounded banded FW when certified) AND the
+    # exact full-matrix kernel
     import jax.numpy as jnp
+    from safepy_tpu.io.graph_arrays import graph_to_arrays
     from safepy_tpu.ops.apsp import apsp
-    d0 = sf._d0_cache.get(sf.node_distance_metric)
+    from safepy_tpu.ops.neighborhoods import dense_initial_distances
+
+    coords_arr, edges_arr, lengths_arr, _w = graph_to_arrays(sf.graph)
+    d0 = jnp.asarray(dense_initial_distances(
+        sf.graph.number_of_nodes(), edges_arr, lengths_arr, np.float32))
     dist = apsp(d0)
     _ = float(np.asarray(dist[0, 0]))
     t0 = time.time()
     dist = apsp(d0)
     _ = float(np.asarray(dist[0, 0]))
-    apsp_s = time.time() - t0
+    apsp_full_s = time.time() - t0
+
+    apsp_s = apsp_full_s
+    plan = next((p for p in sf._banded_cache.values() if p is not None), None)
+    if plan is not None:
+        from safepy_tpu.ops.apsp_banded import apsp_banded_unpermuted
+        from safepy_tpu.ops.neighborhoods import inclusive_radius
+        d0p, rank_dev, window = plan
+        nr = sf.neighborhood_radius * (coords_arr[:, 0].max()
+                                       - coords_arr[:, 0].min())
+        radius = inclusive_radius(nr)
+        dist_b = apsp_banded_unpermuted(d0p, rank_dev, radius, window=window)
+        _ = float(np.asarray(dist_b[0, 0]))
+        t0 = time.time()
+        dist_b = apsp_banded_unpermuted(d0p, rank_dev, radius, window=window)
+        _ = float(np.asarray(dist_b[0, 0]))
+        apsp_s = time.time() - t0
 
     enriched = int((sf.nes_binary > 0).sum())
     detail = {
@@ -154,6 +176,7 @@ def main(argv=None):
         "edges": g.number_of_edges(),
         "num_permutations": args.permutations,
         "apsp_steady_s": round(apsp_s, 4),
+        "apsp_full_kernel_steady_s": round(apsp_full_s, 4),
         # synthetic network — NOT comparable to the reference's real-data
         # 637+/-20 (tests/test_enrichments.py:100); compare against
         # reference_enriched_same_network below instead
@@ -202,6 +225,27 @@ def _custom_bench(args):
     t0 = time.time()
     run()
     wall = time.time() - t0
+
+    # isolated APSP steady for the production path (banded when certified), so
+    # the FW-vs-null split of the e2e number is visible
+    apsp_s = None
+    plan = next((p for p in sf._banded_cache.values() if p is not None), None)
+    if plan is not None:
+        from safepy_tpu.io.graph_arrays import graph_to_arrays
+        from safepy_tpu.ops.apsp_banded import apsp_banded_unpermuted
+        from safepy_tpu.ops.neighborhoods import inclusive_radius
+        coords_arr, _e, _l, _w = graph_to_arrays(sf.graph)
+        radius = inclusive_radius(sf.neighborhood_radius
+                                  * (coords_arr[:, 0].max()
+                                     - coords_arr[:, 0].min()))
+        d0p, rank_dev, window = plan
+        dist_b = apsp_banded_unpermuted(d0p, rank_dev, radius, window=window)
+        _ = float(np.asarray(dist_b[0, 0]))
+        t0 = time.time()
+        dist_b = apsp_banded_unpermuted(d0p, rank_dev, radius, window=window)
+        _ = float(np.asarray(dist_b[0, 0]))
+        apsp_s = round(time.time() - t0, 4)
+
     print(json.dumps({
         "metric": "custom_e2e_wall_s",
         "value": round(wall, 4),
@@ -210,6 +254,7 @@ def _custom_bench(args):
         "detail": {"nodes": n, "edges": g.number_of_edges(),
                    "attributes": args.attributes, "binary": args.binary,
                    "num_permutations": args.permutations,
+                   "apsp_steady_s": apsp_s,
                    "enriched": int((sf.nes_binary > 0).sum())},
     }))
     return 0

@@ -12,6 +12,12 @@ biological network and a matrix of node attributes, SAFE
   3. clusters co-enriched attributes into domains (`safepy_tpu.domains`),
   4. renders the functional landscape (`safepy_tpu.plotting`).
 
+SAFE has no neural networks — the "models" this framework ships are the compiled
+end-to-end analysis programs at three altitudes: the stateful `SAFE` session (the
+eager interface), the fused jit programs in `safepy_tpu.pipeline` (graph +
+attributes in, enrichment out, one dispatch), and their mesh-sharded multi-chip
+compositions in `safepy_tpu.parallel`.
+
 Architecture (three tiers, replacing the reference's god-class internals):
 
   * device core (`safepy_tpu.ops`, `safepy_tpu.parallel`) — pure functions on arrays,

@@ -60,8 +60,13 @@ def hypergeom_counts_sharded(neighborhoods, node2attribute, *, mesh: Mesh,
 def _enrichment(nbr, vals, lgt, *, mesh, axis, M, iterations, threshold):
     from safepy_tpu.pipeline import _hypergeom_tail
 
-    return _hypergeom_tail(nbr, vals, lgt, M, threshold, iterations=iterations,
-                           mesh=mesh, attr_axis=axis)
+    nes32, log_sf32, nes_binary = _hypergeom_tail(
+        nbr, vals, lgt, M, threshold, iterations=iterations,
+        mesh=mesh, attr_axis=axis)
+    # per-attribute enriched counts reduced on device (the only download the
+    # count-consuming workflows need)
+    counts = jnp.sum(nes_binary, axis=0, dtype=jnp.int32)
+    return nes32, log_sf32, nes_binary, counts
 
 
 def hypergeom_enrichment_sharded(neighborhoods, node2attribute, *, mesh: Mesh,
@@ -76,8 +81,9 @@ def hypergeom_enrichment_sharded(neighborhoods, node2attribute, *, mesh: Mesh,
     the mesh provides (reference analog: the column-chunked CLI pool,
     safepy/safe.py:1335-1355).
 
-    Returns ``(nes_f32, log_sf_f32, nes_binary_int8)``, each (N, A) and sharded
-    over `axis`; p-values materialize host-side as ``exp(float64(log_sf))``.
+    Returns ``(nes_f32, log_sf_f32, nes_binary_int8, enriched_counts_int32)``;
+    the matrices are (N, A) sharded over `axis`, the counts are (A,); p-values
+    materialize host-side as ``exp(float64(log_sf))``.
     """
     import numpy as np
 

@@ -40,9 +40,21 @@ _DOT_KW = dict(precision=jax.lax.Precision.HIGHEST,
                preferred_element_type=jnp.float32)
 
 
-def _apsp_inline(d0, block, mesh=None, data_axis="data"):
-    """FW distances inside a fused program: row-sharded over `data_axis` when the
-    mesh has one, local Pallas/jnp otherwise."""
+def _apsp_inline(d0, block, mesh=None, data_axis="data", window=None,
+                 inv_rank=None, radius=None):
+    """FW distances inside a fused program: radius-bounded banded FW when the
+    caller certified a band (see ops/apsp_banded.py), row-sharded over
+    `data_axis` when the mesh has one, local Pallas/jnp otherwise."""
+    if window is not None and (mesh is None or data_axis not in mesh.shape):
+        from safepy_tpu.ops.apsp_banded import apsp_banded_unpermuted
+
+        dist = apsp_banded_unpermuted(d0, inv_rank, radius, window=window,
+                                      block=block)
+        # materialize the un-permuted matrix ONCE: without the barrier XLA can
+        # sink the gather+transpose chain into downstream consumers (e.g. the
+        # permutation-count scan) and re-evaluate it per chunk — measured ~25 s
+        # of redundant gathers at 20k nodes
+        return jax.lax.optimization_barrier(dist)
     if mesh is not None and data_axis in mesh.shape:
         from safepy_tpu.parallel.apsp_sharded import _apsp_sharded_impl
 
@@ -80,21 +92,24 @@ def _sharded_null(nbr_valid, vals, mask, obs, key, mesh, *, score_type,
 
 @functools.partial(jax.jit, static_argnames=(
     "score_type", "num_permutations", "batch_size", "strict", "block",
-    "precision", "mesh"))
+    "precision", "mesh", "window"))
 def fused_permutation_pipeline(d0, vals, valid_rows, key, radius, *,
                                score_type: str = "sum",
                                num_permutations: int = 1000,
                                batch_size: int = 1000,
                                strict: bool = False, block: int = 128,
-                               precision: str = "highest", mesh=None):
+                               precision: str = "highest", mesh=None,
+                               window=None, inv_rank=None):
     """APSP + neighborhoods + observed scores + permutation counts, one dispatch.
 
     With a mesh, ``num_permutations`` is the PER-DEVICE count (the facade rounds
     the total up to a device multiple, like the reference rounds to its worker
-    count, safe.py:503-504). Returns (dist, nbr, obs, counts_neg, counts_pos,
-    mean_size, std_size); the matrices stay on device.
+    count, safe.py:503-504). With a `window`, `d0` is in the banded order and
+    `inv_rank` maps back to the node frame. Returns (dist, nbr, obs,
+    counts_neg, counts_pos, mean_size, std_size); the matrices stay on device.
     """
-    dist = _apsp_inline(d0, block, mesh)
+    dist = _apsp_inline(d0, block, mesh, window=window, inv_rank=inv_rank,
+                        radius=radius)
     nbr, mean, std = threshold_and_stats(dist, radius, strict=strict)
     obs = compute_neighborhood_score(nbr, vals, score_type, precision)
     nbr_valid, v, m = prepare_valid(nbr, vals, valid_rows)
@@ -148,10 +163,11 @@ def _hypergeom_tail(nbr, vals, lgt, M, enrichment_threshold, *, iterations,
 
 
 @functools.partial(jax.jit, static_argnames=("iterations", "strict", "block",
-                                             "mesh"))
+                                             "mesh", "window"))
 def fused_hypergeom_pipeline(d0, vals, lgt, M, radius, enrichment_threshold, *,
                              iterations: int, strict: bool = False,
-                             block: int = 128, mesh=None):
+                             block: int = 128, mesh=None,
+                             window=None, inv_rank=None):
     """APSP + neighborhoods + hypergeometric enrichment, one dispatch.
 
     vals: (N, A) with NaNs. Returns (dist, nbr, nes_f32, log_sf_f32,
@@ -160,9 +176,13 @@ def fused_hypergeom_pipeline(d0, vals, lgt, M, radius, enrichment_threshold, *,
     precision recipe; the N x N matrices stay on device and the downloads are
     two f32 (N, A) matrices plus an int8 indicator.
     """
-    dist = _apsp_inline(d0, block, mesh)
+    dist = _apsp_inline(d0, block, mesh, window=window, inv_rank=inv_rank,
+                        radius=radius)
     nbr, mean, std = threshold_and_stats(dist, radius, strict=strict)
     nes32, log_sf32, nes_binary = _hypergeom_tail(
         nbr, vals, lgt, M, enrichment_threshold, iterations=iterations,
         mesh=mesh)
-    return dist, nbr, nes32, log_sf32, nes_binary, mean, std
+    # per-attribute enriched counts reduced ON DEVICE: workflows that only need
+    # the counts (GO-scale batch) skip the (N, A) indicator download entirely
+    enriched_counts = jnp.sum(nes_binary, axis=0, dtype=jnp.int32)
+    return dist, nbr, nes32, log_sf32, nes_binary, enriched_counts, mean, std

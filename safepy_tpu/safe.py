@@ -73,6 +73,10 @@ class SAFE:
         # device-resident FW initializations, keyed by distance metric; valid as
         # long as the loaded graph is unchanged (cleared by load_network)
         self._d0_cache = {}
+        # 'auto' = radius-bounded banded FW when the geometric certificate holds
+        # (ops/apsp_banded.py); 'full' = always the exact full-matrix kernel
+        self.apsp_mode = "auto"
+        self._banded_cache = {}
         self.node_key_attribute = "label_orf"
 
         self.attributes = None
@@ -114,8 +118,9 @@ class SAFE:
         self._nes_np = None
         self._nes_dev = None
         self.nes_threshold = None
-        self.nes_binary = None
-        # device-decided significance indicator awaiting _update_binary_enrichment
+        self._nes_binary_np = None
+        self._nes_binary_dev = None
+        # (indicator_dev, counts) decided on device, awaiting _update_binary_enrichment
         self._nes_binary_pending = None
 
         self.attribute_unimodality_metric = "connectivity"
@@ -218,6 +223,7 @@ class SAFE:
                    ", ".join(map(str, self.graph.nodes[0].keys()))))
 
         self._d0_cache = {}
+        self._banded_cache = {}
         nx.set_node_attributes(self.graph, key_list, name="key")
         label_list = nx.get_node_attributes(self.graph, "label")
         self.nodes = pd.DataFrame(data={"id": list(label_list.keys()),
@@ -318,16 +324,25 @@ class SAFE:
                 nr = self.neighborhood_radius
                 weights = edge_weights
 
-            d0_dev = self._d0_cache.get(self.node_distance_metric)
-            if d0_dev is None:
-                d0_dev = jnp.asarray(_nbr.dense_initial_distances(
-                    num_nodes, edges, weights, dtype=np.float32))
-                self._d0_cache[self.node_distance_metric] = d0_dev
-            if self.mesh is not None and "data" in self.mesh.shape:
-                from safepy_tpu.parallel import apsp_sharded
-                dist_dev = apsp_sharded(d0_dev, self.mesh, axis="data")
+            on_data_mesh = self.mesh is not None and "data" in self.mesh.shape
+            plan = None if on_data_mesh else self._banded_plan(
+                coords, edges, weights, num_nodes, nr)
+            if plan is not None:
+                from safepy_tpu.ops.apsp_banded import apsp_banded_unpermuted
+                d0p, rank_dev, window = plan
+                dist_dev = apsp_banded_unpermuted(
+                    d0p, rank_dev, _nbr.inclusive_radius(nr), window=window)
             else:
-                dist_dev = _apsp_run(d0_dev)
+                d0_dev = self._d0_cache.get(self.node_distance_metric)
+                if d0_dev is None:
+                    d0_dev = jnp.asarray(_nbr.dense_initial_distances(
+                        num_nodes, edges, weights, dtype=np.float32))
+                    self._d0_cache[self.node_distance_metric] = d0_dev
+                if on_data_mesh:
+                    from safepy_tpu.parallel import apsp_sharded
+                    dist_dev = apsp_sharded(d0_dev, self.mesh, axis="data")
+                else:
+                    dist_dev = _apsp_run(d0_dev)
             nbr_dev, mean, std = _nbr.threshold_and_stats(
                 dist_dev, _nbr.inclusive_radius(nr), strict=False)
 
@@ -396,6 +411,49 @@ class SAFE:
         self._pvalues_pos_np = value
         self._logsf_dev = None
 
+    @property
+    def nes_binary(self):
+        if self._nes_binary_np is None and self._nes_binary_dev is not None:
+            self._nes_binary_np = np.asarray(self._nes_binary_dev).astype(float)
+        return self._nes_binary_np
+
+    @nes_binary.setter
+    def nes_binary(self, value):
+        self._nes_binary_np = value
+        self._nes_binary_dev = None
+
+    def _banded_plan(self, coords, edges, lengths, num_nodes, nr):
+        """(d0_permuted_dev, rank_dev, window) or None — certified banded-FW
+        plan for shortpath_weighted_layout (ops/apsp_banded.py). The geometric
+        certificate requires edge lengths to BE the Euclidean endpoint
+        distances (unit edge weights); anything else falls back to the full
+        kernel. Cached per radius; cleared with the graph."""
+        if (self.apsp_mode != "auto"
+                or self.node_distance_metric != "shortpath_weighted_layout"
+                or lengths is None or len(edges) == 0):
+            return None
+        key = float(np.float32(nr))
+        if key in self._banded_cache:
+            return self._banded_cache[key]
+
+        from safepy_tpu.ops import apsp_banded as _banded
+
+        plan = None
+        euclid = np.hypot(coords[edges[:, 0], 0] - coords[edges[:, 1], 0],
+                          coords[edges[:, 0], 1] - coords[edges[:, 1], 1])
+        if np.allclose(lengths, euclid, rtol=1e-7, atol=1e-12):
+            order, band = _banded.banded_order(coords, nr * (1 + 1e-5))
+            window = _banded.window_width(num_nodes, band)
+            npad = -(-num_nodes // 128) * 128
+            if window <= 0.75 * npad:  # below this the gather overhead wins
+                rank = np.empty(num_nodes, dtype=np.int64)
+                rank[order] = np.arange(num_nodes)
+                d0p = _nbr.dense_initial_distances(
+                    num_nodes, rank[edges], lengths, dtype=np.float32)
+                plan = (jnp.asarray(d0p), jnp.asarray(rank, jnp.int32), window)
+        self._banded_cache[key] = plan
+        return plan
+
     def _neighborhoods_device(self):
         """(N, N) f32 device array of the indicator, uploading if necessary."""
         if self._neighborhoods_dev is None:
@@ -408,13 +466,16 @@ class SAFE:
     def __getstate__(self):
         """Pickle support (SAFE.save): materialize NumPy, drop device arrays."""
         _ = self.neighborhoods, self.node_distances  # force lazy downloads
-        _ = self.pvalues_pos, self.nes  # and the lazy statistics
+        _ = self.pvalues_pos, self.nes, self.nes_binary  # and the lazy statistics
         state = dict(self.__dict__)
         state["_neighborhoods_dev"] = None
         state["_node_distances_dev"] = None
         state["_logsf_dev"] = None
         state["_nes_dev"] = None
+        state["_nes_binary_dev"] = None
+        state["_nes_binary_pending"] = None
         state["_d0_cache"] = {}
+        state["_banded_cache"] = {}
         state["mesh"] = None  # Mesh holds live Device objects; not picklable
         return state
 
@@ -484,9 +545,10 @@ class SAFE:
             # pool, safe.py:1335-1355): census AND sf tail inside the shard_map
             # workers, gather only the f32 (N, A) results
             from safepy_tpu.parallel import hypergeom_enrichment_sharded
-            nes32, log_sf32, nes_binary8 = hypergeom_enrichment_sharded(
-                self._neighborhoods_device(), n2a, mesh=self.mesh,
-                enrichment_threshold=self.enrichment_threshold)
+            nes32, log_sf32, nes_binary8, counts_dev = \
+                hypergeom_enrichment_sharded(
+                    self._neighborhoods_device(), n2a, mesh=self.mesh,
+                    enrichment_threshold=self.enrichment_threshold)
             if self.multiple_testing:
                 if self.verbose:
                     logging.info("Running FDR-adjustment of p-values...")
@@ -500,8 +562,9 @@ class SAFE:
                 self._logsf_dev = log_sf32
                 self._nes_np = None
                 self._nes_dev = nes32
-                # significance decided on device in f64 before the f32 rounding
-                self._nes_binary_pending = np.asarray(nes_binary8).astype(float)
+                # significance decided on device in f64 before the f32 rounding;
+                # only the (A,) counts cross the relay here
+                self._nes_binary_pending = (nes_binary8, np.asarray(counts_dev))
             return
 
         nodes_not_nan = np.any(~np.isnan(n2a), axis=1)
@@ -567,20 +630,28 @@ class SAFE:
         else:
             self.nes = nes_pos - nes_neg
 
-    def _update_binary_enrichment(self, nes_binary=None):
-        """nes_binary + per-attribute enriched counts (safe.py:468-472)."""
-        if nes_binary is None and self._nes_binary_pending is not None:
-            nes_binary = self._nes_binary_pending
+    def _update_binary_enrichment(self, nes_binary_dev=None, enriched_counts=None):
+        """nes_binary + per-attribute enriched counts (safe.py:468-472).
+
+        The device paths hand over the int8 indicator WITHOUT downloading it
+        (lazy, like nes) plus the (A,) counts reduced on device — the (N, A)
+        indicator only crosses the relay if something actually reads it.
+        """
+        if nes_binary_dev is None and self._nes_binary_pending is not None:
+            nes_binary_dev, enriched_counts = self._nes_binary_pending
             self._nes_binary_pending = None
-        if nes_binary is not None:
-            self.nes_binary = nes_binary
+        if nes_binary_dev is not None:
+            self._nes_binary_dev = nes_binary_dev
+            self._nes_binary_np = None
         else:
             idx = ~np.isnan(self.nes)
-            self.nes_binary = np.zeros(self.nes.shape)
-            self.nes_binary[idx] = (np.abs(self.nes[idx])
-                                    > -np.log10(self.enrichment_threshold))
-        self.attributes["num_neighborhoods_enriched"] = np.sum(self.nes_binary,
-                                                               axis=0)
+            nes_binary = np.zeros(self.nes.shape)
+            nes_binary[idx] = (np.abs(self.nes[idx])
+                               > -np.log10(self.enrichment_threshold))
+            self.nes_binary = nes_binary
+        if enriched_counts is None:
+            enriched_counts = np.sum(self.nes_binary, axis=0)
+        self.attributes["num_neighborhoods_enriched"] = np.asarray(enriched_counts)
 
     def compute_pvalues_by_randomization(self, **kwargs):
         """Two-sided empirical permutation null (reference: safe.py:474-554).
@@ -686,11 +757,18 @@ class SAFE:
         else:
             nr = self.neighborhood_radius
             weights = edge_weights
-        d0 = self._d0_cache.get(self.node_distance_metric)
-        if d0 is None:
-            d0 = jnp.asarray(_nbr.dense_initial_distances(
-                num_nodes, edges, weights, dtype=np.float32))
-            self._d0_cache[self.node_distance_metric] = d0
+        on_data_mesh = self.mesh is not None and "data" in self.mesh.shape
+        plan = None if on_data_mesh else self._banded_plan(
+            coords, edges, weights, num_nodes, nr)
+        if plan is not None:
+            d0, inv_rank, window = plan
+        else:
+            inv_rank, window = None, None
+            d0 = self._d0_cache.get(self.node_distance_metric)
+            if d0 is None:
+                d0 = jnp.asarray(_nbr.dense_initial_distances(
+                    num_nodes, edges, weights, dtype=np.float32))
+                self._d0_cache[self.node_distance_metric] = d0
         radius = _nbr.inclusive_radius(nr)
 
         n2a = self.node2attribute
@@ -698,18 +776,18 @@ class SAFE:
         binary = (self.enrichment_type == "hypergeometric"
                   or (self.enrichment_type == "auto" and num_other == 0))
 
-        nes_binary_from_device = None
+        binary_pending = (None, None)
         if binary:
             nodes_not_nan = np.any(~np.isnan(n2a), axis=1)
             M = int(nodes_not_nan.sum())
             k_max = int(max(1, np.nanmax(np.nansum(n2a, axis=0))))
             iters = _hyper.tail_iterations(M, min(k_max, M))
             lgt = jnp.asarray(_hyper.lgamma_table(M))
-            (dist, nbr, nes32, log_sf32, nesbin8, mean, std) = \
+            (dist, nbr, nes32, log_sf32, nesbin8, counts_dev, mean, std) = \
                 _pipe.fused_hypergeom_pipeline(
                     d0, jnp.asarray(n2a), lgt, M, radius,
                     np.float64(self.enrichment_threshold), iterations=iters,
-                    mesh=self.mesh)
+                    mesh=self.mesh, window=window, inv_rank=inv_rank)
             if self.multiple_testing:
                 log_sf = np.asarray(log_sf32, dtype=np.float64)
                 with np.errstate(over="ignore"):
@@ -717,13 +795,14 @@ class SAFE:
                 with np.errstate(divide="ignore"):
                     self.nes = -np.log10(self.pvalues_pos)
             else:
-                # p-values and NES materialize lazily from the device arrays
+                # p-values, NES, and the indicator materialize lazily from the
+                # device arrays; only the (A,) counts cross the relay
                 self._pvalues_pos_np = None
                 self._logsf_dev = log_sf32
                 self._nes_np = None
                 self._nes_dev = nes32
                 # significance decided on device in f64 BEFORE the f32 rounding
-                nes_binary_from_device = np.asarray(nesbin8).astype(float)
+                binary_pending = (nesbin8, np.asarray(counts_dev))
         else:
             valid_rows = np.flatnonzero(np.sum(~np.isnan(n2a), axis=1))
             seed = self.random_seed
@@ -747,7 +826,7 @@ class SAFE:
                     score_type=self.neighborhood_score_type,
                     num_permutations=per_device,
                     batch_size=batch, precision=self.matmul_precision,
-                    mesh=self.mesh)
+                    mesh=self.mesh, window=window, inv_rank=inv_rank)
             obs = np.asarray(obs)
             self.ns = obs
             self._finalize_randomization(counts_neg, counts_pos, obs)
@@ -764,7 +843,7 @@ class SAFE:
             logging.info("Number of nodes per neighborhood (mean +/- std): "
                          "%.2f +/- %.2f" % (float(mean), float(std)))
 
-        self._update_binary_enrichment(nes_binary_from_device)
+        self._update_binary_enrichment(*binary_pending)
 
     # -------------------------------------------------------------------- domains
 

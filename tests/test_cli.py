@@ -44,3 +44,21 @@ def test_cli_main(workspace):
         nes = pickle.load(f)
     assert nes.shape == (50, 2)
     assert np.isfinite(nes).any()
+
+
+def test_cli_mesh(workspace):
+    """--mesh reaches the sharded engines through the same one-pass batch."""
+    ini, attrs, tmp = workspace
+    out = tmp / "nes_mesh.p"
+    rc = cli.main([attrs, "--ini", ini, "--num-permutations", "50",
+                   "--mesh", "perm=8", "--output", str(out)])
+    assert rc == 0
+    with open(out, "rb") as f:
+        nes = pickle.load(f)
+    assert nes.shape == (50, 2)
+
+
+def test_parse_mesh_axes():
+    mesh = cli.parse_mesh("data=2,perm=4")
+    assert mesh.shape == {"data": 2, "perm": 4}
+    assert cli.parse_mesh("auto").shape == {"attr": 8}

@@ -213,3 +213,21 @@ def test_mini_network_parity():
                                   np.asarray(osf.neighborhoods))
     assert np.nanmax(np.abs(rsf.pvalues_pos - osf.pvalues_pos)) <= 1e-6
     np.testing.assert_array_equal(rsf.nes_binary, osf.nes_binary)
+
+
+def test_zscore_engine_parity(planted_files):
+    """z-score observed scores match the reference (safe_extras.py:19-31) and
+    the null behaves identically on the NaN mask."""
+    rsf = _run_reference(planted_files["net"], planted_files["quant"],
+                         neighborhood_score_type="z-score",
+                         num_permutations=150)
+    osf = _run_ours(planted_files["net"], planted_files["quant"],
+                    neighborhood_score_type="z-score",
+                    num_permutations=150)
+    np.testing.assert_array_equal(np.isnan(rsf.ns), np.isnan(osf.ns))
+    finite = ~np.isnan(rsf.ns)
+    # f32 E[X^2]-E[X]^2 on device vs f64 host: small cancellation tolerance
+    np.testing.assert_allclose(rsf.ns[finite], osf.ns[finite],
+                               rtol=1e-3, atol=5e-4)
+    np.testing.assert_array_equal(np.isnan(rsf.pvalues_pos),
+                                  np.isnan(osf.pvalues_pos))
