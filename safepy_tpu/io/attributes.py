@@ -84,7 +84,9 @@ def read_attributes(attribute_file="", node_label_order=None, mask_duplicates=Fa
         node_label_order = list(node2attribute.index.values)
 
     node_label_in_file = node2attribute.index.values
-    node_label_not_mapped = [x for x in node_label_in_file if x not in set(node_label_order)]
+    known_labels = set(node_label_order)
+    node_label_not_mapped = [x for x in node_label_in_file
+                             if x not in known_labels]
 
     node2attribute = node2attribute.reindex(index=node_label_order, fill_value=fill_value)
 

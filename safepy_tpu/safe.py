@@ -335,8 +335,8 @@ class SAFE:
             else:
                 d0_dev = self._d0_cache.get(self.node_distance_metric)
                 if d0_dev is None:
-                    d0_dev = jnp.asarray(_nbr.dense_initial_distances(
-                        num_nodes, edges, weights, dtype=np.float32))
+                    d0_dev = _nbr.initial_distances_device(num_nodes, edges,
+                                                           weights)
                     self._d0_cache[self.node_distance_metric] = d0_dev
                 if on_data_mesh:
                     from safepy_tpu.parallel import apsp_sharded
@@ -448,9 +448,9 @@ class SAFE:
             if window <= 0.75 * npad:  # below this the gather overhead wins
                 rank = np.empty(num_nodes, dtype=np.int64)
                 rank[order] = np.arange(num_nodes)
-                d0p = _nbr.dense_initial_distances(
-                    num_nodes, rank[edges], lengths, dtype=np.float32)
-                plan = (jnp.asarray(d0p), jnp.asarray(rank, jnp.int32), window)
+                d0p = _nbr.initial_distances_device(num_nodes, rank[edges],
+                                                    lengths)
+                plan = (d0p, jnp.asarray(rank, jnp.int32), window)
         self._banded_cache[key] = plan
         return plan
 
@@ -766,8 +766,7 @@ class SAFE:
             inv_rank, window = None, None
             d0 = self._d0_cache.get(self.node_distance_metric)
             if d0 is None:
-                d0 = jnp.asarray(_nbr.dense_initial_distances(
-                    num_nodes, edges, weights, dtype=np.float32))
+                d0 = _nbr.initial_distances_device(num_nodes, edges, weights)
                 self._d0_cache[self.node_distance_metric] = d0
         radius = _nbr.inclusive_radius(nr)
 
