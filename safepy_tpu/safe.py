@@ -77,6 +77,7 @@ class SAFE:
         # (ops/apsp_banded.py); 'full' = always the exact full-matrix kernel
         self.apsp_mode = "auto"
         self._banded_cache = {}
+        self._graph_arrays = None  # cached graph_to_arrays output
         self.node_key_attribute = "label_orf"
 
         self.attributes = None
@@ -224,6 +225,7 @@ class SAFE:
 
         self._d0_cache = {}
         self._banded_cache = {}
+        self._graph_arrays = None
         nx.set_node_attributes(self.graph, key_list, name="key")
         label_list = nx.get_node_attributes(self.graph, "label")
         self.nodes = pd.DataFrame(data={"id": list(label_list.keys()),
@@ -299,7 +301,7 @@ class SAFE:
         self.validate_config()
 
         num_nodes = self.graph.number_of_nodes()
-        coords, edges, lengths, edge_weights = _ga.graph_to_arrays(self.graph)
+        coords, edges, lengths, edge_weights = self._graph_to_arrays_cached()
 
         if self.node_distance_metric == "euclidean":
             x = coords[:, 0]
@@ -422,6 +424,14 @@ class SAFE:
         self._nes_binary_np = value
         self._nes_binary_dev = None
 
+    def _graph_to_arrays_cached(self):
+        """graph_to_arrays walks the whole NetworkX graph in Python (~0.25 s
+        at 20k nodes); the result only changes when the graph does, so it is
+        cached alongside the d0 cache (cleared by load_network)."""
+        if self._graph_arrays is None:
+            self._graph_arrays = _ga.graph_to_arrays(self.graph)
+        return self._graph_arrays
+
     def _banded_plan(self, coords, edges, lengths, num_nodes, nr):
         """(d0_permuted_dev, rank_dev, window) or None — certified banded-FW
         plan for shortpath_weighted_layout (ops/apsp_banded.py). The geometric
@@ -476,6 +486,7 @@ class SAFE:
         state["_nes_binary_pending"] = None
         state["_d0_cache"] = {}
         state["_banded_cache"] = {}
+        state["_graph_arrays"] = None
         state["mesh"] = None  # Mesh holds live Device objects; not picklable
         return state
 
@@ -742,7 +753,7 @@ class SAFE:
             return
 
         num_nodes = self.graph.number_of_nodes()
-        coords, edges, lengths, edge_weights = _ga.graph_to_arrays(self.graph)
+        coords, edges, lengths, edge_weights = self._graph_to_arrays_cached()
         if self.node_distance_metric == "shortpath_weighted_layout":
             x = coords[:, 0]
             nr = self.neighborhood_radius * (np.max(x) - np.min(x))
