@@ -88,7 +88,11 @@ def read_attributes(attribute_file="", node_label_order=None, mask_duplicates=Fa
     node_label_not_mapped = [x for x in node_label_in_file
                              if x not in known_labels]
 
-    node2attribute = node2attribute.reindex(index=node_label_order, fill_value=fill_value)
+    # skip the 100+ MB reindex copy when the frame is already in node order
+    # (the common case for programmatically-built DataFrames)
+    if not node2attribute.index.equals(pd.Index(node_label_order)):
+        node2attribute = node2attribute.reindex(index=node_label_order,
+                                                fill_value=fill_value)
 
     if mask_duplicates:
         rng = np.random.default_rng() if rng is None else rng
@@ -100,9 +104,12 @@ def read_attributes(attribute_file="", node_label_order=None, mask_duplicates=Fa
                      "The attribute values of all other nodes will be set to NaN." % num_dups)
         node2attribute.iloc[idx[mask_dups], :] = np.nan
 
-    # Force a writable copy: pandas 3 copy-on-write hands out read-only views, and
-    # compute_pvalues(background='network') mutates this array in place.
-    values = np.array(node2attribute.values, dtype=np.float64)
+    # No-copy view where pandas allows it (a full copy of a GO-scale matrix
+    # costs seconds of first-touch page faults in this runtime). Pandas 3
+    # copy-on-write usually hands the view out READ-ONLY; the one mutating
+    # consumer (compute_pvalues with background='network') makes its own
+    # writable copy on demand.
+    values = node2attribute.to_numpy(dtype=np.float64, copy=False)
 
     if verbose:
         logging.info("\nAttribute data provided: %d labels x %d attributes"

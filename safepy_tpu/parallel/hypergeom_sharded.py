@@ -72,7 +72,8 @@ def _enrichment(nbr, vals, lgt, *, mesh, axis, M, iterations, threshold):
 def hypergeom_enrichment_sharded(neighborhoods, node2attribute, *, mesh: Mesh,
                                  axis: str = "attr",
                                  enrichment_threshold: float = 0.05,
-                                 iterations: int | None = None):
+                                 iterations: int | None = None,
+                                 node2attribute_device=None):
     """Full sharded hypergeometric enrichment for the staged facade path.
 
     Columns of ``node2attribute`` shard over `axis`; every device runs its own
@@ -89,6 +90,9 @@ def hypergeom_enrichment_sharded(neighborhoods, node2attribute, *, mesh: Mesh,
 
     from safepy_tpu.ops.hypergeom import lgamma_table, tail_iterations
 
+    # `node2attribute` must be the HOST array (the scalar prep below would
+    # otherwise download a device copy); pass an f32 device copy separately
+    # via `node2attribute_device` to skip the re-upload on repeat calls.
     n2a = np.asarray(node2attribute, dtype=np.float64)
     M = int(np.any(~np.isnan(n2a), axis=1).sum())
     if iterations is None:
@@ -97,6 +101,8 @@ def hypergeom_enrichment_sharded(neighborhoods, node2attribute, *, mesh: Mesh,
         iterations = tail_iterations(M, min(k_max, max(M, 1)))
     lgt = jnp.asarray(lgamma_table(max(M, 1)))
     nbr = jnp.asarray(neighborhoods, jnp.float32)
-    return _enrichment(nbr, jnp.asarray(n2a), lgt, mesh=mesh, axis=axis,
+    vals_dev = (node2attribute_device if node2attribute_device is not None
+                else jnp.asarray(n2a, jnp.float32))
+    return _enrichment(nbr, vals_dev, lgt, mesh=mesh, axis=axis,
                        M=M, iterations=int(iterations),
                        threshold=float(enrichment_threshold))

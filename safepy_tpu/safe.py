@@ -83,6 +83,7 @@ class SAFE:
         self.attributes = None
         self.nodes = None
         self.node2attribute = None
+        self._n2a_dev = None  # cached f32 device copy of node2attribute
         self.num_nodes_per_attribute = None
         self.attribute_sign = "both"
 
@@ -275,6 +276,7 @@ class SAFE:
             attribute_file=self.path_to_attribute_file,
             node_label_order=node_label_order,
             verbose=self.verbose, **kwargs)
+        self._n2a_dev = None
 
         from safepy_tpu import debug as _debug
         _debug.validate_attributes(self.node2attribute,
@@ -464,6 +466,16 @@ class SAFE:
         self._banded_cache[key] = plan
         return plan
 
+    def _node2attribute_device(self):
+        """(N, A) f32 device copy of node2attribute (NaNs preserved), uploaded
+        once per load — repeat pipeline runs skip the 100+ MB transfer. Binary
+        annotations and f32-representable values are exact; the enrichment
+        kernels compute in f32/f64 on device either way."""
+        if self._n2a_dev is None:
+            self._n2a_dev = jnp.asarray(
+                np.asarray(self.node2attribute, dtype=np.float32))
+        return self._n2a_dev
+
     def _neighborhoods_device(self):
         """(N, N) f32 device array of the indicator, uploading if necessary."""
         if self._neighborhoods_dev is None:
@@ -483,6 +495,7 @@ class SAFE:
         state["_logsf_dev"] = None
         state["_nes_dev"] = None
         state["_nes_binary_dev"] = None
+        state["_n2a_dev"] = None
         state["_nes_binary_pending"] = None
         state["_d0_cache"] = {}
         state["_banded_cache"] = {}
@@ -509,7 +522,12 @@ class SAFE:
         if self.background == "network":
             logging.info("Setting all null attribute values to 0. Using the network "
                          "as background for enrichment.")
+            if not self.node2attribute.flags.writeable:
+                # read_attributes hands out a read-only no-copy view; this is
+                # the one consumer that mutates it (reference: safe.py:449-451)
+                self.node2attribute = self.node2attribute.copy()
             self.node2attribute[np.isnan(self.node2attribute)] = 0
+            self._n2a_dev = None
 
         num_vals = self.node2attribute.shape[0]
         num_nans = np.sum(np.isnan(self.node2attribute), axis=0)
@@ -559,7 +577,8 @@ class SAFE:
             nes32, log_sf32, nes_binary8, counts_dev = \
                 hypergeom_enrichment_sharded(
                     self._neighborhoods_device(), n2a, mesh=self.mesh,
-                    enrichment_threshold=self.enrichment_threshold)
+                    enrichment_threshold=self.enrichment_threshold,
+                    node2attribute_device=self._node2attribute_device())
             if self.multiple_testing:
                 if self.verbose:
                     logging.info("Running FDR-adjustment of p-values...")
@@ -588,8 +607,9 @@ class SAFE:
                   preferred_element_type=jnp.float32)
         neighborhood_size = np.asarray(
             jnp.dot(nbr, jnp.asarray(nodes_not_nan, jnp.float32), **kw))  # (N,)
+        n2a_dev = self._node2attribute_device()
         counts = jnp.dot(
-            nbr, jnp.asarray(np.where(np.isnan(n2a), 0.0, n2a), jnp.float32),
+            nbr, jnp.where(jnp.isfinite(n2a_dev), n2a_dev, 0.0),
             **kw)  # (N, A), stays on device for the sf tail sum
 
         # tail length is bounded by min(K, n): use max annotated total AND max
@@ -687,9 +707,11 @@ class SAFE:
         self.validate_config()
 
         n2a = self.node2attribute
+        n2a_dev = self._node2attribute_device()
         nbr_dev = self._neighborhoods_device()
         obs_dev = _score.compute_neighborhood_score(
-            nbr_dev, n2a, self.neighborhood_score_type, self.matmul_precision)
+            nbr_dev, n2a_dev, self.neighborhood_score_type,
+            self.matmul_precision)
         obs = np.asarray(obs_dev)
         self.ns = obs
 
@@ -703,7 +725,7 @@ class SAFE:
         if self.mesh is not None and "perm" in self.mesh.shape:
             from safepy_tpu.parallel import run_permutations_sharded
             counts_neg, counts_pos, total = run_permutations_sharded(
-                nbr_dev, n2a, valid_rows, obs_dev, key, mesh=self.mesh,
+                nbr_dev, n2a_dev, valid_rows, obs_dev, key, mesh=self.mesh,
                 score_type=self.neighborhood_score_type,
                 num_permutations=int(self.num_permutations))
             # rounded up to a multiple of the mesh axis, like the reference
@@ -711,7 +733,7 @@ class SAFE:
             self.num_permutations = total
         else:
             counts_neg, counts_pos = _perm.run_permutations(
-                nbr_dev, n2a, valid_rows, obs_dev, key,
+                nbr_dev, n2a_dev, valid_rows, obs_dev, key,
                 score_type=self.neighborhood_score_type,
                 num_permutations=int(self.num_permutations),
                 precision=self.matmul_precision)
@@ -795,7 +817,7 @@ class SAFE:
             lgt = jnp.asarray(_hyper.lgamma_table(M))
             (dist, nbr, nes32, log_sf32, nesbin8, counts_dev, mean, std) = \
                 _pipe.fused_hypergeom_pipeline(
-                    d0, jnp.asarray(n2a), lgt, M, radius,
+                    d0, self._node2attribute_device(), lgt, M, radius,
                     np.float64(self.enrichment_threshold), iterations=iters,
                     mesh=self.mesh, window=window, inv_rank=inv_rank)
             if self.multiple_testing:
@@ -831,7 +853,7 @@ class SAFE:
             batch = _perm.default_batch_size(V, A, per_device)
             (dist, nbr, obs, counts_neg, counts_pos, mean, std) = \
                 _pipe.fused_permutation_pipeline(
-                    d0, jnp.asarray(n2a, jnp.float32),
+                    d0, self._node2attribute_device(),
                     jnp.asarray(valid_rows, jnp.int32), key, radius,
                     score_type=self.neighborhood_score_type,
                     num_permutations=per_device,
