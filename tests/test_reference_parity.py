@@ -231,3 +231,116 @@ def test_zscore_engine_parity(planted_files):
                                rtol=1e-3, atol=5e-4)
     np.testing.assert_array_equal(np.isnan(rsf.pvalues_pos),
                                   np.isnan(osf.pvalues_pos))
+
+
+@pytest.mark.parametrize("metric_kwargs", [
+    {"node_distance_metric": "euclidean"},
+    {"node_distance_metric": "shortpath", "neighborhood_radius": 2},
+])
+def test_other_metrics_neighborhoods_identical(planted_files, metric_kwargs):
+    """euclidean and hop-count metrics match the reference binary-exactly
+    (reference safe.py:389-410; mirrors its tests/test_neighborhoods.py trio)."""
+    from safepy_tpu import SAFE
+
+    rsf = ref.SAFE()
+    rsf.random_seed = SEED
+    rsf.load_network(network_file=planted_files["net"])
+    rsf.define_neighborhoods(**metric_kwargs)
+
+    osf = SAFE(verbose=False)
+    osf.random_seed = SEED
+    osf.load_network(network_file=planted_files["net"], node_key_attribute="key")
+    osf.define_neighborhoods(**metric_kwargs)
+
+    np.testing.assert_array_equal(np.asarray(rsf.neighborhoods),
+                                  np.asarray(osf.neighborhoods))
+
+
+def test_cys_loader_parity(tmp_path, monkeypatch):
+    """The stream-from-zip CYS loader produces the same graph as the
+    reference's extract-to-cwd loader (safe_io.py:154-268)."""
+    import zipfile
+
+    from safepy_tpu.io.network import load_network_from_cys
+
+    view = """<?xml version="1.0"?>
+<graph xmlns:cy="http://www.cytoscape.org">
+  <node label="geneA" cy:nodeId="101"><graphics x="0.0" y="0.0"/></node>
+  <node label="geneB" cy:nodeId="102"><graphics x="1.0" y="0.5"/></node>
+  <node label="geneC" cy:nodeId="103"><graphics x="0.2" y="1.0"/></node>
+  <node label="geneD" cy:nodeId="104"><graphics x="0.8" y="0.1"/></node>
+</graph>"""
+    net = """<?xml version="1.0"?>
+<graph>
+  <edge source="101" target="102"/>
+  <edge source="102" target="103"/>
+  <edge source="103" target="104"/>
+</graph>"""
+    cytable = ("SUID,shared name,label_orf\n"
+               "SUID,shared name,label_orf\n"
+               "101,geneA,ORFA\n102,geneB,ORFB\n103,geneC,ORFC\n104,geneD,ORFD\n")
+    bundle = tmp_path / "session.cys"
+    with zipfile.ZipFile(bundle, "w") as zf:
+        zf.writestr("session/views/view1.xgmml", view)
+        zf.writestr("session/networks/net1.xgmml", net)
+        zf.writestr("session/tables/net1/SHARED_ATTRSdef node.cytable", cytable)
+
+    # the reference extracts into (and deletes from) the CURRENT directory
+    monkeypatch.chdir(tmp_path)
+    ref_graph = ref.load_network_from_cys(str(bundle), verbose=False)
+    our_graph = load_network_from_cys(str(bundle), verbose=False)
+
+    assert list(ref_graph.nodes) == list(our_graph.nodes)
+    assert set(ref_graph.edges) == set(our_graph.edges)
+    for node in ref_graph.nodes:
+        for attr in ("label", "x", "y", "label_orf"):
+            assert ref_graph.nodes[node][attr] == our_graph.nodes[node][attr], \
+                (node, attr)
+    ref_len = nx.get_edge_attributes(ref_graph, "length")
+    our_len = nx.get_edge_attributes(our_graph, "length")
+    for edge, length in ref_len.items():
+        assert abs(length - our_len.get(
+            edge, our_len.get((edge[1], edge[0])))) <= 1e-12
+
+
+def test_scatter_workflow_parity(tmp_path):
+    """Scatter input (positioned, edgeless): euclidean neighborhoods,
+    hypergeometric enrichment, and the graph_euclidean pseudo-network match the
+    reference (safe_io.py:271-285, safe.py:296-309)."""
+    from safepy_tpu import SAFE
+
+    rng = np.random.default_rng(11)
+    n = 150
+    coords = rng.uniform(0, 1, (n, 2))
+    scatter = tmp_path / "embedding.scatter"
+    with open(scatter, "w") as f:
+        f.write("key\tx\ty\tlabel\n")
+        for i in range(n):
+            f.write(f"g{i}\t{coords[i, 0]:.6f}\t{coords[i, 1]:.6f}\tg{i}\n")
+    binary = (coords[:, 0] < 0.4).astype(float)[:, None] * \
+        (rng.random((n, 3)) < 0.8)
+    attrs = pd.DataFrame(binary, columns=["a0", "a1", "a2"])
+    attrs.insert(0, "gene", [f"g{i}" for i in range(n)])
+    attr_file = tmp_path / "scatter_attrs.txt"
+    attrs.to_csv(attr_file, sep="\t", index=False)
+
+    rsf = ref.SAFE()
+    rsf.load_network(network_file=str(scatter), node_key_attribute="key")
+    rsf.load_attributes(attribute_file=str(attr_file))
+    rsf.define_neighborhoods(node_distance_metric="euclidean")
+    rsf.compute_pvalues()
+    rsf.define_top_attributes(attribute_enrichment_min_size=3)
+
+    osf = SAFE(verbose=False)
+    osf.load_network(network_file=str(scatter), node_key_attribute="key")
+    osf.load_attributes(attribute_file=str(attr_file))
+    osf.define_neighborhoods(node_distance_metric="euclidean")
+    osf.compute_pvalues()
+    osf.define_top_attributes(attribute_enrichment_min_size=3)
+
+    np.testing.assert_array_equal(np.asarray(rsf.neighborhoods),
+                                  np.asarray(osf.neighborhoods))
+    assert np.nanmax(np.abs(rsf.pvalues_pos - osf.pvalues_pos)) <= 1e-6
+    assert set(rsf.graph_euclidean.edges) == set(osf.graph_euclidean.edges)
+    np.testing.assert_array_equal(rsf.attributes["top"].to_numpy(),
+                                  osf.attributes["top"].to_numpy())
