@@ -7,17 +7,27 @@ neighborhood scores, and accumulate two-sided empirical counts
 sides). The reference runs this as a serial NumPy loop (optionally forked over a
 multiprocessing pool); here the whole null is a batched GEMM stream on the MXU:
 
-  * permutations are independent keyed ``jax.random.permutation`` draws — NOT a
-    replication of NumPy's in-place compounding permutation stream; each permuted
-    state is still uniform, and the reference's own test asserts only a
-    distributional tolerance (637 +/- 20 at 1000 permutations);
-  * permuted attribute matrices are gathered in chunks of ``batch_size`` and scored
-    against the neighborhood indicator in one ``(N, V) x (C, V, A)`` contraction;
-  * count accumulation happens on-chip in int32; nothing leaves the device until the
-    final (N, A) count matrices.
+  * permutations are independent keyed draws — NOT a replication of NumPy's
+    in-place compounding permutation stream; each permuted state is still uniform,
+    and the reference's own test asserts only a distributional tolerance
+    (637 +/- 20 at 1000 permutations);
+  * for few attributes (the flagship quantitative workload) the permuted value
+    matrix comes from ONE ``lax.sort`` of random keys against the value columns —
+    a uniform random permutation applied directly to the data, with no index
+    materialization and no gather (TPU gathers serialize: measured 3.5x slower
+    than the sort at 20k nodes). Many-attribute inputs fall back to explicit
+    ``jax.random.permutation`` indices + gather;
+  * permuted attribute chunks are scored against the neighborhood indicator in one
+    ``(N, V) x (C, V, A)`` contraction; count accumulation happens on-chip in
+    int32; nothing leaves the device until the final (N, A) count matrices.
 
 Rows with no annotated values are dropped from both operands up front: their score
 contribution is identically zero, so the GEMM contracts over the V valid rows only.
+
+RNG note: the sort path orders by independent uint32 keys with a stable sort; a
+key collision (expected ~0.05 tied pairs per permutation at V=20k) leaves the tied
+pair in index order — an O(2^-32) departure from uniformity, far below the
+statistical resolution of any permutation count.
 
 Multi-chip: `safepy_tpu.parallel.permutation_sharded` shards the permutation batch
 axis over the device mesh and psums these counts over ICI.
@@ -32,6 +42,10 @@ import jax.numpy as jnp
 
 from safepy_tpu.ops.score import dot_kwargs
 
+# above this many attributes the joint sort carries too many operands and the
+# index+gather path wins
+SORT_PATH_MAX_ATTRIBUTES = 4
+
 
 def default_batch_size(num_valid: int, num_attributes: int,
                        num_permutations: int, budget_bytes: int = 1 << 28) -> int:
@@ -40,9 +54,32 @@ def default_batch_size(num_valid: int, num_attributes: int,
     return int(max(1, min(num_permutations, budget_bytes // per_perm)))
 
 
+def _scores_from_permuted(nbr_valid, Bp, NBp, score_type: str,
+                          precision: str = "highest"):
+    """Scores of already-permuted operands.
+
+    Bp: (C, V, A) permuted NaN->0 values; NBp: (C, V, A) permuted finite masks
+    (only consulted for z-score). The squared term is (Bp)^2 — squaring commutes
+    with permutation, so it is never permuted separately.
+    """
+    _DOT_KW = dot_kwargs(precision)
+    AB = jnp.einsum("nv,cva->cna", nbr_valid, Bp, **_DOT_KW)
+    if score_type == "sum":
+        return AB
+    if score_type != "z-score":
+        raise ValueError(f"unknown neighborhood_score_type: {score_type!r}")
+    Np = jnp.einsum("nv,cva->cna", nbr_valid, NBp, **_DOT_KW)
+    safe_N = jnp.where(Np > 0, Np, 1.0)
+    M = AB / safe_N
+    EXX = jnp.einsum("nv,cva->cna", nbr_valid, Bp * Bp, **_DOT_KW) / safe_N
+    std = jnp.sqrt(jnp.maximum(EXX - M * M, 0.0))
+    score = jnp.where(std > 0, M / jnp.where(std > 0, std, 1.0), jnp.nan)
+    return jnp.where(Np < 3, jnp.nan, score)
+
+
 def permutation_scores(nbr_valid, vals, mask, perm_idx, score_type: str,
                        precision: str = "highest"):
-    """Scores of a chunk of row-permuted attribute matrices.
+    """Scores of a chunk of row-permuted attribute matrices (explicit indices).
 
     Args:
       nbr_valid: (N, V) neighborhood indicator restricted to valid columns.
@@ -54,22 +91,36 @@ def permutation_scores(nbr_valid, vals, mask, perm_idx, score_type: str,
     Returns:
       (C, N, A) f32 scores (NaN where the z-score is undefined).
     """
-    _DOT_KW = dot_kwargs(precision)
-    Bp = jnp.take(vals, perm_idx, axis=0)          # (C, V, A)
-    AB = jnp.einsum("nv,cva->cna", nbr_valid, Bp, **_DOT_KW)
-    if score_type == "sum":
-        return AB
-    if score_type != "z-score":
-        raise ValueError(f"unknown neighborhood_score_type: {score_type!r}")
-    NBp = jnp.take(mask, perm_idx, axis=0)
-    Np = jnp.einsum("nv,cva->cna", nbr_valid, NBp, **_DOT_KW)
-    B2p = jnp.take(vals * vals, perm_idx, axis=0)
-    safe_N = jnp.where(Np > 0, Np, 1.0)
-    M = AB / safe_N
-    EXX = jnp.einsum("nv,cva->cna", nbr_valid, B2p, **_DOT_KW) / safe_N
-    std = jnp.sqrt(jnp.maximum(EXX - M * M, 0.0))
-    score = jnp.where(std > 0, M / jnp.where(std > 0, std, 1.0), jnp.nan)
-    return jnp.where(Np < 3, jnp.nan, score)
+    Bp = jnp.take(vals, perm_idx, axis=0)                    # (C, V, A)
+    NBp = (jnp.take(mask, perm_idx, axis=0)
+           if score_type == "z-score" else None)
+    return _scores_from_permuted(nbr_valid, Bp, NBp, score_type, precision)
+
+
+def permutation_scores_sorted(nbr_valid, vals, mask, chunk_key, chunk_size: int,
+                              score_type: str, precision: str = "highest"):
+    """Scores of a chunk of permutations drawn by key-sorting the data itself.
+
+    One stable ``lax.sort`` jointly permutes every attribute column (and its
+    mask) by independent uint32 keys — the permutation indices never exist.
+    """
+    V, A = vals.shape
+    bits = jax.random.bits(chunk_key, (chunk_size, V), dtype=jnp.uint32)
+    columns = [jnp.broadcast_to(vals[:, a][None, :], (chunk_size, V))
+               for a in range(A)]
+    if score_type == "z-score":
+        columns += [jnp.broadcast_to(mask[:, a][None, :], (chunk_size, V))
+                    for a in range(A)]
+    sorted_ops = jax.lax.sort((bits, *columns), dimension=-1, num_keys=1,
+                              is_stable=True)[1:]
+    Bp = jnp.stack(sorted_ops[:A], axis=-1)                  # (C, V, A)
+    NBp = (jnp.stack(sorted_ops[A:], axis=-1)
+           if score_type == "z-score" else None)
+    return _scores_from_permuted(nbr_valid, Bp, NBp, score_type, precision)
+
+
+def uses_sort_path(num_attributes: int) -> bool:
+    return num_attributes <= SORT_PATH_MAX_ATTRIBUTES
 
 
 def scan_counts(nbr_valid, vals, mask, obs, key, *, score_type: str,
@@ -79,17 +130,23 @@ def scan_counts(nbr_valid, vals, mask, obs, key, *, score_type: str,
 
     All shapes static; `key` is a single PRNG key. Returns int32 (N, A) counts.
     """
-    V = vals.shape[0]
+    V, A = vals.shape
     num_chunks = -(-num_permutations // batch_size)
-    keys = jax.random.split(key, num_chunks * batch_size)
-    keys = keys.reshape(num_chunks, batch_size, *keys.shape[1:])
+    chunk_keys = jax.random.split(key, num_chunks)
+    sort_path = uses_sort_path(A)
 
     def chunk_body(carry, inputs):
         counts_neg, counts_pos = carry
-        chunk_keys, chunk_start = inputs
-        perm_idx = jax.vmap(lambda k: jax.random.permutation(k, V))(chunk_keys)
-        scores = permutation_scores(nbr_valid, vals, mask, perm_idx, score_type,
-                                    precision)
+        chunk_key, chunk_start = inputs
+        if sort_path:
+            scores = permutation_scores_sorted(
+                nbr_valid, vals, mask, chunk_key, batch_size, score_type,
+                precision)
+        else:
+            perm_keys = jax.random.split(chunk_key, batch_size)
+            perm_idx = jax.vmap(lambda k: jax.random.permutation(k, V))(perm_keys)
+            scores = permutation_scores(nbr_valid, vals, mask, perm_idx,
+                                        score_type, precision)
         live = (chunk_start + jnp.arange(batch_size)) < num_permutations
         live = live[:, None, None]
         counts_neg = counts_neg + jnp.sum(
@@ -99,9 +156,13 @@ def scan_counts(nbr_valid, vals, mask, obs, key, *, score_type: str,
         return (counts_neg, counts_pos), None
 
     zeros = jnp.zeros(obs.shape, jnp.int32)
+    # inherit the key's varying-manual-axes: under shard_map the per-device key
+    # makes the chunk counts device-varying, and the scan carry's type must be
+    # varying from iteration 0 as well
+    zeros = zeros + (chunk_keys.ravel()[0] * 0).astype(jnp.int32)
     starts = jnp.arange(num_chunks) * batch_size
     (counts_neg, counts_pos), _ = jax.lax.scan(
-        chunk_body, (zeros, zeros), (keys, starts))
+        chunk_body, (zeros, zeros), (chunk_keys, starts))
     return counts_neg, counts_pos
 
 

@@ -50,8 +50,31 @@ def _numpy_counts(nbr, n2a, perms, score_type="sum"):
     return neg, pos
 
 
+def _replay_sort_perms(key, num_chunks, batch, V):
+    """The sort path's permutations: stable argsort of the per-chunk uint32
+    keys (sort_key_val(bits, x)[i] == x[argsort(bits, stable)[i]])."""
+    chunk_keys = jax.random.split(key, num_chunks)
+    perms = []
+    for c in range(num_chunks):
+        bits = np.asarray(jax.random.bits(chunk_keys[c], (batch, V),
+                                          dtype=jnp.uint32))
+        perms.append(np.argsort(bits, axis=-1, kind="stable"))
+    return np.concatenate(perms)
+
+
+def _replay_gather_perms(key, num_chunks, batch, V):
+    """The gather path's permutations (explicit keyed index draws)."""
+    chunk_keys = jax.random.split(key, num_chunks)
+    perms = []
+    for c in range(num_chunks):
+        perm_keys = jax.random.split(chunk_keys[c], batch)
+        perms.append(np.asarray(
+            jax.vmap(lambda k: jax.random.permutation(k, V))(perm_keys)))
+    return np.concatenate(perms)
+
+
 def test_counts_match_oracle_given_same_perms(rng):
-    nbr, n2a = _random_inputs(rng)
+    nbr, n2a = _random_inputs(rng)  # a=3 -> sort path
     valid = np.flatnonzero(np.sum(~np.isnan(n2a), axis=1))
     V = len(valid)
     key = jax.random.PRNGKey(7)
@@ -59,12 +82,7 @@ def test_counts_match_oracle_given_same_perms(rng):
 
     # reproduce the exact permutations run_permutations will draw
     batch = 8
-    num_chunks = P // batch
-    keys = jax.random.split(key, num_chunks * batch)
-    keys = keys.reshape(num_chunks, batch, *keys.shape[1:])
-    perms = np.concatenate([
-        np.asarray(jax.vmap(lambda k: jax.random.permutation(k, V))(keys[c]))
-        for c in range(num_chunks)])
+    perms = _replay_sort_perms(key, P // batch, batch, V)
 
     obs = compute_neighborhood_score(nbr, n2a, "sum")
     got_neg, got_pos = run_permutations(
@@ -81,8 +99,7 @@ def test_zscore_counts_match_oracle(rng):
     V = len(valid)
     key = jax.random.PRNGKey(3)
     P = 8
-    keys = jax.random.split(key, P)
-    perms = np.asarray(jax.vmap(lambda k: jax.random.permutation(k, V))(keys))
+    perms = _replay_sort_perms(key, 1, P, V)
 
     obs = compute_neighborhood_score(nbr, n2a, "z-score")
     got_neg, got_pos = run_permutations(
@@ -119,3 +136,24 @@ def test_batch_partial_chunk(rng):
                                 score_type="sum", num_permutations=25, batch_size=8)
     assert (np.asarray(neg) + np.asarray(pos) >= 25).all()
     assert np.asarray(neg).max() <= 25
+
+
+def test_counts_match_oracle_gather_path(rng):
+    """Many attributes force the index+gather engine; same oracle contract."""
+    from safepy_tpu.ops.permutation import uses_sort_path
+
+    nbr, n2a = _random_inputs(rng, n=40, a=6)
+    assert not uses_sort_path(n2a.shape[1])
+    valid = np.flatnonzero(np.sum(~np.isnan(n2a), axis=1))
+    V = len(valid)
+    key = jax.random.PRNGKey(5)
+    P, batch = 12, 6
+    perms = _replay_gather_perms(key, P // batch, batch, V)
+
+    obs = compute_neighborhood_score(nbr, n2a, "sum")
+    got_neg, got_pos = run_permutations(
+        nbr, n2a, valid, obs, key, score_type="sum",
+        num_permutations=P, batch_size=batch)
+    want_neg, want_pos = _numpy_counts(nbr, n2a, perms, "sum")
+    np.testing.assert_array_equal(np.asarray(got_neg), want_neg)
+    np.testing.assert_array_equal(np.asarray(got_pos), want_pos)
