@@ -94,7 +94,12 @@ def banded_order(coords: np.ndarray, radius: float):
     """Best (order, half-width B) among Hilbert / x-sort / y-sort orderings.
 
     The KD-tree pair enumeration (the expensive part at scale) runs once and is
-    shared by every candidate ordering."""
+    shared by every candidate; the band is always MEASURED over the actual
+    radius-pairs, so any ordering is correct — only the width differs. Graph
+    bandwidth minimizers (Reverse Cuthill-McKee on the radius-pair graph) were
+    measured and tie the spatial sorts exactly: for geometric neighborhoods the
+    band floor is the separator size (~N * radius / extent), which the spatial
+    orders already achieve."""
     pairs = radius_pairs(coords, radius)
     candidates = [hilbert_order(coords),
                   np.argsort(coords[:, 0], kind="stable"),

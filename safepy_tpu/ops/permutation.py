@@ -167,12 +167,20 @@ def scan_counts(nbr_valid, vals, mask, obs, key, *, score_type: str,
 
 
 def prepare_valid(neighborhoods, node2attribute, valid_rows):
-    """Restrict operands to the valid rows: (nbr_valid, vals, mask)."""
+    """Restrict operands to the valid rows: (nbr_valid, vals, mask).
+
+    ``valid_rows=None`` means EVERY row is valid: the (N, V) column gather of
+    the indicator — a multi-GB lane gather at 20k nodes — is skipped entirely
+    (callers know V == N statically and pass None)."""
     nbr = jnp.asarray(neighborhoods, jnp.float32)
     n2a = jnp.asarray(node2attribute, jnp.float32)
-    valid_rows = jnp.asarray(valid_rows, jnp.int32)
-    nbr_valid = jnp.take(nbr, valid_rows, axis=1)
-    rows = jnp.take(n2a, valid_rows, axis=0)
+    if valid_rows is None:
+        rows = n2a
+        nbr_valid = nbr
+    else:
+        valid_rows = jnp.asarray(valid_rows, jnp.int32)
+        nbr_valid = jnp.take(nbr, valid_rows, axis=1)
+        rows = jnp.take(n2a, valid_rows, axis=0)
     mask = jnp.isfinite(rows).astype(jnp.float32)
     vals = jnp.where(mask > 0, rows, 0.0)
     return nbr_valid, vals, mask

@@ -716,6 +716,8 @@ class SAFE:
         self.ns = obs
 
         valid_rows = np.flatnonzero(np.sum(~np.isnan(n2a), axis=1))
+        if len(valid_rows) == n2a.shape[0]:
+            valid_rows = None  # every row valid: skip the (N, V) column gather
 
         seed = self.random_seed
         if seed is None:
@@ -837,11 +839,13 @@ class SAFE:
                 binary_pending = (nesbin8, np.asarray(counts_dev))
         else:
             valid_rows = np.flatnonzero(np.sum(~np.isnan(n2a), axis=1))
+            V, A = len(valid_rows), n2a.shape[1]
+            if V == n2a.shape[0]:
+                valid_rows = None  # every row valid: skip the column gather
             seed = self.random_seed
             if seed is None:
                 seed = int(np.random.default_rng().integers(2 ** 31 - 1))
             key = jax.random.PRNGKey(seed)
-            V, A = len(valid_rows), n2a.shape[1]
             per_device = int(self.num_permutations)
             if self.mesh is not None:
                 # batch rounds up to a device multiple, like the reference's
@@ -854,7 +858,8 @@ class SAFE:
             (dist, nbr, obs, counts_neg, counts_pos, mean, std) = \
                 _pipe.fused_permutation_pipeline(
                     d0, self._node2attribute_device(),
-                    jnp.asarray(valid_rows, jnp.int32), key, radius,
+                    None if valid_rows is None
+                    else jnp.asarray(valid_rows, jnp.int32), key, radius,
                     score_type=self.neighborhood_score_type,
                     num_permutations=per_device,
                     batch_size=batch, precision=self.matmul_precision,

@@ -344,3 +344,31 @@ def test_scatter_workflow_parity(tmp_path):
     assert set(rsf.graph_euclidean.edges) == set(osf.graph_euclidean.edges)
     np.testing.assert_array_equal(rsf.attributes["top"].to_numpy(),
                                   osf.attributes["top"].to_numpy())
+
+
+def test_read_attributes_parity(tmp_path):
+    """Attribute alignment matches the reference exactly: numeric coercion,
+    duplicate-label averaging, node-order reindex with NaN fill
+    (safe_io.py:336-430)."""
+    from safepy_tpu.io.attributes import read_attributes
+
+    attr_file = tmp_path / "attrs.txt"
+    attr_file.write_text(
+        "gene\tq0\tq1\n"
+        "g2\t1.5\t0\n"
+        "g0\t2.0\tbogus\n"     # non-numeric -> NaN
+        "g2\t0.5\t4\n"         # duplicate label -> averaged with the first g2
+        "gX\t9.0\t9\n"         # not in the network -> dropped by the reindex
+    )
+    order = ["g0", "g1", "g2", "g3"]
+
+    ref_attrs, _, ref_values = ref.read_attributes(
+        attribute_file=str(attr_file), node_label_order=order, verbose=False)
+    our_attrs, _, our_values = read_attributes(
+        attribute_file=str(attr_file), node_label_order=order, verbose=False)
+
+    assert list(ref_attrs["name"]) == list(our_attrs["name"])
+    np.testing.assert_array_equal(np.isnan(ref_values), np.isnan(our_values))
+    finite = ~np.isnan(ref_values)
+    np.testing.assert_allclose(ref_values[finite], our_values[finite],
+                               rtol=1e-12)
