@@ -11,6 +11,9 @@ jax.sharding meshes:
   * :mod:`safepy_tpu.parallel.apsp_sharded` — row-sharded blocked Floyd-Warshall:
     pivot panels broadcast with pmin, the O(N^3 / n_devices) phase-3 relaxation
     local per device;
+  * :mod:`safepy_tpu.parallel.apsp_sharded_2d` — the 2-D block-sharded variant
+    (distance matrix tiled over a (row, col) mesh, per-round comms shrunk to
+    T*N/C + N*T/R + T^2);
   * :mod:`safepy_tpu.parallel.hypergeom_sharded` — attribute columns sharded for the
     census matmuls + survival-function tail (no inter-device traffic at all).
 """
@@ -18,6 +21,7 @@ jax.sharding meshes:
 from safepy_tpu.parallel.mesh import make_mesh
 from safepy_tpu.parallel.permutation_sharded import run_permutations_sharded
 from safepy_tpu.parallel.apsp_sharded import apsp_sharded
+from safepy_tpu.parallel.apsp_sharded_2d import apsp_sharded_2d
 from safepy_tpu.parallel.hypergeom_sharded import (
     hypergeom_counts_sharded, hypergeom_enrichment_sharded)
 
@@ -25,6 +29,7 @@ __all__ = [
     "make_mesh",
     "run_permutations_sharded",
     "apsp_sharded",
+    "apsp_sharded_2d",
     "hypergeom_counts_sharded",
     "hypergeom_enrichment_sharded",
 ]

@@ -43,9 +43,12 @@ _DOT_KW = dict(precision=jax.lax.Precision.HIGHEST,
 def _apsp_inline(d0, block, mesh=None, data_axis="data", window=None,
                  inv_rank=None, radius=None):
     """FW distances inside a fused program: radius-bounded banded FW when the
-    caller certified a band (see ops/apsp_banded.py), row-sharded over
-    `data_axis` when the mesh has one, local Pallas/jnp otherwise."""
-    if window is not None and (mesh is None or data_axis not in mesh.shape):
+    caller certified a band (see ops/apsp_banded.py), 2-D block-sharded over a
+    (row, col) mesh, row-sharded over `data_axis`, local Pallas/jnp otherwise."""
+    sharded = mesh is not None and (
+        data_axis in mesh.shape
+        or ("row" in mesh.shape and "col" in mesh.shape))
+    if window is not None and not sharded:
         from safepy_tpu.ops.apsp_banded import apsp_banded_unpermuted
 
         dist = apsp_banded_unpermuted(d0, inv_rank, radius, window=window,
@@ -55,6 +58,17 @@ def _apsp_inline(d0, block, mesh=None, data_axis="data", window=None,
         # permutation-count scan) and re-evaluate it per chunk — measured ~25 s
         # of redundant gathers at 20k nodes
         return jax.lax.optimization_barrier(dist)
+    if mesh is not None and "row" in mesh.shape and "col" in mesh.shape:
+        from safepy_tpu.parallel.apsp_sharded_2d import _apsp_sharded_2d_impl
+        from safepy_tpu.parallel.apsp_sharded_2d import _lcm
+
+        n = d0.shape[0]
+        unit = _lcm(block * mesh.shape["row"], block * mesh.shape["col"])
+        d = pad_distances(d0, unit)
+        out = _apsp_sharded_2d_impl(d, mesh=mesh, row_axis="row",
+                                    col_axis="col", block=block,
+                                    use_pallas=_on_tpu())
+        return out[:n, :n]
     if mesh is not None and data_axis in mesh.shape:
         from safepy_tpu.parallel.apsp_sharded import _apsp_sharded_impl
 

@@ -328,7 +328,9 @@ class SAFE:
                 nr = self.neighborhood_radius
                 weights = edge_weights
 
-            on_data_mesh = self.mesh is not None and "data" in self.mesh.shape
+            mesh_shape = {} if self.mesh is None else self.mesh.shape
+            on_2d_mesh = "row" in mesh_shape and "col" in mesh_shape
+            on_data_mesh = "data" in mesh_shape or on_2d_mesh
             plan = None if on_data_mesh else self._banded_plan(
                 coords, edges, weights, num_nodes, nr)
             if plan is not None:
@@ -342,7 +344,10 @@ class SAFE:
                     d0_dev = _nbr.initial_distances_device(num_nodes, edges,
                                                            weights)
                     self._d0_cache[self.node_distance_metric] = d0_dev
-                if on_data_mesh:
+                if on_2d_mesh:
+                    from safepy_tpu.parallel import apsp_sharded_2d
+                    dist_dev = apsp_sharded_2d(d0_dev, self.mesh)
+                elif on_data_mesh:
                     from safepy_tpu.parallel import apsp_sharded
                     dist_dev = apsp_sharded(d0_dev, self.mesh, axis="data")
                 else:
@@ -792,7 +797,9 @@ class SAFE:
         else:
             nr = self.neighborhood_radius
             weights = edge_weights
-        on_data_mesh = self.mesh is not None and "data" in self.mesh.shape
+        mesh_shape = {} if self.mesh is None else self.mesh.shape
+        on_data_mesh = ("data" in mesh_shape
+                        or ("row" in mesh_shape and "col" in mesh_shape))
         plan = None if on_data_mesh else self._banded_plan(
             coords, edges, weights, num_nodes, nr)
         if plan is not None:

@@ -190,3 +190,23 @@ def test_run_pipeline_mesh_fused_permutation_exact_replay(network):
     finite = ~np.isnan(sf.ns)
     np.testing.assert_array_equal(sharded_pos[finite], total_pos[finite])
     np.testing.assert_array_equal(sharded_neg[finite], total_neg[finite])
+
+
+def test_mesh_2d_apsp_through_facade(network):
+    """A (row, col) mesh routes APSP through the 2-D block-sharded kernel in
+    both the staged and fused paths, matching single-device results."""
+    single = _run(network, None)
+    meshed = _run(network, make_mesh({"row": 2, "col": 4}))
+    np.testing.assert_array_equal(single.neighborhoods, meshed.neighborhoods)
+
+    sf = SAFE(verbose=False)
+    sf.random_seed = 31
+    sf.mesh = make_mesh({"row": 2, "col": 4})
+    sf.load_network(network_file=network, node_key_attribute="key")
+    n = sf.graph.number_of_nodes()
+    rng = np.random.default_rng(4)
+    df = pd.DataFrame(rng.normal(size=(n, 1)),
+                      index=[f"g{i}" for i in range(n)], columns=["q"])
+    sf.load_attributes(attribute_file=df)
+    sf.run_pipeline(num_permutations=80)
+    np.testing.assert_array_equal(single.neighborhoods, sf.neighborhoods)

@@ -108,3 +108,38 @@ def test_hypergeom_counts_sharded(rng):
     want_nsize = nbr @ np.any(~np.isnan(n2a), axis=1).astype(float)
     np.testing.assert_allclose(np.asarray(counts), want_counts, atol=1e-5)
     np.testing.assert_allclose(np.asarray(nsize), want_nsize, atol=1e-5)
+
+
+def test_apsp_sharded_2d_matches_oracle():
+    """2-D block-sharded FW vs scipy Dijkstra on the 8-device mesh."""
+    import numpy as np
+    from scipy.sparse import coo_matrix
+    from scipy.sparse.csgraph import shortest_path
+
+    from safepy_tpu.ops.neighborhoods import dense_initial_distances
+    from safepy_tpu.parallel import apsp_sharded_2d, make_mesh
+
+    rng = np.random.default_rng(6)
+    n = 96
+    coords = rng.uniform(0, 1, (n, 2))
+    edges, weights = [], []
+    for i in range(n):
+        for j in range(i + 1, n):
+            d = np.hypot(*(coords[i] - coords[j]))
+            if d < 0.2:
+                edges.append((i, j))
+                weights.append(d)
+    edges, weights = np.array(edges), np.array(weights)
+    d0 = dense_initial_distances(n, edges, weights, dtype=np.float32)
+    ref = shortest_path(
+        coo_matrix((weights, tuple(edges.T)), shape=(n, n)).maximum(
+            coo_matrix((weights, tuple(edges.T)), shape=(n, n)).T),
+        method="D", directed=False)
+
+    for axes in ({"row": 2, "col": 4}, {"row": 4, "col": 2}):
+        mesh = make_mesh(axes)
+        out = np.asarray(apsp_sharded_2d(d0, mesh, block=16, use_pallas=False))
+        finite = np.isfinite(ref)
+        np.testing.assert_allclose(out[finite], ref[finite],
+                                   rtol=1e-5, atol=1e-6)
+        assert np.isinf(out[~finite]).all()
