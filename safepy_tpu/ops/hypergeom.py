@@ -109,19 +109,30 @@ def _sf_parts(k, M, K, n, lgt, iterations: int):
         den = (K - t + 1.0) * (n - t + 1.0)
         return num / jnp.where(den == 0.0, 1.0, den)
 
-    def body(i, carry):
-        acc, term, t = carry
+    # Terms only ever DECAY (both branches sum away from the mode), so the
+    # largest live term bounds everything still to come: once it drops below
+    # 1e-18 the truncation error is < support * 1e-18 ~ 1e-14 relative. The
+    # static `iterations` bound covers the worst cell; most inputs exit the
+    # while_loop after ~half of it (the f64 loop is software-emulated on TPU —
+    # every skipped iteration is real time).
+    def cond(carry):
+        i, _acc, term, _t = carry
+        return jnp.logical_and(i < iterations, jnp.max(term) > 1e-18)
+
+    def body(carry):
+        i, acc, term, t = carry
         fi = jnp.asarray(i, f64)
         in_range = jnp.where(use_upper, t0 + fi <= upper, t0 - fi >= lower)
         term = jnp.where(in_range, term, 0.0)
         acc = acc + term
         r = jnp.where(use_upper, ratio_up(t), ratio_down(t))
         t_next = jnp.where(use_upper, t + 1.0, t - 1.0)
-        return acc, term * r, t_next
+        return i + 1, acc, term * r, t_next
 
     acc0 = jnp.zeros_like(k_eff)
     term0 = jnp.ones_like(k_eff)
-    acc, _, _ = jax.lax.fori_loop(0, iterations, body, (acc0, term0, t0))
+    _, acc, _, _ = jax.lax.while_loop(
+        cond, body, (jnp.asarray(0, jnp.int32), acc0, term0, t0))
 
     return log_pmf0, acc, use_upper, k <= lower, k > upper
 
