@@ -372,3 +372,78 @@ def test_read_attributes_parity(tmp_path):
     finite = ~np.isnan(ref_values)
     np.testing.assert_allclose(ref_values[finite], our_values[finite],
                                rtol=1e-12)
+
+
+def test_output_files_parity(binary_runs, tmp_path):
+    """print_output_files writes the same three TSV reports as the reference
+    (safe.py:1267-1306) — same columns, same values — on a run where no domain
+    is trimmed (the reference's num_domains column is broken after a middle
+    trim; see PARITY.md)."""
+    rsf, osf = binary_runs
+    ref_dir = tmp_path / "ref"
+    our_dir = tmp_path / "ours"
+    ref_dir.mkdir()
+    our_dir.mkdir()
+    rsf.output_dir = str(ref_dir)
+    rsf.print_output_files()
+    osf.print_output_files(output_dir=str(our_dir))
+
+    for name in ("domain_properties_annotation.txt",
+                 "attribute_properties_annotation.txt",
+                 "node_properties_annotation.txt"):
+        ref_table = pd.read_csv(ref_dir / name, sep="\t", index_col=0)
+        our_table = pd.read_csv(our_dir / name, sep="\t", index_col=0)
+        assert list(ref_table.columns) == list(our_table.columns), name
+        assert len(ref_table) == len(our_table), name
+        for col in ref_table.columns:
+            ref_col = ref_table[col]
+            if ref_col.dtype.kind in "fc":
+                np.testing.assert_allclose(ref_col.to_numpy(),
+                                           our_table[col].to_numpy(),
+                                           rtol=1e-6, atol=1e-9,
+                                           err_msg=f"{name}:{col}")
+            else:
+                assert list(ref_col.astype(str)) == \
+                    list(our_table[col].astype(str)), f"{name}:{col}"
+
+
+@pytest.mark.parametrize("seed,radius", [(21, 0.08), (22, 0.15), (23, 0.25)])
+def test_randomized_differential_fuzz(tmp_path, seed, radius):
+    """Randomized instances (geometry, density, radius) through both
+    frameworks: neighborhoods binary-identical, hypergeometric p <= 1e-6."""
+    from safepy_tpu import SAFE
+
+    rng = np.random.default_rng(seed)
+    n = 150
+    coords = rng.uniform(0, 1, (n, 2))
+    edges = []
+    for i in range(n):
+        for j in range(i + 1, n):
+            if np.hypot(*(coords[i] - coords[j])) < rng.uniform(0.1, 0.2):
+                edges.append((i, j))
+    net = tmp_path / f"net{seed}.txt"
+    net.write_text("".join(f"a{u}\ta{v}\t1.0\n" for u, v in edges))
+    binary = (rng.random((n, 4)) < rng.uniform(0.1, 0.5, size=4)).astype(float)
+    frame = pd.DataFrame(binary, columns=[f"b{k}" for k in range(4)])
+    frame.insert(0, "gene", [f"a{i}" for i in range(n)])
+    attr = tmp_path / f"attr{seed}.txt"
+    frame.to_csv(attr, sep="\t", index=False)
+
+    rsf = ref.SAFE()
+    rsf.random_seed = seed
+    rsf.load_network(network_file=str(net))
+    rsf.load_attributes(attribute_file=str(attr))
+    rsf.define_neighborhoods(neighborhood_radius=radius)
+    rsf.compute_pvalues()
+
+    osf = SAFE(verbose=False)
+    osf.random_seed = seed
+    osf.load_network(network_file=str(net), node_key_attribute="key")
+    osf.load_attributes(attribute_file=str(attr))
+    osf.define_neighborhoods(neighborhood_radius=radius)
+    osf.compute_pvalues()
+
+    np.testing.assert_array_equal(np.asarray(rsf.neighborhoods),
+                                  np.asarray(osf.neighborhoods))
+    assert np.nanmax(np.abs(rsf.pvalues_pos - osf.pvalues_pos)) <= 1e-6
+    np.testing.assert_array_equal(rsf.nes_binary, osf.nes_binary)
