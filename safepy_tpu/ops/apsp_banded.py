@@ -132,19 +132,36 @@ def apsp_banded_fw(dist, *, window: int, block: int = 128,
     """
     if use_pallas is None:
         use_pallas = _on_tpu()
-    if use_pallas:
-        relax_rows = functools.partial(apsp_pallas._relax_rows, block=block)
-        relax_cols = functools.partial(apsp_pallas._relax_cols, block=block)
-        relax_full = functools.partial(apsp_pallas._relax_full, block=block)
-    else:
-        relax_rows = lambda diag, panel: _relax_jnp(panel, diag, panel)
-        relax_cols = lambda panel, diag: _relax_jnp(panel, panel, diag)
-        relax_full = lambda q, p, d: _relax_jnp(d, q, p)
 
     npad = dist.shape[0]
     nb = npad // block
     w = window
     half = (w - block) // 2
+    # Corner tiles of the window with |i - j| beyond the band are never
+    # consumed: an entry is only ever read back as part of a pivot row/column
+    # panel, which bounds |i - j| <= half + 2*block; everything further out is
+    # also beyond the radius in the final output (masked to inf). Skipping
+    # them drops ~25% of the window relaxation work.
+    band_tiles = half // block + 3
+
+    if use_pallas:
+        relax_rows = functools.partial(apsp_pallas._relax_rows, block=block)
+        relax_cols = functools.partial(apsp_pallas._relax_cols, block=block)
+        relax_full = functools.partial(apsp_pallas._relax_full_banded,
+                                       block=block, band_tiles=band_tiles)
+    else:
+        relax_rows = lambda diag, panel: _relax_jnp(panel, diag, panel)
+        relax_cols = lambda panel, diag: _relax_jnp(panel, panel, diag)
+
+        def relax_full(q, p, d):
+            # mirror the pallas tile-skip so CPU tests validate its semantics
+            relaxed = _relax_jnp(d, q, p)
+            nb_side = d.shape[0] // block
+            tile_idx = jnp.arange(nb_side)
+            keep = (jnp.abs(tile_idx[:, None] - tile_idx[None, :])
+                    <= band_tiles)
+            keep = jnp.repeat(jnp.repeat(keep, block, axis=0), block, axis=1)
+            return jnp.where(keep, relaxed, d)
 
     def round_body(kb, d):
         start = kb * block

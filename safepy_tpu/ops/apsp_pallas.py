@@ -141,6 +141,38 @@ def _relax_full(q, p, d, *, block: int):
     )(q, p, d)
 
 
+def _relax_full_banded(q, p, d, *, block: int, band_tiles: int):
+    """min(D, Q (x) P) restricted to tiles within `band_tiles` of the diagonal;
+    tiles beyond pass through unchanged (the banded-FW window's corner tiles
+    are never consumed — see ops/apsp_banded.py)."""
+    def kernel(a_ref, b_ref, c_ref, o_ref):
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+        offset = i - j
+        in_band = (offset <= band_tiles) & (offset >= -band_tiles)
+
+        @pl.when(in_band)
+        def _():
+            o_ref[:] = _tile_minplus(c_ref[:], a_ref[:], b_ref[:], block)
+
+        @pl.when(jnp.logical_not(in_band))
+        def _():
+            o_ref[:] = c_ref[:]
+
+    nb_i = d.shape[0] // block
+    nb_j = d.shape[1] // block
+    return pl.pallas_call(
+        kernel, grid=(nb_i, nb_j),
+        in_specs=[
+            pl.BlockSpec((block, block), lambda i, j: (i, j * 0)),
+            pl.BlockSpec((block, block), lambda i, j: (i * 0, j)),
+            pl.BlockSpec((block, block), lambda i, j: (i, j)),
+        ],
+        out_specs=pl.BlockSpec((block, block), lambda i, j: (i, j)),
+        out_shape=jax.ShapeDtypeStruct(d.shape, jnp.float32),
+    )(q, p, d)
+
+
 def _close_diag(tile, block: int):
     """In-tile Floyd-Warshall closure of a (block, block) tile (pure jnp)."""
 
