@@ -159,14 +159,14 @@ def main(argv=None):
     if plan is not None:
         from safepy_tpu.ops.apsp_banded import apsp_banded_unpermuted
         from safepy_tpu.ops.neighborhoods import inclusive_radius
-        d0p, rank_dev, window = plan
+        init, rank_dev, window = plan
         nr = sf.neighborhood_radius * (coords_arr[:, 0].max()
                                        - coords_arr[:, 0].min())
         radius = inclusive_radius(nr)
-        dist_b = apsp_banded_unpermuted(d0p, rank_dev, radius, window=window)
+        dist_b = apsp_banded_unpermuted(init, rank_dev, radius, window=window)
         _ = float(np.asarray(dist_b[0, 0]))
         t0 = time.time()
-        dist_b = apsp_banded_unpermuted(d0p, rank_dev, radius, window=window)
+        dist_b = apsp_banded_unpermuted(init, rank_dev, radius, window=window)
         _ = float(np.asarray(dist_b[0, 0]))
         apsp_s = time.time() - t0
 
@@ -238,11 +238,11 @@ def _custom_bench(args):
         radius = inclusive_radius(sf.neighborhood_radius
                                   * (coords_arr[:, 0].max()
                                      - coords_arr[:, 0].min()))
-        d0p, rank_dev, window = plan
-        dist_b = apsp_banded_unpermuted(d0p, rank_dev, radius, window=window)
+        init, rank_dev, window = plan
+        dist_b = apsp_banded_unpermuted(init, rank_dev, radius, window=window)
         _ = float(np.asarray(dist_b[0, 0]))
         t0 = time.time()
-        dist_b = apsp_banded_unpermuted(d0p, rank_dev, radius, window=window)
+        dist_b = apsp_banded_unpermuted(init, rank_dev, radius, window=window)
         _ = float(np.asarray(dist_b[0, 0]))
         apsp_s = round(time.time() - t0, 4)
 

@@ -187,12 +187,23 @@ def apsp_banded_unpermuted(d0_permuted, inv_rank, radius, *, window: int,
                            block: int = 128):
     """Banded FW -> original node frame -> radius mask, one jittable unit.
 
-    Entries beyond `radius` are masked to inf: beyond the certified band they
-    are upper bounds rather than exact distances, and the reference's Dijkstra
-    cutoff never produces beyond-radius distances either (safepy/safe.py:406).
+    ``d0_permuted`` is either the dense (N, N) initialization in banded order,
+    or the tuple ``(u, v, w)`` of permuted edge arrays — the dense matrix is
+    then materialized INSIDE the program, so no persistent N x N copy lives in
+    HBM between runs (the edge arrays are O(E)) and the caller never pays the
+    host-side build. Entries beyond `radius` are masked to inf: beyond the
+    certified band they are upper bounds rather than exact distances, and the
+    reference's Dijkstra cutoff never produces beyond-radius distances either
+    (safepy/safe.py:406).
     """
     from safepy_tpu.ops.apsp import pad_distances as _pad
 
+    if isinstance(d0_permuted, tuple):
+        from safepy_tpu.ops.neighborhoods import _initial_distances_jit
+
+        u, v, w = d0_permuted
+        d0_permuted = _initial_distances_jit(u, v, w,
+                                             num_nodes=inv_rank.shape[0])
     d = _pad(jnp.asarray(d0_permuted, jnp.float32), block)
     out = apsp_banded_fw(d, window=window, block=block)
     n = inv_rank.shape[0]

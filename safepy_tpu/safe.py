@@ -465,9 +465,13 @@ class SAFE:
             if window <= 0.75 * npad:  # below this the gather overhead wins
                 rank = np.empty(num_nodes, dtype=np.int64)
                 rank[order] = np.arange(num_nodes)
-                d0p = _nbr.initial_distances_device(num_nodes, rank[edges],
-                                                    lengths)
-                plan = (d0p, jnp.asarray(rank, jnp.int32), window)
+                # O(E) edge arrays only; the dense init materializes INSIDE the
+                # fused program (no persistent N x N copy in HBM between runs)
+                permuted = rank[edges]
+                init = (jnp.asarray(permuted[:, 0], jnp.int32),
+                        jnp.asarray(permuted[:, 1], jnp.int32),
+                        jnp.asarray(np.asarray(lengths, np.float32)))
+                plan = (init, jnp.asarray(rank, jnp.int32), window)
         self._banded_cache[key] = plan
         return plan
 
