@@ -968,6 +968,32 @@ from safepy_tpu.io import (calculate_edge_lengths,  # noqa: E402,F401
                            load_network_from_mat, load_network_from_scatter,
                            load_network_from_txt, read_attributes)
 from safepy_tpu.ops.score import compute_neighborhood_score  # noqa: E402,F401
+
+
+def run_permutations(arg_tuple, **kwargs):
+    """Reference-signature permutation worker (safe_extras.py:36-70): takes the
+    pool-argument tuple ``(neighborhoods, node2attribute, score_type,
+    num_permutations, random_seed)`` and returns the two-sided count stacks.
+    The device engine replaces the NumPy loop; the RNG stream is keyed, not the
+    compounding in-place shuffle (distributional parity, see ops/permutation.py).
+    """
+    (neighborhood2node, node2attribute, neighborhood_score_type,
+     num_permutations, random_seed) = arg_tuple
+    node2attribute = np.asarray(node2attribute, dtype=np.float64)
+    obs = compute_neighborhood_score(
+        jnp.asarray(neighborhood2node, jnp.float32), node2attribute,
+        neighborhood_score_type)
+    valid_rows = np.flatnonzero(np.sum(~np.isnan(node2attribute), axis=1))
+    if len(valid_rows) == node2attribute.shape[0]:
+        valid_rows = None
+    if random_seed is None:
+        random_seed = int(np.random.default_rng().integers(2 ** 31 - 1))
+    counts_neg, counts_pos = _perm.run_permutations(
+        jnp.asarray(neighborhood2node, jnp.float32), node2attribute,
+        valid_rows, obs, jax.random.PRNGKey(int(random_seed)),
+        score_type=neighborhood_score_type,
+        num_permutations=int(num_permutations))
+    return np.asarray(counts_neg, np.float64), np.asarray(counts_pos, np.float64)
 from safepy_tpu.plotting import (mark_nodes, plot_network,  # noqa: E402,F401
                                  plot_network_contour,
                                  plot_costanzo2016_network_annotations)

@@ -79,3 +79,21 @@ def test_neighborhood_radius_kwarg_roundtrip(sf):
     assert sf.neighborhood_radius == 0.25
     sf.define_neighborhoods(neighborhood_radius=0.1)
     assert sf.neighborhood_radius == 0.1
+
+
+def test_run_permutations_reference_signature():
+    """safe.run_permutations mirrors the reference's star-imported pool worker
+    (safe_extras.py:36-70): arg tuple in, two count stacks out."""
+    import numpy as np
+
+    from safepy_tpu import safe as safe_mod
+
+    rng = np.random.default_rng(0)
+    n = 40
+    nbr = (rng.random((n, n)) < 0.2).astype(float)
+    np.fill_diagonal(nbr, 1.0)
+    n2a = rng.normal(size=(n, 2))
+    counts_neg, counts_pos = safe_mod.run_permutations(
+        (nbr, n2a, "sum", 20, 7))
+    assert counts_neg.shape == (n, 2)
+    assert ((counts_neg + counts_pos) >= 20).all()  # ties on both sides
