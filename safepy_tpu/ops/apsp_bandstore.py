@@ -1,0 +1,378 @@
+"""Band-STORAGE Floyd-Warshall: O(N*W) memory APSP for huge networks.
+
+``ops/apsp_banded.py`` reduces the Floyd-Warshall *work* to O(N*W^2) by
+relaxing only a W-wide window around each pivot, but it still materializes the
+dense (N, N) matrix — HBM caps that path at ~20k nodes on one chip. This module
+removes the O(N^2) storage as well: the same radius certificate (every node of
+a <= r shortest path lies within Euclidean r — hence within index separation B
+in the banded order — of BOTH endpoints; see ops/apsp_banded.py) implies that
+*every* matrix entry Floyd-Warshall ever needs for a <= r result lives within B
+of the diagonal:
+
+  * final pairs (u, v):   dist <= r  =>  sep(u, v) <= B;
+  * subpath pairs (u, w): any intermediate w of the u-v path is itself the
+    endpoint of a <= r subpath, so sep(u, w) <= B and sep(w, v) <= B;
+  * edges longer than r can never lie on a <= r path and are dropped.
+
+So the distance matrix is held in **block-row-aligned skewed storage**: with
+tile size b and tile half-band bt = B//b + 1, row i (block I = i//b) stores the
+contiguous column slab [(I-bt)*b, (I+bt+1)*b) — an (N_ghost, W) array with
+W = (2*bt+1)*b, plus bt ghost block-rows of +inf on each side so pivot windows
+never branch at the edges. Memory O(N*W) instead of O(N^2): a 100k-node network
+with W ~ 6k holds 2.6 GB instead of 40 GB.
+
+Per pivot block K the standard 3-phase blocked FW round (see
+ops/apsp_pallas.apsp_blocked_fw) maps onto the skew:
+
+  1. close the (b, b) diagonal tile — the pivot row's slab center, a STATIC
+     column offset bt*b (the skew's first payoff);
+  2. relax the pivot row P = S[K-row] against the closed diagonal (P's center
+     becomes the closed diagonal, so phase 3 can use RAW column tiles: the
+     composition Q_raw (x) closed (x) P_raw is covered by Q_raw (x) P_relaxed,
+     and the column-panel update itself is phase 3's center-column update);
+  3. relax the (W, W) window of block-rows [K-bt, K+bt]: in window coordinates
+     (o = row offset, j = slab column tile) the three tiles of
+     ``C = min(C, Q (x) P)`` sit at C = V[o, j], Q = V[o, 2bt - o] (the D[I, K]
+     tile), P = P_ext[o + j] (the pivot slab inf-extended by bt tiles each
+     side) — all affine in the grid indices, so the Pallas kernel needs no
+     scalar prefetch and reuses the proven `_relax_kernel` tile product.
+
+Entries are exact for every pair whose true distance is <= the certified
+radius and genuine-path upper bounds everywhere else, so thresholding the band
+at the radius reproduces the reference's Dijkstra-cutoff neighborhoods
+(safepy/safe.py:406-410) exactly — the companion helpers (`band_threshold`,
+`band_row_sizes`, `band_matmul*`, `compact_band_columns`) then run the whole
+downstream SAFE pipeline (census, scores, permutation null — safe.py:587-594,
+safe_extras.py:15) against the band without ever densifying.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from safepy_tpu.ops.apsp import min_plus_relax_jax, _on_tpu
+from safepy_tpu.ops import apsp_pallas
+
+_INF = float("inf")
+
+
+# ---------------------------------------------------------------------------
+# Geometry of the storage
+# ---------------------------------------------------------------------------
+
+def band_params(n: int, band: int, block: int = 128):
+    """(bt, nb, W): tile half-band, real block-row count, slab width.
+
+    ``band`` is the certified element half-width B (ops/apsp_banded.banded_order);
+    bt = B//b + 1 tiles guarantees every element pair with sep <= B lands in a
+    stored tile (tile sep <= (B + b - 1)//b <= B//b + 1).
+    """
+    bt = band // block + 1
+    nb = -(-n // block)
+    w = (2 * bt + 1) * block
+    return bt, nb, w
+
+
+def band_nbytes(n: int, band: int, block: int = 128, itemsize: int = 4) -> int:
+    """HBM footprint of the skewed storage (ghost rows included)."""
+    bt, nb, w = band_params(n, band, block)
+    return (nb + 2 * bt) * block * w * itemsize
+
+
+def pack_band(dense, band: int, block: int = 128):
+    """Dense (n, n) matrix (banded order) -> skewed storage. Test helper."""
+    dense = np.asarray(dense)
+    n = dense.shape[0]
+    bt, nb, w = band_params(n, band, block)
+    s = np.full(((nb + 2 * bt) * block, w), _INF, dtype=np.float32)
+    for i_blk in range(nb):
+        lo = (i_blk - bt) * block
+        r0, r1 = i_blk * block, min((i_blk + 1) * block, n)
+        for c in range(w):
+            j = lo + c
+            if 0 <= j < n:
+                s[bt * block + r0: bt * block + r1, c] = dense[r0:r1, j]
+    return jnp.asarray(s)
+
+
+def unpack_band(s, n: int, band: int, block: int = 128):
+    """Skewed storage -> dense (n, n) with +inf outside the stored band."""
+    s = np.asarray(s)
+    bt, nb, w = band_params(n, band, block)
+    dense = np.full((n, n), _INF, dtype=np.float32)
+    for i_blk in range(nb):
+        lo = (i_blk - bt) * block
+        r0, r1 = i_blk * block, min((i_blk + 1) * block, n)
+        for c in range(w):
+            j = lo + c
+            if 0 <= j < n:
+                dense[r0:r1, j] = s[bt * block + r0: bt * block + r1, c]
+    return dense
+
+
+@functools.partial(jax.jit, static_argnames=("n", "band", "block"))
+def band_init_from_edges(u, v, w, *, n: int, band: int, block: int = 128):
+    """Skewed-storage FW initialization from permuted edge arrays.
+
+    u, v: int32 node ranks (banded order); w: f32 edge lengths. Only O(E) data
+    crosses the host->device link. Edges whose tile separation exceeds the band
+    are dropped — by the radius certificate they cannot lie on a <= r path
+    (their Euclidean length alone exceeds what the band admits).
+    """
+    bt, nb, width = band_params(n, band, block)
+    s = jnp.full(((nb + 2 * bt) * block, width), _INF, jnp.float32)
+
+    # diagonal: row g = bt*b + i, skew column (i % b) + bt*b
+    i = jnp.arange(n, dtype=jnp.int32)
+    s = s.at[bt * block + i, (i % block) + bt * block].set(0.0)
+
+    u = jnp.asarray(u, jnp.int32)
+    v = jnp.asarray(v, jnp.int32)
+    w = jnp.asarray(w, jnp.float32)
+    uu = jnp.concatenate([u, v])
+    vv = jnp.concatenate([v, u])
+    ww = jnp.concatenate([w, w])
+    col = vv - (uu // block - bt) * block  # skew column of (uu, vv)
+    keep = (col >= 0) & (col < width)
+    # min-reduce duplicates; dropped edges scatter into a scrap cell
+    g = jnp.where(keep, bt * block + uu, 0)
+    c = jnp.where(keep, col, 0)
+    ww = jnp.where(keep, ww, jnp.inf)
+    return s.at[g, c].min(ww)
+
+
+# ---------------------------------------------------------------------------
+# The skewed window relaxation (phase 3)
+# ---------------------------------------------------------------------------
+
+def _relax_skew_pallas(win, p_ext, *, bt: int, block: int):
+    """min(C, Q (x) P) over the (W, W) skewed pivot window.
+
+    win[o, j] (tile indices) = D[K-bt+o, (K-2bt+o+j)*b tile]; Q for window row
+    o is the D[I, K] tile at slab position 2bt - o; the matching pivot-row tile
+    is p_ext[o + j]. All index maps are affine in the grid — no scalar prefetch.
+    """
+    nt = 2 * bt + 1
+    return apsp_pallas.pl.pallas_call(
+        functools.partial(apsp_pallas._relax_kernel, block=block),
+        grid=(nt, nt),
+        in_specs=[
+            apsp_pallas.pl.BlockSpec((block, block),
+                                     lambda o, j: (o, 2 * bt - o + j * 0)),
+            apsp_pallas.pl.BlockSpec((block, block),
+                                     lambda o, j: (o * 0, o + j)),
+            apsp_pallas.pl.BlockSpec((block, block), lambda o, j: (o, j)),
+        ],
+        out_specs=apsp_pallas.pl.BlockSpec((block, block), lambda o, j: (o, j)),
+        out_shape=jax.ShapeDtypeStruct(win.shape, jnp.float32),
+    )(win, p_ext, win)
+
+
+def _relax_skew_jnp(win, p_ext, *, bt: int, block: int):
+    """jnp fallback mirroring the Pallas tile maps (CPU tests / other backends)."""
+    nt = 2 * bt + 1
+    w = nt * block
+
+    def row_body(o, acc):
+        c = jax.lax.dynamic_slice(acc, (o * block, 0), (block, w))
+        q = jax.lax.dynamic_slice(acc, (o * block, (2 * bt - o) * block),
+                                  (block, block))
+        p = jax.lax.dynamic_slice(p_ext, (0, o * block), (block, w))
+        c = min_plus_relax_jax(c, q, p)
+        return jax.lax.dynamic_update_slice(acc, c, (o * block, 0))
+
+    return jax.lax.fori_loop(0, nt, row_body, win)
+
+
+# ---------------------------------------------------------------------------
+# Band-storage blocked Floyd-Warshall
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("bt", "block", "use_pallas"))
+def apsp_band_fw(s, *, bt: int, block: int = 128, use_pallas: bool | None = None):
+    """Blocked Floyd-Warshall over skewed band storage (see module docstring).
+
+    ``s``: ((nb + 2*bt)*b, (2*bt+1)*b) f32 from :func:`band_init_from_edges` /
+    :func:`pack_band`. Returns the same frame with in-band entries exact for
+    every pair whose true distance is within the certified radius.
+    """
+    if use_pallas is None:
+        use_pallas = _on_tpu()
+    relax_skew = _relax_skew_pallas if use_pallas else _relax_skew_jnp
+    relax_rows = (functools.partial(apsp_pallas._relax_rows, block=block)
+                  if use_pallas
+                  else (lambda diag, panel: min_plus_relax_jax(panel, diag,
+                                                               panel)))
+
+    width = s.shape[1]
+    nb = s.shape[0] // block - 2 * bt
+
+    def round_body(kb, s):
+        kg = kb + bt
+        p = jax.lax.dynamic_slice(s, (kg * block, 0), (block, width))
+        diag = jax.lax.dynamic_slice(p, (0, bt * block), (block, block))
+        diag = apsp_pallas._close_diag(diag, block)
+        p = jax.lax.dynamic_update_slice(p, diag, (0, bt * block))
+        p = relax_rows(diag, p)
+        s = jax.lax.dynamic_update_slice(s, p, (kg * block, 0))
+
+        p_ext = jnp.pad(p, ((0, 0), (bt * block, bt * block)),
+                        constant_values=_INF)
+        win = jax.lax.dynamic_slice(s, ((kg - bt) * block, 0), (width, width))
+        win = relax_skew(win, p_ext, bt=bt, block=block)
+        return jax.lax.dynamic_update_slice(s, win, ((kg - bt) * block, 0))
+
+    return jax.lax.fori_loop(0, nb, round_body, s)
+
+
+# ---------------------------------------------------------------------------
+# Downstream consumers: threshold, sizes, matmuls — all without densifying
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def band_threshold(s, radius):
+    """<= radius indicator in the same skewed frame (f32 0/1).
+
+    Exact: in-band entries for true-distance <= radius pairs are exact, other
+    entries are genuine-path upper bounds (> radius), and out-of-band pairs are
+    beyond the radius by the certificate.
+    """
+    return (s <= jnp.asarray(radius, s.dtype)).astype(jnp.float32)
+
+
+def band_row_stats(s_ind, *, n: int, bt: int, block: int = 128):
+    """(sizes, mean, std) of neighborhood sizes from the banded indicator.
+
+    Rows are padded/ghosted; only the n real rows count. Returns sizes in the
+    PERMUTED frame (callers un-permute with inv_rank when they need per-node
+    values; the mean/std are order-invariant)."""
+    real = jax.lax.dynamic_slice_in_dim(s_ind, bt * block,
+                                        s_ind.shape[0] - 2 * bt * block, 0)
+    sizes = jnp.sum(real, axis=1)[:n]
+    return sizes, jnp.mean(sizes), jnp.std(sizes)
+
+
+def _ghost_pad_rows(x, pad_rows: int):
+    return jnp.pad(x, ((pad_rows, pad_rows),) + ((0, 0),) * (x.ndim - 1))
+
+
+@functools.partial(jax.jit, static_argnames=("bt", "block", "precision"))
+def band_matmul(s_ind, x, *, bt: int, block: int = 128,
+                precision: str = "highest"):
+    """(banded indicator) @ x without densifying: block-row slab contractions.
+
+    s_ind: skewed storage ((nb+2bt)*b, W); x: (npad, A) in the SAME permuted
+    row frame (npad = nb*b, zero-padded). Returns (npad, A).
+
+    Per block-row I the stored slab covers exactly rows [(I-bt)*b, (I+bt+1)*b)
+    of x, so the product is nb MXU matmuls of (b, W) x (W, A) — O(N*W*A) work,
+    the banded analog of the reference's census/score GEMMs (safe.py:593,
+    safe_extras.py:15).
+    """
+    from safepy_tpu.ops.score import dot_kwargs
+    kw = dot_kwargs(precision)
+    width = s_ind.shape[1]
+    nb = s_ind.shape[0] // block - 2 * bt
+    xg = _ghost_pad_rows(jnp.asarray(x, jnp.float32), bt * block)
+
+    def blk(i, out):
+        rows = jax.lax.dynamic_slice(s_ind, ((i + bt) * block, 0),
+                                     (block, width))
+        slab = jax.lax.dynamic_slice(xg, (i * block, 0), (width, x.shape[1]))
+        return jax.lax.dynamic_update_slice(out, jnp.dot(rows, slab, **kw),
+                                            (i * block, 0))
+
+    out = jnp.zeros((nb * block, x.shape[1]), jnp.float32)
+    return jax.lax.fori_loop(0, nb, blk, out)
+
+
+@functools.partial(jax.jit, static_argnames=("bt", "block", "precision"))
+def band_matmul_batch(s_rows, x_batch, starts, *, bt: int, block: int = 128,
+                      precision: str = "highest"):
+    """Batched banded product against per-block-row slabs at dynamic offsets.
+
+    s_rows: ((nb+2bt)*b, W) banded indicator (possibly column-COMPACTED — see
+    :func:`compact_band_columns`); x_batch: (C, V_pad, A) value rows;
+    starts: (nb,) int32 slab start row of each block-row inside x_batch.
+    Returns (C, npad, A) — the permutation-chunk score contraction of
+    ops/permutation.py restricted to the band.
+    """
+    from safepy_tpu.ops.score import dot_kwargs
+    kw = dot_kwargs(precision)
+    width = s_rows.shape[1]
+    nb = s_rows.shape[0] // block - 2 * bt
+    c_dim, v_pad, a_dim = x_batch.shape
+
+    def blk(i, out):
+        i = jnp.asarray(i, jnp.int32)
+        z = jnp.int32(0)
+        rows = jax.lax.dynamic_slice(s_rows, ((i + bt) * block, z),
+                                     (block, width))
+        slab = jax.lax.dynamic_slice(x_batch, (z, starts[i], z),
+                                     (c_dim, width, a_dim))
+        prod = jnp.einsum("nv,cva->cna", rows, slab, **kw)
+        return jax.lax.dynamic_update_slice(out, prod, (z, i * block, z))
+
+    out = jnp.zeros((c_dim, nb * block, a_dim), jnp.float32)
+    return jax.lax.fori_loop(0, nb, blk, out)
+
+
+def compact_band_columns(s_ind, valid, *, bt: int, block: int = 128):
+    """Restrict the banded indicator to valid COLUMNS, keeping bandedness.
+
+    The permutation null contracts against only the rows of node2attribute
+    with >= 1 finite value (reference safe_extras.py:50-58 permutes exactly
+    those). A dense column gather would destroy the band; instead each
+    block-row's slab is stably lane-sorted by its columns' validity (invalid
+    last) — every row in a block shares the slab, hence the same sort order,
+    so compacted columns stay aligned, and globally they form the monotone
+    'staircase' of valid-column ranks.
+
+    Args:
+      s_ind: skewed banded indicator ((nb+2bt)*b, W).
+      valid: (n,) bool/0-1 host array marking valid columns in the SAME
+        permuted order.
+
+    Returns (compact, starts, w_c):
+      compact: ((nb+2bt)*b, w_c) — column c of block-row I is the indicator of
+        the (starts[I] + c)-th valid node overall;
+      starts: (nb,) int32 — rank of the first valid column of each slab;
+      w_c: static compacted width (tile-padded max valid count per slab).
+    """
+    valid = np.asarray(valid).astype(bool)
+    n = valid.shape[0]
+    width = s_ind.shape[1]
+    nb = s_ind.shape[0] // block - 2 * bt
+
+    # host-side slab census (valid is host data: the NaN row census)
+    cum = np.concatenate([[0], np.cumsum(valid)])
+    lo = (np.arange(nb) - bt) * block
+    hi = np.minimum(lo + width, n)
+    lo_c = np.clip(lo, 0, n)
+    starts = cum[lo_c]
+    counts = cum[hi] - cum[lo_c]
+    w_c = int(-(-max(1, counts.max()) // block) * block)
+    w_c = min(w_c, width)
+
+    # per-slab validity keys, ghost-padded to the storage frame
+    pad_cols = np.zeros((nb, width), dtype=bool)
+    for i in range(nb):
+        j = np.arange(lo[i], lo[i] + width)
+        ok = (j >= 0) & (j < n)
+        pad_cols[i, ok] = valid[j[ok]]
+    keys = np.repeat(~pad_cols, block, axis=0).astype(np.int32)  # invalid -> 1
+    keys = np.pad(keys, ((bt * block, bt * block), (0, 0)),
+                  constant_values=1)
+
+    keys_dev = jnp.asarray(keys)
+    # indicator entries of INVALID columns must not contribute at all — zero
+    # them before the sort so the compacted tail is exact zeros, not the
+    # invalid columns' values shuffled right
+    masked = jnp.asarray(s_ind) * (1.0 - keys_dev.astype(jnp.float32))
+    sorted_vals = jax.lax.sort((keys_dev, masked), dimension=-1,
+                               num_keys=1, is_stable=True)[1]
+    return (sorted_vals[:, :w_c], jnp.asarray(starts, jnp.int32), w_c)
