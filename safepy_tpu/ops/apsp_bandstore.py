@@ -99,19 +99,91 @@ def pack_band(dense, band: int, block: int = 128):
     return jnp.asarray(s)
 
 
-def unpack_band(s, n: int, band: int, block: int = 128):
-    """Skewed storage -> dense (n, n) with +inf outside the stored band."""
+def unpack_band(s, n: int, band: int, block: int = 128, fill=_INF):
+    """Skewed storage -> dense (n, n) with ``fill`` outside the stored band."""
     s = np.asarray(s)
     bt, nb, w = band_params(n, band, block)
-    dense = np.full((n, n), _INF, dtype=np.float32)
+    dense = np.full((n, n), fill, dtype=s.dtype)
     for i_blk in range(nb):
         lo = (i_blk - bt) * block
+        c0 = max(0, -lo)
+        c1 = min(w, n - lo)
         r0, r1 = i_blk * block, min((i_blk + 1) * block, n)
-        for c in range(w):
-            j = lo + c
-            if 0 <= j < n:
-                dense[r0:r1, j] = s[bt * block + r0: bt * block + r1, c]
+        dense[r0:r1, lo + c0:lo + c1] = \
+            s[bt * block + r0: bt * block + r1, c0:c1]
     return dense
+
+
+class BandedMatrix:
+    """A device-resident skewed band plus its frame metadata — the facade's
+    stand-in for the dense (N, N) neighborhood / distance matrices at
+    band-storage scale.
+
+    ``data`` rows are in the PERMUTED (banded-order) frame; ``rank`` maps
+    original node i to its permuted position. ``fill`` is the implicit value
+    outside the band (+inf for distances, 0 for indicators).
+    """
+
+    # dense materialization guard: ~2 GB of f32 (n ~ 22k)
+    DENSE_MAX_BYTES = 2_000_000_000
+
+    def __init__(self, data, rank, n: int, band: int, block: int = 128,
+                 fill=_INF):
+        self.data = data
+        self.rank = np.asarray(rank)
+        self.n = int(n)
+        self.band = int(band)
+        self.block = int(block)
+        self.fill = fill
+
+    @property
+    def bt(self) -> int:
+        return self.band // self.block + 1
+
+    @property
+    def shape(self):
+        return (self.n, self.n)
+
+    def dense_ok(self) -> bool:
+        return 4 * self.n * self.n <= self.DENSE_MAX_BYTES
+
+    def to_dense(self):
+        """Dense (n, n) NumPy matrix in the ORIGINAL node frame (guarded)."""
+        if not self.dense_ok():
+            raise MemoryError(
+                f"dense materialization of a {self.n}x{self.n} matrix "
+                f"(~{4 * self.n * self.n / 1e9:.1f} GB) is disabled at "
+                "band-storage scale; use to_sparse() / the banded pipeline "
+                "outputs instead")
+        dense = unpack_band(self.data, self.n, self.band, self.block,
+                            fill=self.fill)
+        return dense[self.rank][:, self.rank]
+
+    def to_sparse(self):
+        """scipy.sparse.csr_matrix of the finite / nonzero entries, original
+        frame. O(nnz) host memory; the band crosses the relay once."""
+        from scipy.sparse import coo_matrix
+
+        s = np.asarray(self.data)
+        bt, nb, w = band_params(self.n, self.band, self.block)
+        real = s[bt * self.block:(bt + nb) * self.block]
+        gi, c = np.nonzero(np.isfinite(real) if np.isinf(self.fill)
+                           else real != 0)
+        keep = gi < self.n
+        gi, c = gi[keep], c[keep]
+        gj = (gi // self.block - bt) * self.block + c
+        keep = (gj >= 0) & (gj < self.n)
+        gi, gj, c = gi[keep], gj[keep], c[keep]
+        vals = real[gi, c]
+        order = np.argsort(self.rank)  # permuted position -> original node
+        return coo_matrix((vals, (order[gi], order[gj])),
+                          shape=(self.n, self.n)).tocsr()
+
+    def to_host(self):
+        """Same wrapper with the band downloaded to NumPy (for pickling)."""
+        out = BandedMatrix(np.asarray(self.data), self.rank, self.n,
+                           self.band, self.block, self.fill)
+        return out
 
 
 @functools.partial(jax.jit, static_argnames=("n", "band", "block"))
@@ -321,6 +393,59 @@ def band_matmul_batch(s_rows, x_batch, starts, *, bt: int, block: int = 128,
     return jax.lax.fori_loop(0, nb, blk, out)
 
 
+def compaction_plan(valid, *, n: int, bt: int, block: int = 128):
+    """Host half of the valid-column compaction (see compact_band_columns).
+
+    ``valid`` is host data (the NaN row census): the slab starts and the
+    static compacted width are computable before any jit. Returns
+    (starts (nb,) int64, w_c).
+    """
+    valid = np.asarray(valid).astype(bool)
+    nb = -(-n // block)
+    width = (2 * bt + 1) * block
+
+    cum = np.concatenate([[0], np.cumsum(valid)])
+    lo = (np.arange(nb) - bt) * block
+    hi = np.clip(lo + width, 0, n)
+    lo_c = np.clip(lo, 0, n)
+    starts = cum[lo_c]
+    counts = cum[hi] - cum[lo_c]
+    w_c = int(-(-max(1, counts.max()) // block) * block)
+    w_c = min(w_c, width)
+    return np.asarray(starts, np.int64), w_c
+
+
+@functools.partial(jax.jit, static_argnames=("w_c", "bt", "block"))
+def apply_compaction(s_ind, valid, w_c: int, *, bt: int, block: int = 128):
+    """Device half of the compaction: one stable lane-sort (jit-compatible).
+
+    ``valid``: (n,) bool device/host array in the permuted order. The per-slab
+    invalid-last sort keys are built ON DEVICE from it (an (N_ghost, W) key
+    array would rival the band itself in HBM; the bitmap is O(N)). Indicator
+    entries of INVALID columns must not contribute at all — they are zeroed
+    before the sort so the compacted tail is exact zeros, not the invalid
+    columns' values shuffled right.
+    """
+    width = s_ind.shape[1]
+    nbg = s_ind.shape[0] // block  # nb + 2*bt ghosted block-rows
+    valid = jnp.asarray(valid)
+
+    # absolute column of slab cell (Ig, c) is (Ig - 2*bt)*b + c; out-of-range
+    # lands in the False padding of the extended bitmap
+    pad = 2 * bt * block
+    valid_ext = jnp.zeros(nbg * block + 2 * pad, bool).at[pad:pad + valid.shape[0]].set(valid)
+    cols = ((jnp.arange(nbg, dtype=jnp.int32)[:, None] - 2 * bt) * block
+            + jnp.arange(width, dtype=jnp.int32)[None, :]) + pad
+    keys_blk = (~valid_ext[cols]).astype(jnp.int32)          # (nbg, W)
+    keys = jnp.broadcast_to(keys_blk[:, None, :],
+                            (nbg, block, width)).reshape(nbg * block, width)
+
+    masked = jnp.asarray(s_ind) * (1.0 - keys.astype(jnp.float32))
+    sorted_vals = jax.lax.sort((keys, masked), dimension=-1,
+                               num_keys=1, is_stable=True)[1]
+    return sorted_vals[:, :w_c]
+
+
 def compact_band_columns(s_ind, valid, *, bt: int, block: int = 128):
     """Restrict the banded indicator to valid COLUMNS, keeping bandedness.
 
@@ -343,36 +468,8 @@ def compact_band_columns(s_ind, valid, *, bt: int, block: int = 128):
       starts: (nb,) int32 — rank of the first valid column of each slab;
       w_c: static compacted width (tile-padded max valid count per slab).
     """
-    valid = np.asarray(valid).astype(bool)
-    n = valid.shape[0]
-    width = s_ind.shape[1]
-    nb = s_ind.shape[0] // block - 2 * bt
-
-    # host-side slab census (valid is host data: the NaN row census)
-    cum = np.concatenate([[0], np.cumsum(valid)])
-    lo = (np.arange(nb) - bt) * block
-    hi = np.minimum(lo + width, n)
-    lo_c = np.clip(lo, 0, n)
-    starts = cum[lo_c]
-    counts = cum[hi] - cum[lo_c]
-    w_c = int(-(-max(1, counts.max()) // block) * block)
-    w_c = min(w_c, width)
-
-    # per-slab validity keys, ghost-padded to the storage frame
-    pad_cols = np.zeros((nb, width), dtype=bool)
-    for i in range(nb):
-        j = np.arange(lo[i], lo[i] + width)
-        ok = (j >= 0) & (j < n)
-        pad_cols[i, ok] = valid[j[ok]]
-    keys = np.repeat(~pad_cols, block, axis=0).astype(np.int32)  # invalid -> 1
-    keys = np.pad(keys, ((bt * block, bt * block), (0, 0)),
-                  constant_values=1)
-
-    keys_dev = jnp.asarray(keys)
-    # indicator entries of INVALID columns must not contribute at all — zero
-    # them before the sort so the compacted tail is exact zeros, not the
-    # invalid columns' values shuffled right
-    masked = jnp.asarray(s_ind) * (1.0 - keys_dev.astype(jnp.float32))
-    sorted_vals = jax.lax.sort((keys_dev, masked), dimension=-1,
-                               num_keys=1, is_stable=True)[1]
-    return (sorted_vals[:, :w_c], jnp.asarray(starts, jnp.int32), w_c)
+    n = np.asarray(valid).shape[0]
+    starts, w_c = compaction_plan(valid, n=n, bt=bt, block=block)
+    return (apply_compaction(s_ind, np.asarray(valid).astype(bool), w_c,
+                             bt=bt, block=block),
+            jnp.asarray(starts, jnp.int32), w_c)

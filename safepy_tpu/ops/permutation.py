@@ -68,13 +68,10 @@ def _scores_from_permuted(nbr_valid, Bp, NBp, score_type: str,
         return AB
     if score_type != "z-score":
         raise ValueError(f"unknown neighborhood_score_type: {score_type!r}")
+    from safepy_tpu.ops.score import zscore_from_contractions
     Np = jnp.einsum("nv,cva->cna", nbr_valid, NBp, **_DOT_KW)
-    safe_N = jnp.where(Np > 0, Np, 1.0)
-    M = AB / safe_N
-    EXX = jnp.einsum("nv,cva->cna", nbr_valid, Bp * Bp, **_DOT_KW) / safe_N
-    std = jnp.sqrt(jnp.maximum(EXX - M * M, 0.0))
-    score = jnp.where(std > 0, M / jnp.where(std > 0, std, 1.0), jnp.nan)
-    return jnp.where(Np < 3, jnp.nan, score)
+    EXX_sum = jnp.einsum("nv,cva->cna", nbr_valid, Bp * Bp, **_DOT_KW)
+    return zscore_from_contractions(AB, Np, EXX_sum)
 
 
 def permutation_scores(nbr_valid, vals, mask, perm_idx, score_type: str,
@@ -97,25 +94,34 @@ def permutation_scores(nbr_valid, vals, mask, perm_idx, score_type: str,
     return _scores_from_permuted(nbr_valid, Bp, NBp, score_type, precision)
 
 
-def permutation_scores_sorted(nbr_valid, vals, mask, chunk_key, chunk_size: int,
-                              score_type: str, precision: str = "highest"):
-    """Scores of a chunk of permutations drawn by key-sorting the data itself.
+def permuted_operands_sorted(vals, mask, chunk_key, chunk_size: int,
+                             with_mask: bool):
+    """A chunk of row-permuted operands drawn by key-sorting the data itself.
 
     One stable ``lax.sort`` jointly permutes every attribute column (and its
     mask) by independent uint32 keys — the permutation indices never exist.
+    Returns (Bp, NBp): (C, V, A) permuted values and (when ``with_mask``)
+    their finite masks, permuted identically.
     """
     V, A = vals.shape
     bits = jax.random.bits(chunk_key, (chunk_size, V), dtype=jnp.uint32)
     columns = [jnp.broadcast_to(vals[:, a][None, :], (chunk_size, V))
                for a in range(A)]
-    if score_type == "z-score":
+    if with_mask:
         columns += [jnp.broadcast_to(mask[:, a][None, :], (chunk_size, V))
                     for a in range(A)]
     sorted_ops = jax.lax.sort((bits, *columns), dimension=-1, num_keys=1,
                               is_stable=True)[1:]
     Bp = jnp.stack(sorted_ops[:A], axis=-1)                  # (C, V, A)
-    NBp = (jnp.stack(sorted_ops[A:], axis=-1)
-           if score_type == "z-score" else None)
+    NBp = jnp.stack(sorted_ops[A:], axis=-1) if with_mask else None
+    return Bp, NBp
+
+
+def permutation_scores_sorted(nbr_valid, vals, mask, chunk_key, chunk_size: int,
+                              score_type: str, precision: str = "highest"):
+    """Scores of a chunk of permutations drawn by key-sorting the data itself."""
+    Bp, NBp = permuted_operands_sorted(vals, mask, chunk_key, chunk_size,
+                                       score_type == "z-score")
     return _scores_from_permuted(nbr_valid, Bp, NBp, score_type, precision)
 
 

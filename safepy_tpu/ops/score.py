@@ -39,6 +39,19 @@ def dot_kwargs(precision: str = "highest"):
 _DOT_KW = dot_kwargs()
 
 
+def zscore_from_contractions(AB, N, EXX_sum):
+    """z-scores from the three neighborhood contractions (value sum, annotated
+    count, squared-value sum) — shared by the dense, permuted-batch, and
+    banded score paths. NaN where std == 0 or fewer than 3 annotated members
+    (reference safe_extras.py:19-31)."""
+    safe_N = jnp.where(N > 0, N, 1.0)
+    M = AB / safe_N
+    EXX = EXX_sum / safe_N
+    std = jnp.sqrt(jnp.maximum(EXX - M * M, 0.0))
+    score = jnp.where(std > 0, M / jnp.where(std > 0, std, 1.0), jnp.nan)
+    return jnp.where(N < 3, jnp.nan, score)
+
+
 @functools.partial(jax.jit, static_argnames=("score_type", "precision"))
 def compute_neighborhood_score(neighborhoods, node2attribute,
                                score_type: str = "sum",
@@ -70,11 +83,5 @@ def compute_neighborhood_score(neighborhoods, node2attribute,
 
     NB = mask.astype(jnp.float32)
     N = jnp.dot(A, NB, **_DOT_KW)  # annotated members per neighborhood
-    safe_N = jnp.where(N > 0, N, 1.0)
-    M = AB / safe_N  # mean
-    EXX = jnp.dot(A, B * B, **_DOT_KW) / safe_N
-    var = EXX - M * M
-    std = jnp.sqrt(jnp.maximum(var, 0.0))
-    score = jnp.where(std > 0, M / jnp.where(std > 0, std, 1.0), jnp.nan)
-    score = jnp.where(N < 3, jnp.nan, score)
-    return score
+    EXX_sum = jnp.dot(A, B * B, **_DOT_KW)
+    return zscore_from_contractions(AB, N, EXX_sum)

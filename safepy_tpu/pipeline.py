@@ -200,3 +200,96 @@ def fused_hypergeom_pipeline(d0, vals, lgt, M, radius, enrichment_threshold, *,
     # the counts (GO-scale batch) skip the (N, A) indicator download entirely
     enriched_counts = jnp.sum(nes_binary, axis=0, dtype=jnp.int32)
     return dist, nbr, nes32, log_sf32, nes_binary, enriched_counts, mean, std
+
+
+# ---------------------------------------------------------------------------
+# Band-STORAGE pipelines: O(N*W) memory end to end (huge networks)
+# ---------------------------------------------------------------------------
+
+def _band_front(u, v, w, radius, *, n, band, block):
+    """Shared front half: init -> band FW -> radius mask -> indicator + stats."""
+    from safepy_tpu.ops import apsp_bandstore as bst
+
+    bt = band // block + 1
+    s = bst.band_init_from_edges(u, v, w, n=n, band=band, block=block)
+    s = bst.apsp_band_fw(s, bt=bt, block=block)
+    # beyond-radius entries are upper bounds, not exact — mask them to inf
+    # exactly as the reference's Dijkstra cutoff never yields them (safe.py:406)
+    dist_band = jnp.where(s <= jnp.asarray(radius, s.dtype), s, jnp.inf)
+    s_ind = bst.band_threshold(s, radius)
+    _, mean, std = bst.band_row_stats(s_ind, n=n, bt=bt, block=block)
+    return dist_band, s_ind, mean, std, bt
+
+
+@functools.partial(jax.jit, static_argnames=("n", "band", "block"))
+def band_neighborhoods(u, v, w, radius, *, n: int, band: int, block: int = 128):
+    """Band-storage neighborhoods alone (the staged define_neighborhoods path):
+    (dist_band, s_ind, mean_size, std_size) in the permuted frame."""
+    return _band_front(u, v, w, radius, n=n, band=band, block=block)[:4]
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "n", "band", "block", "score_type", "num_permutations", "batch_size",
+    "w_c", "precision"))
+def fused_permutation_pipeline_band(u, v, w, vals, vals_valid, valid, starts,
+                                    rank, key, radius, *, n: int, band: int,
+                                    block: int = 128, score_type: str = "sum",
+                                    num_permutations: int = 1000,
+                                    batch_size: int = 1000, w_c: int,
+                                    precision: str = "highest"):
+    """Band-storage APSP + threshold + scores + permutation null, one dispatch.
+
+    All row inputs are in the PERMUTED (banded-order) frame: u/v/w the edge
+    arrays, ``vals`` the (n, A) attribute matrix, ``vals_valid`` its (V, A)
+    valid rows, ``valid`` the (n,) validity bitmap, ``starts``/``w_c`` from
+    ops/apsp_bandstore.compaction_plan. ``rank`` maps original node i to its
+    permuted position, so the returned (n, A) matrices are already back in the
+    ORIGINAL frame; the band matrices stay permuted (their frame is part of
+    the BandedMatrix wrapper).
+    """
+    from safepy_tpu.ops import apsp_bandstore as bst
+    from safepy_tpu.ops.enrich_band import band_score, scan_counts_band
+
+    dist_band, s_ind, mean, std, bt = _band_front(
+        u, v, w, radius, n=n, band=band, block=block)
+
+    obs = band_score(s_ind, vals, bt=bt, block=block, score_type=score_type,
+                     precision=precision)
+    compact = bst.apply_compaction(s_ind, valid, w_c, bt=bt, block=block)
+    mask_valid = jnp.isfinite(vals_valid).astype(jnp.float32)
+    vv = jnp.where(mask_valid > 0, jnp.asarray(vals_valid, jnp.float32), 0.0)
+    counts_neg, counts_pos = scan_counts_band(
+        compact, starts, vv, mask_valid, obs, key, score_type=score_type,
+        num_permutations=num_permutations, batch_size=batch_size, bt=bt,
+        block=block, precision=precision)
+
+    take = functools.partial(jnp.take, indices=rank, axis=0)
+    return (dist_band, s_ind, take(obs), take(counts_neg), take(counts_pos),
+            mean, std)
+
+
+@functools.partial(jax.jit, static_argnames=("n", "band", "block",
+                                             "iterations"))
+def fused_hypergeom_pipeline_band(u, v, w, vals, lgt, M, radius,
+                                  enrichment_threshold, rank, *, n: int,
+                                  band: int, block: int = 128,
+                                  iterations: int):
+    """Band-storage APSP + hypergeometric enrichment, one dispatch.
+
+    Same frames as :func:`fused_permutation_pipeline_band`; returns
+    (dist_band, s_ind, nes32, log_sf32, nes_binary_int8, enriched_counts,
+    mean, std) with the (n, A) matrices un-permuted to the original frame.
+    """
+    from safepy_tpu.ops.enrich_band import hypergeom_tail_band
+
+    dist_band, s_ind, mean, std, bt = _band_front(
+        u, v, w, radius, n=n, band=band, block=block)
+
+    nes32, log_sf32, nes_binary = hypergeom_tail_band(
+        s_ind, vals, lgt, M, enrichment_threshold, iterations=iterations,
+        bt=bt, block=block)
+    # pad rows (>= n, all-zero indicator) are sliced off BEFORE the count
+    enriched_counts = jnp.sum(nes_binary[:n], axis=0, dtype=jnp.int32)
+    take = functools.partial(jnp.take, indices=rank, axis=0)
+    return (dist_band, s_ind, take(nes32), take(log_sf32), take(nes_binary),
+            enriched_counts, mean, std)

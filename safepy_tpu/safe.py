@@ -47,6 +47,7 @@ from safepy_tpu.ops import hypergeom as _hyper
 from safepy_tpu.ops import neighborhoods as _nbr
 from safepy_tpu.ops import permutation as _perm
 from safepy_tpu.ops import score as _score
+from safepy_tpu.ops.apsp_bandstore import BandedMatrix as _BandedMatrix
 
 
 @jax.jit
@@ -77,6 +78,11 @@ class SAFE:
         # (ops/apsp_banded.py); 'full' = always the exact full-matrix kernel
         self.apsp_mode = "auto"
         self._banded_cache = {}
+        # band-STORAGE engine (ops/apsp_bandstore.py): O(N*W) memory instead of
+        # dense O(N^2). 'auto' switches to it above this node count (where the
+        # dense matrices stop fitting one chip); apsp_mode='band' forces it.
+        self.band_storage_min_nodes = 32768
+        self._bandstore_cache = {}
         self._graph_arrays = None  # cached graph_to_arrays output
         self.node_key_attribute = "label_orf"
 
@@ -226,6 +232,7 @@ class SAFE:
 
         self._d0_cache = {}
         self._banded_cache = {}
+        self._bandstore_cache = {}
         self._graph_arrays = None
         nx.set_node_attributes(self.graph, key_list, name="key")
         label_list = nx.get_node_attributes(self.graph, "label")
@@ -331,6 +338,29 @@ class SAFE:
             mesh_shape = {} if self.mesh is None else self.mesh.shape
             on_2d_mesh = "row" in mesh_shape and "col" in mesh_shape
             on_data_mesh = "data" in mesh_shape or on_2d_mesh
+            bs_plan = None if self.mesh is not None else \
+                self._band_storage_plan(coords, edges, weights, num_nodes, nr)
+            if bs_plan is not None:
+                from safepy_tpu import pipeline as _pipe
+                dist_band, s_ind, mean, std = _pipe.band_neighborhoods(
+                    bs_plan["u"], bs_plan["v"], bs_plan["w"],
+                    _nbr.inclusive_radius(nr), n=num_nodes,
+                    band=bs_plan["band"])
+                dist_dev = _BandedMatrix(dist_band, bs_plan["rank"], num_nodes,
+                                         bs_plan["band"], fill=np.inf)
+                nbr_dev = _BandedMatrix(s_ind, bs_plan["rank"], num_nodes,
+                                        bs_plan["band"], fill=0.0)
+                self._neighborhoods_dev = nbr_dev
+                self._neighborhoods_np = None
+                self._node_distances_dev = dist_dev
+                self._node_distances_np = None
+                if self.verbose:
+                    logging.info("Node distance metric: %s (band storage)"
+                                 % self.node_distance_metric)
+                    logging.info(
+                        "Number of nodes per neighborhood (mean +/- std): "
+                        "%.2f +/- %.2f" % (float(mean), float(std)))
+                return
             plan = None if on_data_mesh else self._banded_plan(
                 coords, edges, weights, num_nodes, nr)
             if plan is not None:
@@ -372,9 +402,23 @@ class SAFE:
     @property
     def neighborhoods(self):
         if self._neighborhoods_np is None and self._neighborhoods_dev is not None:
-            self._neighborhoods_np = np.asarray(
-                _to_int8(self._neighborhoods_dev)).astype(int)
+            dev = self._neighborhoods_dev
+            if isinstance(dev, _BandedMatrix):
+                # band-storage scale: dense materialization is guarded; use
+                # neighborhoods_sparse() / the pipeline outputs at huge N
+                self._neighborhoods_np = dev.to_dense().astype(int)
+            else:
+                self._neighborhoods_np = np.asarray(_to_int8(dev)).astype(int)
         return self._neighborhoods_np
+
+    def neighborhoods_sparse(self):
+        """scipy CSR of the neighborhood indicator — the O(nnz) accessor for
+        band-storage scale networks where the dense (N, N) matrix is guarded."""
+        dev = self._neighborhoods_dev
+        if isinstance(dev, _BandedMatrix):
+            return dev.to_sparse()
+        from scipy.sparse import csr_matrix
+        return csr_matrix(np.asarray(self.neighborhoods))
 
     @neighborhoods.setter
     def neighborhoods(self, value):
@@ -384,9 +428,21 @@ class SAFE:
     @property
     def node_distances(self):
         if self._node_distances_np is None and self._node_distances_dev is not None:
-            self._node_distances_np = np.asarray(self._node_distances_dev,
-                                                 dtype=np.float64)
+            dev = self._node_distances_dev
+            if isinstance(dev, _BandedMatrix):
+                self._node_distances_np = dev.to_dense().astype(np.float64)
+            else:
+                self._node_distances_np = np.asarray(dev, dtype=np.float64)
         return self._node_distances_np
+
+    def node_distances_sparse(self):
+        """scipy CSR of the within-radius distances (band-storage accessor)."""
+        dev = self._node_distances_dev
+        if isinstance(dev, _BandedMatrix):
+            return dev.to_sparse()
+        from scipy.sparse import csr_matrix
+        d = np.asarray(self.node_distances)
+        return csr_matrix(np.where(np.isfinite(d), d, 0.0))
 
     @node_distances.setter
     def node_distances(self, value):
@@ -475,6 +531,49 @@ class SAFE:
         self._banded_cache[key] = plan
         return plan
 
+    def _band_storage_plan(self, coords, edges, lengths, num_nodes, nr):
+        """Band-STORAGE plan (ops/apsp_bandstore.py) or None.
+
+        Selected when the dense (N, N) matrices would not fit one chip
+        (``apsp_mode='auto'`` above ``band_storage_min_nodes``) or when forced
+        with ``apsp_mode='band'``. Same geometric certificate as the banded
+        window kernel: edge lengths must BE the Euclidean endpoint distances.
+        Returns dict(u, v, w, rank, rank_dev, band)."""
+        forced = self.apsp_mode == "band"
+        if not forced and (self.apsp_mode != "auto"
+                           or num_nodes < int(self.band_storage_min_nodes)):
+            return None
+        if (self.node_distance_metric != "shortpath_weighted_layout"
+                or lengths is None or len(edges) == 0):
+            return None
+        key = float(np.float32(nr))
+        if key in self._bandstore_cache:
+            return self._bandstore_cache[key]
+
+        from safepy_tpu.ops import apsp_banded as _banded
+        from safepy_tpu.ops import apsp_bandstore as _bst
+
+        plan = None
+        euclid = np.hypot(coords[edges[:, 0], 0] - coords[edges[:, 1], 0],
+                          coords[edges[:, 0], 1] - coords[edges[:, 1], 1])
+        if np.allclose(lengths, euclid, rtol=1e-7, atol=1e-12):
+            order, band = _banded.banded_order(coords, nr * (1 + 1e-5))
+            # the band must genuinely beat dense storage (unless forced)
+            if forced or (_bst.band_nbytes(num_nodes, band)
+                          <= 0.5 * 4 * num_nodes * num_nodes):
+                rank = np.empty(num_nodes, dtype=np.int64)
+                rank[order] = np.arange(num_nodes)
+                permuted = rank[edges]
+                plan = dict(
+                    u=jnp.asarray(permuted[:, 0], jnp.int32),
+                    v=jnp.asarray(permuted[:, 1], jnp.int32),
+                    w=jnp.asarray(np.asarray(lengths, np.float32)),
+                    rank=rank,
+                    rank_dev=jnp.asarray(rank, jnp.int32),
+                    band=int(band))
+        self._bandstore_cache[key] = plan
+        return plan
+
     def _node2attribute_device(self):
         """(N, A) f32 device copy of node2attribute (NaNs preserved), uploaded
         once per load — repeat pipeline runs skip the 100+ MB transfer. Binary
@@ -487,6 +586,11 @@ class SAFE:
 
     def _neighborhoods_device(self):
         """(N, N) f32 device array of the indicator, uploading if necessary."""
+        if isinstance(self._neighborhoods_dev, _BandedMatrix):
+            raise RuntimeError(
+                "neighborhoods are band-stored (O(N*W)); the dense device "
+                "matrix does not exist at this scale — use the banded compute "
+                "paths (they are selected automatically)")
         if self._neighborhoods_dev is None:
             if self._neighborhoods_np is None:
                 raise RuntimeError("define_neighborhoods has not been run")
@@ -495,12 +599,21 @@ class SAFE:
         return self._neighborhoods_dev
 
     def __getstate__(self):
-        """Pickle support (SAFE.save): materialize NumPy, drop device arrays."""
-        _ = self.neighborhoods, self.node_distances  # force lazy downloads
+        """Pickle support (SAFE.save): materialize NumPy, drop device arrays.
+
+        Band-stored matrices are pickled AS bands (their dense forms may be
+        guarded or plain impossible at scale); they re-materialize lazily
+        after unpickling."""
+        bm_nbr = isinstance(self._neighborhoods_dev, _BandedMatrix)
+        bm_dist = isinstance(self._node_distances_dev, _BandedMatrix)
+        if not bm_nbr:
+            _ = self.neighborhoods, self.node_distances  # force lazy downloads
         _ = self.pvalues_pos, self.nes, self.nes_binary  # and the lazy statistics
         state = dict(self.__dict__)
-        state["_neighborhoods_dev"] = None
-        state["_node_distances_dev"] = None
+        state["_neighborhoods_dev"] = (
+            self._neighborhoods_dev.to_host() if bm_nbr else None)
+        state["_node_distances_dev"] = (
+            self._node_distances_dev.to_host() if bm_dist else None)
         state["_logsf_dev"] = None
         state["_nes_dev"] = None
         state["_nes_binary_dev"] = None
@@ -508,6 +621,7 @@ class SAFE:
         state["_nes_binary_pending"] = None
         state["_d0_cache"] = {}
         state["_banded_cache"] = {}
+        state["_bandstore_cache"] = {}
         state["_graph_arrays"] = None
         state["mesh"] = None  # Mesh holds live Device objects; not picklable
         return state
@@ -578,6 +692,9 @@ class SAFE:
 
         n2a = self.node2attribute
 
+        if isinstance(self._neighborhoods_dev, _BandedMatrix):
+            return self._hypergeom_bandstore(self._neighborhoods_dev, n2a)
+
         if self.mesh is not None and "attr" in self.mesh.shape:
             # attribute-column parallelism over the mesh (the reference's CLI
             # pool, safe.py:1335-1355): census AND sf tail inside the shard_map
@@ -639,6 +756,90 @@ class SAFE:
         else:
             # full-precision NES straight from the log-space tail sum
             self.nes = nes
+
+    def _hypergeom_bandstore(self, bm, n2a):
+        """Staged hypergeometric enrichment over band-stored neighborhoods
+        (ops/enrich_band.py): census + survival tail against the skewed band,
+        row results un-permuted on device."""
+        from safepy_tpu.ops.enrich_band import hypergeom_tail_band_jit
+
+        order = np.argsort(bm.rank)  # permuted position -> original node
+        vals_perm = jnp.asarray(np.asarray(n2a, np.float32)[order])
+        nodes_not_nan = np.any(~np.isnan(n2a), axis=1)
+        M = int(nodes_not_nan.sum())
+        N_in_group = np.nansum(n2a, axis=0)
+        k_max = int(max(1, np.nanmax(N_in_group))) if N_in_group.size else 1
+        iters = _hyper.tail_iterations(M, min(k_max, M))
+        lgt = jnp.asarray(_hyper.lgamma_table(M))
+
+        nes32, log_sf32, nes_binary8 = hypergeom_tail_band_jit(
+            bm.data, vals_perm, lgt, M, np.float64(self.enrichment_threshold),
+            iterations=iters, bt=bm.bt, block=bm.block)
+        counts = np.asarray(jnp.sum(nes_binary8[:bm.n], axis=0,
+                                    dtype=jnp.int32))
+        rank_dev = jnp.asarray(bm.rank, jnp.int32)
+        nes32 = jnp.take(nes32, rank_dev, axis=0)
+        log_sf32 = jnp.take(log_sf32, rank_dev, axis=0)
+        nes_binary8 = jnp.take(nes_binary8, rank_dev, axis=0)
+
+        if self.multiple_testing:
+            if self.verbose:
+                logging.info("Running FDR-adjustment of p-values...")
+            log_sf = np.asarray(log_sf32, dtype=np.float64)
+            with np.errstate(over="ignore"):
+                self.pvalues_pos = np.asarray(_fdr.fdr_bh(np.exp(log_sf)))
+            with np.errstate(divide="ignore"):
+                self.nes = -np.log10(self.pvalues_pos)
+        else:
+            self._pvalues_pos_np = None
+            self._logsf_dev = log_sf32
+            self._nes_np = None
+            self._nes_dev = nes32
+            self._nes_binary_pending = (nes_binary8, counts)
+
+    def _randomization_bandstore(self, bm):
+        """Staged permutation null over band-stored neighborhoods: banded
+        observed scores, valid-column compaction, banded count scan."""
+        from safepy_tpu.ops import apsp_bandstore as _bst
+        from safepy_tpu.ops.enrich_band import (band_score_jit,
+                                                run_permutations_band)
+
+        n2a = self.node2attribute
+        order = np.argsort(bm.rank)
+        vals_perm = np.asarray(n2a, np.float32)[order]
+        vals_perm_dev = jnp.asarray(vals_perm)
+
+        obs_perm = band_score_jit(bm.data, vals_perm_dev, bt=bm.bt,
+                                  block=bm.block,
+                                  score_type=self.neighborhood_score_type,
+                                  precision=self.matmul_precision)
+        rank_dev = jnp.asarray(bm.rank, jnp.int32)
+        obs = np.asarray(jnp.take(obs_perm, rank_dev, axis=0))
+        self.ns = obs
+
+        valid_perm = np.any(~np.isnan(vals_perm), axis=1)
+        V, A = int(valid_perm.sum()), n2a.shape[1]
+        starts, w_c = _bst.compaction_plan(valid_perm, n=bm.n, bt=bm.bt,
+                                           block=bm.block)
+        compact = _bst.apply_compaction(bm.data, jnp.asarray(valid_perm), w_c,
+                                        bt=bm.bt, block=bm.block)
+        vals_valid = jnp.asarray(vals_perm[valid_perm])
+        mask_valid = jnp.isfinite(vals_valid).astype(jnp.float32)
+        vv = jnp.where(mask_valid > 0, vals_valid, 0.0)
+
+        seed = self.random_seed
+        if seed is None:
+            seed = int(np.random.default_rng().integers(2 ** 31 - 1))
+        key = jax.random.PRNGKey(seed)
+        batch = _perm.default_batch_size(V, A, int(self.num_permutations))
+        counts_neg, counts_pos = run_permutations_band(
+            compact, jnp.asarray(starts, jnp.int32), vv, mask_valid, obs_perm,
+            key, score_type=self.neighborhood_score_type,
+            num_permutations=int(self.num_permutations), batch_size=batch,
+            bt=bm.bt, block=bm.block, precision=self.matmul_precision)
+        counts_neg = jnp.take(counts_neg, rank_dev, axis=0)
+        counts_pos = jnp.take(counts_pos, rank_dev, axis=0)
+        self._finalize_randomization(counts_neg, counts_pos, obs)
 
     def _finalize_randomization(self, counts_neg, counts_pos, obs):
         """counts -> p-values -> NES, reference semantics (safe.py:528-554):
@@ -714,6 +915,9 @@ class SAFE:
                          "permutations on device; ignoring." % kwargs["processes"])
 
         self.validate_config()
+
+        if isinstance(self._neighborhoods_dev, _BandedMatrix):
+            return self._randomization_bandstore(self._neighborhoods_dev)
 
         n2a = self.node2attribute
         n2a_dev = self._node2attribute_device()
@@ -804,6 +1008,10 @@ class SAFE:
         mesh_shape = {} if self.mesh is None else self.mesh.shape
         on_data_mesh = ("data" in mesh_shape
                         or ("row" in mesh_shape and "col" in mesh_shape))
+        bs_plan = None if self.mesh is not None else self._band_storage_plan(
+            coords, edges, weights, num_nodes, nr)
+        if bs_plan is not None:
+            return self._run_pipeline_bandstore(bs_plan, nr)
         plan = None if on_data_mesh else self._banded_plan(
             coords, edges, weights, num_nodes, nr)
         if plan is not None:
@@ -888,6 +1096,90 @@ class SAFE:
             logging.info("Node distance metric: %s" % self.node_distance_metric)
             logging.info("Neighborhood definition: %.2f x %s"
                          % (self.neighborhood_radius, self.neighborhood_radius_type))
+            logging.info("Number of nodes per neighborhood (mean +/- std): "
+                         "%.2f +/- %.2f" % (float(mean), float(std)))
+
+        self._update_binary_enrichment(*binary_pending)
+
+    def _run_pipeline_bandstore(self, plan, nr):
+        """run_pipeline over the band-STORAGE engine: one fused dispatch, all
+        matrices O(N*W) (see ops/apsp_bandstore.py, ops/enrich_band.py)."""
+        from safepy_tpu import pipeline as _pipe
+        from safepy_tpu.ops import apsp_bandstore as _bst
+
+        num_nodes = self.graph.number_of_nodes()
+        radius = _nbr.inclusive_radius(nr)
+        band, rank, rank_dev = plan["band"], plan["rank"], plan["rank_dev"]
+        order = np.argsort(rank)  # permuted position -> original node
+
+        n2a = self.node2attribute
+        vals_perm = np.asarray(n2a, np.float32)[order]
+        num_other = np.sum(~np.isnan(n2a) & ~np.isin(n2a, [0, 1]))
+        binary = (self.enrichment_type == "hypergeometric"
+                  or (self.enrichment_type == "auto" and num_other == 0))
+
+        binary_pending = (None, None)
+        if binary:
+            nodes_not_nan = np.any(~np.isnan(n2a), axis=1)
+            M = int(nodes_not_nan.sum())
+            k_max = int(max(1, np.nanmax(np.nansum(n2a, axis=0))))
+            iters = _hyper.tail_iterations(M, min(k_max, M))
+            lgt = jnp.asarray(_hyper.lgamma_table(M))
+            (dist_band, s_ind, nes32, log_sf32, nesbin8, counts_dev, mean,
+             std) = _pipe.fused_hypergeom_pipeline_band(
+                plan["u"], plan["v"], plan["w"], jnp.asarray(vals_perm), lgt,
+                M, radius, np.float64(self.enrichment_threshold), rank_dev,
+                n=num_nodes, band=band, iterations=iters)
+            if self.multiple_testing:
+                log_sf = np.asarray(log_sf32, dtype=np.float64)
+                with np.errstate(over="ignore"):
+                    self.pvalues_pos = np.asarray(_fdr.fdr_bh(np.exp(log_sf)))
+                with np.errstate(divide="ignore"):
+                    self.nes = -np.log10(self.pvalues_pos)
+            else:
+                self._pvalues_pos_np = None
+                self._logsf_dev = log_sf32
+                self._nes_np = None
+                self._nes_dev = nes32
+                binary_pending = (nesbin8, np.asarray(counts_dev))
+        else:
+            valid_perm = np.any(~np.isnan(vals_perm), axis=1)
+            V, A = int(valid_perm.sum()), n2a.shape[1]
+            bt = band // 128 + 1
+            starts, w_c = _bst.compaction_plan(valid_perm, n=num_nodes, bt=bt,
+                                               block=128)
+            seed = self.random_seed
+            if seed is None:
+                seed = int(np.random.default_rng().integers(2 ** 31 - 1))
+            key = jax.random.PRNGKey(seed)
+            batch = _perm.default_batch_size(V, A, int(self.num_permutations))
+            (dist_band, s_ind, obs_dev, counts_neg, counts_pos, mean, std) = \
+                _pipe.fused_permutation_pipeline_band(
+                    plan["u"], plan["v"], plan["w"], jnp.asarray(vals_perm),
+                    jnp.asarray(vals_perm[valid_perm]),
+                    jnp.asarray(valid_perm), jnp.asarray(starts, jnp.int32),
+                    rank_dev, key, radius, n=num_nodes, band=band,
+                    score_type=self.neighborhood_score_type,
+                    num_permutations=int(self.num_permutations),
+                    batch_size=batch, w_c=w_c,
+                    precision=self.matmul_precision)
+            obs = np.asarray(obs_dev)
+            self.ns = obs
+            self._finalize_randomization(counts_neg, counts_pos, obs)
+
+        self._neighborhoods_dev = _BandedMatrix(s_ind, rank, num_nodes, band,
+                                                fill=0.0)
+        self._neighborhoods_np = None
+        self._node_distances_dev = _BandedMatrix(dist_band, rank, num_nodes,
+                                                 band, fill=np.inf)
+        self._node_distances_np = None
+
+        if self.verbose:
+            logging.info("Node distance metric: %s (band storage)"
+                         % self.node_distance_metric)
+            logging.info("Neighborhood definition: %.2f x %s"
+                         % (self.neighborhood_radius,
+                            self.neighborhood_radius_type))
             logging.info("Number of nodes per neighborhood (mean +/- std): "
                          "%.2f +/- %.2f" % (float(mean), float(std)))
 

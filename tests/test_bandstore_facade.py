@@ -1,0 +1,169 @@
+"""Facade over the band-STORAGE engine == the dense engine (apsp_mode='band').
+
+The band-storage paths are auto-selected above SAFE.band_storage_min_nodes;
+these tests force them at test scale and pin every output against the dense
+('full') engine through the public facade.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from safepy_tpu import SAFE
+from safepy_tpu.ops.neighborhoods import inclusive_radius
+
+
+def _write_net(tmp_path, n=500, k=6, seed=2):
+    rng = np.random.default_rng(seed)
+    coords = rng.uniform(-1, 1, (n, 2))
+    from scipy.spatial import cKDTree
+    _, nn = cKDTree(coords).query(coords, k=k)
+    pairs = sorted({(min(i, int(j)), max(i, int(j)))
+                    for i in range(n) for j in nn[i, 1:]})
+    net = tmp_path / "net.txt"
+    with open(net, "w") as f:
+        for a, b in pairs:
+            f.write(f"g{a}\tg{b}\t1.0\n")
+    return str(net), n
+
+
+def _run(net, attrs, mode, *, seed=7, staged=False, **kwargs):
+    sf = SAFE(verbose=False)
+    sf.apsp_mode = mode
+    sf.random_seed = seed
+    sf.load_network(network_file=net, node_key_attribute="key")
+    sf.load_attributes(attribute_file=attrs)
+    if staged:
+        sf.define_neighborhoods()
+        sf.compute_pvalues(**kwargs)
+    else:
+        sf.run_pipeline(**kwargs)
+    return sf
+
+
+@pytest.fixture(scope="module")
+def net(tmp_path_factory):
+    return _write_net(tmp_path_factory.mktemp("bandnet"))
+
+
+def _binary_attrs(n, a=5, seed=0):
+    rng = np.random.default_rng(seed)
+    vals = (rng.random((n, a)) < 0.08).astype(float)
+    vals[rng.random((n, a)) < 0.1] = np.nan
+    return pd.DataFrame(vals, index=[f"g{i}" for i in range(n)],
+                        columns=[f"go{j}" for j in range(a)])
+
+
+def _quant_attrs(n, seed=0):
+    rng = np.random.default_rng(seed)
+    vals = rng.normal(size=(n, 1))
+    vals[rng.random(n) < 0.3, 0] = np.nan
+    return pd.DataFrame(vals, index=[f"g{i}" for i in range(n)],
+                        columns=["quant"])
+
+
+def _assert_distances_match(banded, full):
+    x = [full.graph.nodes[i]["x"] for i in full.graph]
+    r = float(inclusive_radius(
+        full.neighborhood_radius * (np.max(x) - np.min(x))))
+    inside = full.node_distances <= r
+    np.testing.assert_allclose(banded.node_distances[inside],
+                               full.node_distances[inside],
+                               rtol=1e-6, atol=1e-6)
+    assert np.isinf(banded.node_distances[~inside]).all()
+
+
+def test_band_hypergeom_matches_full(net):
+    path, n = net
+    attrs = _binary_attrs(n)
+    full = _run(path, attrs, "full")
+    banded = _run(path, attrs, "band")
+
+    np.testing.assert_array_equal(banded.neighborhoods, full.neighborhoods)
+    _assert_distances_match(banded, full)
+    assert np.nanmax(np.abs(banded.pvalues_pos - full.pvalues_pos)) <= 1e-6
+    np.testing.assert_array_equal(banded.nes_binary, full.nes_binary)
+    np.testing.assert_array_equal(
+        banded.attributes["num_neighborhoods_enriched"].values,
+        full.attributes["num_neighborhoods_enriched"].values)
+
+
+def test_band_permutation_matches_full_statistically(net):
+    path, n = net
+    attrs = _quant_attrs(n)
+    full = _run(path, attrs, "full", num_permutations=300)
+    banded = _run(path, attrs, "band", num_permutations=300)
+
+    np.testing.assert_array_equal(banded.neighborhoods, full.neighborhoods)
+    # observed scores are deterministic — must match exactly
+    np.testing.assert_allclose(banded.ns, full.ns, rtol=1e-6, atol=1e-6)
+    # the null uses independent keyed draws in a different row order: compare
+    # per-cell counts within a 6-sigma binomial envelope
+    p = np.clip(full.pvalues_pos, 1 / 300, 1 - 1 / 300)
+    sigma = np.sqrt(300 * p * (1 - p))
+    diff = np.abs(banded.pvalues_pos - full.pvalues_pos) * 300
+    ok = np.isnan(diff) | (diff <= 6 * sigma + 1)
+    assert ok.all()
+    # NaN masking (invalid observed scores) must agree exactly
+    np.testing.assert_array_equal(np.isnan(banded.pvalues_pos),
+                                  np.isnan(full.pvalues_pos))
+
+
+def test_band_staged_matches_band_fused(net):
+    path, n = net
+    attrs = _binary_attrs(n, seed=3)
+    fused = _run(path, attrs, "band")
+    staged = _run(path, attrs, "band", staged=True)
+
+    np.testing.assert_array_equal(staged.neighborhoods, fused.neighborhoods)
+    np.testing.assert_array_equal(np.asarray(staged.nes),
+                                  np.asarray(fused.nes))
+    np.testing.assert_array_equal(staged.nes_binary, fused.nes_binary)
+
+
+def test_band_staged_permutation_runs(net):
+    path, n = net
+    attrs = _quant_attrs(n, seed=5)
+    sf = _run(path, attrs, "band", staged=True, num_permutations=120)
+    dense = _run(path, attrs, "full", staged=True, num_permutations=120)
+    np.testing.assert_allclose(sf.ns, dense.ns, rtol=1e-6, atol=1e-6)
+    counts = (np.nan_to_num(sf.pvalues_neg) + np.nan_to_num(sf.pvalues_pos))
+    assert (counts * 120 >= 120 - 1e-6).all()  # ties count on both sides
+
+
+def test_band_zscore_obs_matches_dense(net):
+    path, n = net
+    attrs = _quant_attrs(n, seed=8)
+    full = _run(path, attrs, "full", staged=True,
+                neighborhood_score_type="z-score", num_permutations=60)
+    banded = _run(path, attrs, "band", staged=True,
+                  neighborhood_score_type="z-score", num_permutations=60)
+    np.testing.assert_allclose(banded.ns, full.ns, rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.isnan(banded.ns), np.isnan(full.ns))
+
+
+def test_band_sparse_accessors(net):
+    path, n = net
+    attrs = _binary_attrs(n, seed=4)
+    banded = _run(path, attrs, "band")
+    sp = banded.neighborhoods_sparse()
+    np.testing.assert_array_equal(sp.toarray(), banded.neighborhoods)
+    spd = banded.node_distances_sparse()
+    d = banded.node_distances
+    got = spd.toarray()
+    finite = np.isfinite(d) & (d > 0)
+    np.testing.assert_allclose(got[finite], d[finite], rtol=1e-6)
+
+
+def test_band_session_pickles(net, tmp_path):
+    path, n = net
+    attrs = _binary_attrs(n, seed=6)
+    banded = _run(path, attrs, "band")
+    out = tmp_path / "session.p"
+    banded.save(output_file=str(out))
+    import pickle
+    with open(out, "rb") as fh:
+        back = pickle.load(fh)
+    np.testing.assert_array_equal(back.neighborhoods, banded.neighborhoods)
+    np.testing.assert_allclose(np.asarray(back.nes), np.asarray(banded.nes),
+                               rtol=1e-6, atol=1e-6)
