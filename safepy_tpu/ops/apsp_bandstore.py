@@ -416,7 +416,8 @@ def compaction_plan(valid, *, n: int, bt: int, block: int = 128):
 
 
 @functools.partial(jax.jit, static_argnames=("w_c", "bt", "block"))
-def apply_compaction(s_ind, valid, w_c: int, *, bt: int, block: int = 128):
+def apply_compaction(s_ind, valid, w_c: int, *, bt: int, block: int = 128,
+                     row_block_offset=0):
     """Device half of the compaction: one stable lane-sort (jit-compatible).
 
     ``valid``: (n,) bool device/host array in the permuted order. The per-slab
@@ -425,17 +426,24 @@ def apply_compaction(s_ind, valid, w_c: int, *, bt: int, block: int = 128):
     entries of INVALID columns must not contribute at all — they are zeroed
     before the sort so the compacted tail is exact zeros, not the invalid
     columns' values shuffled right.
+
+    ``row_block_offset`` (traced ok): global ghosted block-row index of
+    s_ind's first row — the mesh-sharded workers pass their shard origin so
+    each slab sees the right slice of the global validity staircase.
     """
     width = s_ind.shape[1]
-    nbg = s_ind.shape[0] // block  # nb + 2*bt ghosted block-rows
+    nbg = s_ind.shape[0] // block  # ghosted block-rows in THIS shard
     valid = jnp.asarray(valid)
 
     # absolute column of slab cell (Ig, c) is (Ig - 2*bt)*b + c; out-of-range
-    # lands in the False padding of the extended bitmap
+    # clips into the False padding of the extended bitmap (both ends)
     pad = 2 * bt * block
-    valid_ext = jnp.zeros(nbg * block + 2 * pad, bool).at[pad:pad + valid.shape[0]].set(valid)
-    cols = ((jnp.arange(nbg, dtype=jnp.int32)[:, None] - 2 * bt) * block
+    ext_len = valid.shape[0] + 2 * pad
+    valid_ext = jnp.zeros(ext_len, bool).at[pad:pad + valid.shape[0]].set(valid)
+    off = jnp.asarray(row_block_offset, jnp.int32)
+    cols = ((off + jnp.arange(nbg, dtype=jnp.int32)[:, None] - 2 * bt) * block
             + jnp.arange(width, dtype=jnp.int32)[None, :]) + pad
+    cols = jnp.clip(cols, 0, ext_len - 1)
     keys_blk = (~valid_ext[cols]).astype(jnp.int32)          # (nbg, W)
     keys = jnp.broadcast_to(keys_blk[:, None, :],
                             (nbg, block, width)).reshape(nbg * block, width)

@@ -108,6 +108,23 @@ def _relax_rows(diag, panel, *, block: int):
     )(diag, panel, panel)
 
 
+def _relax_panel(q, p, c, *, block: int):
+    """min(C, Q (x) P) for a (block, W) panel with independent C — the
+    band-sharded row relax (q: (block, block), p/c: (block, W))."""
+    nb = c.shape[1] // block
+    return pl.pallas_call(
+        functools.partial(_relax_kernel, block=block),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((block, block), lambda j: (j * 0, j * 0)),
+            pl.BlockSpec((block, block), lambda j: (j * 0, j)),
+            pl.BlockSpec((block, block), lambda j: (j * 0, j)),
+        ],
+        out_specs=pl.BlockSpec((block, block), lambda j: (j * 0, j)),
+        out_shape=jax.ShapeDtypeStruct(c.shape, jnp.float32),
+    )(q, p, c)
+
+
 def _relax_cols(panel, diag, *, block: int):
     """min(Q, Q (x) diag) for an (N, block) column panel."""
     nb = panel.shape[0] // block

@@ -1,0 +1,469 @@
+"""Row-sharded band-STORAGE Floyd-Warshall + banded enrichment over a mesh.
+
+Composes the two scaling ideas: `ops/apsp_bandstore.py` removes the dense
+O(N^2) matrix (one chip reaches ~100k nodes), and this module row-block shards
+the skewed band over a mesh axis so both HBM *and* compute scale with the
+device count — the path to many-hundred-thousand-node networks.
+
+Per pivot round kb:
+
+  1. the device owning ghosted block-row Kg = kb + bt extracts its (T, W)
+     pivot slab; one ``pmin`` over the mesh axis broadcasts it (non-owners
+     contribute +inf) — the ONLY collective, W*T floats per round;
+  2. every device closes the diagonal tile (static slab column — the skew's
+     payoff) and relaxes the pivot slab against it (replicated tiny work);
+  3. ONLY devices whose rows intersect the pivot window [Kg-bt, Kg+bt] run the
+     window relax (``lax.cond`` — TPU executes a real branch), each for its
+     owned subset of the 2*bt+1 window rows. Per-device phase-3 work is
+     O((N/ndev) * W^2): compute scales, not just memory.
+
+The downstream enrichment runs INSIDE the same shard_map (scores, census,
+survival tail, permutation counts all contract local band rows against
+replicated (N, A) operands — zero additional collectives), so the dense
+(N, A)-sized arrays are the largest thing any chip ever holds.
+
+Reference analog: none — the reference's APSP is a serial host loop
+(safepy/safe.py:406-410) and its pools copy full matrices to every worker
+(safe.py:510-519); here the band is partitioned, not copied.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from safepy_tpu.ops import apsp_pallas
+from safepy_tpu.ops.apsp import min_plus_relax_jax as _relax_jnp
+
+_INF = float("inf")
+
+
+def sharded_band_geometry(n: int, band: int, ndev: int, block: int = 128):
+    """(bt, nb, width, g_pad, local_rows): ghosted block-row count padded to a
+    device multiple (extra all-inf ghost rows at the bottom are harmless)."""
+    bt = band // block + 1
+    nb = -(-n // block)
+    width = (2 * bt + 1) * block
+    g = nb + 2 * bt
+    g_pad = -(-g // ndev) * ndev
+    return bt, nb, width, g_pad, g_pad // ndev
+
+
+def band_init_local(u, v, w, my, *, n: int, bt: int, local_rows: int,
+                    width: int, block: int = 128):
+    """Device-local slab of the skewed FW initialization.
+
+    u, v: permuted edge endpoints (replicated, O(E)); ``my`` the device's mesh
+    index. Each device scatters only the edges whose source row it owns; the
+    rest land in a scrap cell. Ghost/pad rows stay +inf."""
+    s = jnp.full((local_rows * block, width), _INF, jnp.float32)
+
+    row0 = my * local_rows * block  # first owned GHOSTED element row
+
+    def place(rows_g, cols, vals):
+        local = rows_g - row0
+        keep = (local >= 0) & (local < local_rows * block) & (cols >= 0) \
+            & (cols < width)
+        r = jnp.where(keep, local, 0)
+        c = jnp.where(keep, cols, 0)
+        return r, c, jnp.where(keep, vals, jnp.inf)
+
+    # diagonal
+    i = jnp.arange(n, dtype=jnp.int32)
+    r, c, vals = place(bt * block + i, (i % block) + bt * block,
+                       jnp.zeros(n, jnp.float32))
+    s = s.at[r, c].min(vals)
+
+    uu = jnp.concatenate([u, v])
+    vv = jnp.concatenate([v, u])
+    ww = jnp.concatenate([w, w]).astype(jnp.float32)
+    cols = vv - (uu // block - bt) * block
+    r, c, vals = place(bt * block + uu, cols, ww)
+    return s.at[r, c].min(vals)
+
+
+def _band_fw_rounds(slab, my, axis, *, nb: int, bt: int, local_rows: int,
+                    block: int, use_pallas: bool):
+    """The pivot loop over a device-local slab (called inside shard_map)."""
+    width = slab.shape[1]
+
+    if use_pallas:
+        relax_rows = functools.partial(apsp_pallas._relax_rows, block=block)
+        relax_panel = functools.partial(apsp_pallas._relax_panel, block=block)
+    else:
+        relax_rows = lambda diag, panel: _relax_jnp(panel, diag, panel)
+        relax_panel = lambda q, p, c: _relax_jnp(c, q, p)
+
+    lrows = local_rows * block
+
+    z = jnp.int32(0)
+
+    def round_body(kb, slab):
+        kg = jnp.asarray(kb, jnp.int32) + bt
+        owner = kg // local_rows
+        local_start = jnp.clip(kg * block - owner * lrows, 0,
+                               lrows - block).astype(jnp.int32)
+
+        p_loc = jax.lax.dynamic_slice(slab, (local_start, z), (block, width))
+        p = jnp.where(my == owner, p_loc, jnp.inf)
+        p = jax.lax.pmin(p, axis)
+
+        diag = p[:, bt * block:(bt + 1) * block]
+        diag = apsp_pallas._close_diag(diag, block)
+        p = jax.lax.dynamic_update_slice(p, diag, (0, bt * block))
+        p = relax_rows(diag, p)
+
+        cur = jax.lax.dynamic_slice(slab, (local_start, z), (block, width))
+        upd = jnp.where(my == owner, p, cur)
+        slab = jax.lax.dynamic_update_slice(slab, upd, (local_start, z))
+
+        p_ext = jnp.pad(p, ((0, 0), (bt * block, bt * block)),
+                        constant_values=_INF)
+
+        def window_relax(slab):
+            def row_body(o, slab):
+                o = jnp.asarray(o, jnp.int32)
+                g = kg - bt + o
+                li = g * block - jnp.asarray(my, jnp.int32) * lrows
+                in_range = (li >= 0) & (li < lrows)
+                li_c = jnp.clip(li, 0, lrows - block).astype(jnp.int32)
+                c = jax.lax.dynamic_slice(slab, (li_c, z), (block, width))
+                q = jax.lax.dynamic_slice(c, (z, (2 * bt - o) * block),
+                                          (block, block))
+                pslice = jax.lax.dynamic_slice(p_ext, (z, o * block),
+                                               (block, width))
+                c2 = relax_panel(q, pslice, c)
+                upd = jnp.where(in_range, c2, c)
+                return jax.lax.dynamic_update_slice(slab, upd, (li_c, z))
+
+            return jax.lax.fori_loop(0, 2 * bt + 1, row_body, slab)
+
+        participates = (kg + bt >= my * local_rows) & \
+            (kg - bt < (my + 1) * local_rows)
+        return jax.lax.cond(participates, window_relax, lambda s: s, slab)
+
+    return jax.lax.fori_loop(0, nb, round_body, slab)
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "axis", "n", "band",
+                                             "block", "use_pallas"))
+def apsp_band_fw_sharded(s_ghosted, *, mesh: Mesh, axis: str = "data",
+                         n: int, band: int, block: int = 128,
+                         use_pallas: bool | None = None):
+    """Band-storage FW with the ghosted skewed array row-sharded over `mesh`.
+
+    ``s_ghosted``: ((g_pad)*block, W) from :func:`sharded_band_geometry`
+    padding (extra bottom ghost rows +inf). Returns the same global frame.
+    """
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    ndev = mesh.shape[axis]
+    bt, nb, width, g_pad, local_rows = sharded_band_geometry(
+        n, band, ndev, block)
+    assert s_ghosted.shape == (g_pad * block, width), (
+        s_ghosted.shape, (g_pad * block, width))
+
+    @functools.partial(jax.shard_map, mesh=mesh, check_vma=False,
+                       in_specs=P(axis, None), out_specs=P(axis, None))
+    def worker(slab):
+        my = jax.lax.axis_index(axis)
+        return _band_fw_rounds(slab, my, axis, nb=nb, bt=bt,
+                               local_rows=local_rows, block=block,
+                               use_pallas=bool(use_pallas))
+
+    return worker(s_ghosted)
+
+
+# ---------------------------------------------------------------------------
+# Local banded contractions (called inside the shard_map workers)
+# ---------------------------------------------------------------------------
+
+def _band_matmul_local(s_local, xg, my, *, bt: int, local_rows: int,
+                       block: int, precision: str):
+    """(local band rows) @ x: the shard's slice of ops/apsp_bandstore.band_matmul.
+
+    xg: ghost-padded replicated operand ((npad + 2*bt*b) rows, A); the slab of
+    local block-row i starts at global ghosted element (my*local_rows + i - bt)
+    * b in xg, clamped — ghost rows carry all-zero indicators, so a clamped
+    slab is harmless."""
+    from safepy_tpu.ops.score import dot_kwargs
+    kw = dot_kwargs(precision)
+    width = s_local.shape[1]
+    a_dim = xg.shape[1]
+    z = jnp.int32(0)
+
+    def blk(i, out):
+        i = jnp.asarray(i, jnp.int32)
+        rows = jax.lax.dynamic_slice(s_local, (i * block, z), (block, width))
+        start = jnp.clip((my * local_rows + i - bt) * block, 0,
+                         xg.shape[0] - width).astype(jnp.int32)
+        slab = jax.lax.dynamic_slice(xg, (start, z), (width, a_dim))
+        return jax.lax.dynamic_update_slice(out, jnp.dot(rows, slab, **kw),
+                                            (i * block, z))
+
+    out = jnp.zeros((local_rows * block, a_dim), jnp.float32)
+    return jax.lax.fori_loop(0, local_rows, blk, out)
+
+
+def _band_matmul_batch_local(s_local, x_batch, starts, my, *, bt: int,
+                             local_rows: int, nb: int, block: int,
+                             precision: str):
+    """Batched compacted-slab contraction for the shard's rows.
+
+    starts: (nb,) replicated valid-rank slab starts; local block-row i maps to
+    global REAL block I = my*local_rows + i - bt (clamped; ghost rows are
+    all-zero)."""
+    from safepy_tpu.ops.score import dot_kwargs
+    kw = dot_kwargs(precision)
+    w_c = s_local.shape[1]
+    c_dim, _, a_dim = x_batch.shape
+    z = jnp.int32(0)
+
+    def blk(i, out):
+        i = jnp.asarray(i, jnp.int32)
+        rows = jax.lax.dynamic_slice(s_local, (i * block, z), (block, w_c))
+        gi = jnp.clip(my * local_rows + i - bt, 0, nb - 1)
+        slab = jax.lax.dynamic_slice(x_batch, (z, starts[gi], z),
+                                     (c_dim, w_c, a_dim))
+        prod = jnp.einsum("nv,cva->cna", rows, slab, **kw)
+        return jax.lax.dynamic_update_slice(out, prod, (z, i * block, z))
+
+    out = jnp.zeros((c_dim, local_rows * block, a_dim), jnp.float32)
+    return jax.lax.fori_loop(0, local_rows, blk, out)
+
+
+def _band_score_local(s_local, xg_val, xg_mask, my, *, bt, local_rows, block,
+                      score_type, precision):
+    """Observed scores for the shard's rows (sum / z-score)."""
+    from safepy_tpu.ops.score import zscore_from_contractions
+
+    if score_type == "sum":
+        return _band_matmul_local(s_local, xg_val, my, bt=bt,
+                                  local_rows=local_rows, block=block,
+                                  precision=precision)
+    stacked = jnp.concatenate([xg_val, xg_mask, xg_val * xg_val], axis=1)
+    out = _band_matmul_local(s_local, stacked, my, bt=bt,
+                             local_rows=local_rows, block=block,
+                             precision=precision)
+    AB, N, EXX_sum = jnp.split(out, 3, axis=1)
+    return zscore_from_contractions(AB, N, EXX_sum)
+
+
+def _scan_counts_local(compact, starts, vals, mask, obs_local, key, my, *,
+                       score_type, num_permutations, batch_size, bt,
+                       local_rows, nb, block, precision):
+    """Permutation counts for the shard's rows. Every device draws the SAME
+    permutations (replicated key + operands) and contracts only its band rows
+    — compute scales with the row shard, no collective needed."""
+    from safepy_tpu.ops.permutation import (permuted_operands_sorted,
+                                            uses_sort_path)
+    from safepy_tpu.ops.score import zscore_from_contractions
+
+    V, A = vals.shape
+    w_c = compact.shape[1]
+    v_pad = V + w_c
+    num_chunks = -(-num_permutations // batch_size)
+    chunk_keys = jax.random.split(key, num_chunks)
+    sort_path = uses_sort_path(A)
+    zscore = score_type == "z-score"
+
+    def chunk_scores(chunk_key):
+        if sort_path:
+            Bp, NBp = permuted_operands_sorted(vals, mask, chunk_key,
+                                               batch_size, zscore)
+        else:
+            perm_keys = jax.random.split(chunk_key, batch_size)
+            perm_idx = jax.vmap(
+                lambda k: jax.random.permutation(k, V))(perm_keys)
+            Bp = jnp.take(vals, perm_idx, axis=0)
+            NBp = jnp.take(mask, perm_idx, axis=0) if zscore else None
+        mm = functools.partial(_band_matmul_batch_local, compact, starts=starts,
+                               my=my, bt=bt, local_rows=local_rows, nb=nb,
+                               block=block, precision=precision)
+        if not zscore:
+            return mm(jnp.pad(Bp, ((0, 0), (0, v_pad - V), (0, 0))))
+        stacked = jnp.concatenate([Bp, NBp, Bp * Bp], axis=-1)
+        out = mm(jnp.pad(stacked, ((0, 0), (0, v_pad - V), (0, 0))))
+        AB, Np, EXX_sum = jnp.split(out, 3, axis=-1)
+        return zscore_from_contractions(AB, Np, EXX_sum)
+
+    def chunk_body(carry, inputs):
+        counts_neg, counts_pos = carry
+        chunk_key, chunk_start = inputs
+        scores = chunk_scores(chunk_key)
+        live = (chunk_start + jnp.arange(batch_size)) < num_permutations
+        live = live[:, None, None]
+        counts_neg = counts_neg + jnp.sum(
+            jnp.where(live & (scores <= obs_local[None]), 1, 0), axis=0,
+            dtype=jnp.int32)
+        counts_pos = counts_pos + jnp.sum(
+            jnp.where(live & (scores >= obs_local[None]), 1, 0), axis=0,
+            dtype=jnp.int32)
+        return (counts_neg, counts_pos), None
+
+    zeros = jnp.zeros(obs_local.shape, jnp.int32)
+    zeros = zeros + (chunk_keys.ravel()[0] * 0).astype(jnp.int32)
+    cstarts = jnp.arange(num_chunks) * batch_size
+    (cn, cp), _ = jax.lax.scan(chunk_body, (zeros, zeros),
+                               (chunk_keys, cstarts))
+    return cn, cp
+
+
+# ---------------------------------------------------------------------------
+# Fused sharded band pipelines
+# ---------------------------------------------------------------------------
+
+def _ghost_pad_cols(x, bt: int, block: int, npad: int):
+    """Replicated (n, A) operand -> ghost-padded (npad + 2*bt*b, A) f32."""
+    x = jnp.asarray(x, jnp.float32)
+    return jnp.pad(x, ((bt * block, npad - x.shape[0] + bt * block), (0, 0)))
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "mesh", "axis", "n", "band", "block", "score_type", "num_permutations",
+    "batch_size", "w_c", "precision", "use_pallas"))
+def fused_permutation_pipeline_band_sharded(
+        u, v, w, vals, vals_valid, valid, starts, rank, key, radius, *,
+        mesh: Mesh, axis: str = "data", n: int, band: int, block: int = 128,
+        score_type: str = "sum", num_permutations: int = 1000,
+        batch_size: int = 1000, w_c: int, precision: str = "highest",
+        use_pallas: bool | None = None):
+    """Row-sharded band pipeline: init, FW, threshold, scores, null — one
+    dispatch, every band-shaped array partitioned over `axis`.
+
+    Same frames as pipeline.fused_permutation_pipeline_band; the returned
+    (n, A) matrices are in the ORIGINAL node frame, the band matrices stay in
+    the global ghost-padded permuted frame (sharded)."""
+    from safepy_tpu.ops.apsp_bandstore import apply_compaction
+
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    ndev = mesh.shape[axis]
+    bt, nb, width, g_pad, local_rows = sharded_band_geometry(
+        n, band, ndev, block)
+    npad = nb * block
+
+    mask_valid = jnp.isfinite(jnp.asarray(vals_valid, jnp.float32)) \
+        .astype(jnp.float32)
+    vv = jnp.where(mask_valid > 0, jnp.asarray(vals_valid, jnp.float32), 0.0)
+    finite = jnp.isfinite(jnp.asarray(vals, jnp.float32))
+    xg_val = _ghost_pad_cols(jnp.where(finite, jnp.asarray(vals, jnp.float32),
+                                       0.0), bt, block, npad)
+    xg_mask = _ghost_pad_cols(finite.astype(jnp.float32), bt, block, npad)
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh, check_vma=False,
+        in_specs=(P(), P(), P(), P(), P(), P(), P(), P(), P()),
+        out_specs=(P(axis, None), P(axis, None), P(axis),
+                   P(axis, None), P(axis, None), P(axis, None)))
+    def worker(u, v, w, xg_val, xg_mask, valid, starts, vv_mask, key):
+        vv_, mask_ = vv_mask
+        my = jax.lax.axis_index(axis)
+        slab = band_init_local(u, v, w, my, n=n, bt=bt,
+                               local_rows=local_rows, width=width,
+                               block=block)
+        slab = _band_fw_rounds(slab, my, axis, nb=nb, bt=bt,
+                               local_rows=local_rows, block=block,
+                               use_pallas=bool(use_pallas))
+        dist_local = jnp.where(slab <= jnp.asarray(radius, slab.dtype), slab,
+                               jnp.inf)
+        ind = (slab <= jnp.asarray(radius, slab.dtype)).astype(jnp.float32)
+        sizes_local = jnp.sum(ind, axis=1)
+        obs_local = _band_score_local(ind, xg_val, xg_mask, my, bt=bt,
+                                      local_rows=local_rows, block=block,
+                                      score_type=score_type,
+                                      precision=precision)
+        compact = apply_compaction(ind, valid, w_c, bt=bt, block=block,
+                                   row_block_offset=my * local_rows)
+        cn, cp = _scan_counts_local(
+            compact, starts, vv_, mask_, obs_local, key, my,
+            score_type=score_type, num_permutations=num_permutations,
+            batch_size=batch_size, bt=bt, local_rows=local_rows, nb=nb,
+            block=block, precision=precision)
+        return dist_local, ind, sizes_local, obs_local, cn, cp
+
+    dist_g, ind_g, sizes_g, obs_g, cn_g, cp_g = worker(
+        u, v, w, xg_val, xg_mask, jnp.asarray(valid), starts,
+        (vv, mask_valid), key)
+
+    sizes = jax.lax.dynamic_slice_in_dim(sizes_g, bt * block, npad, 0)[:n]
+    mean, std = jnp.mean(sizes), jnp.std(sizes)
+    real = lambda x: jax.lax.dynamic_slice_in_dim(x, bt * block, npad, 0)
+    take = functools.partial(jnp.take, indices=rank, axis=0)
+    return (dist_g, ind_g, take(real(obs_g)), take(real(cn_g)),
+            take(real(cp_g)), mean, std)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "mesh", "axis", "n", "band", "block", "iterations", "precision",
+    "use_pallas"))
+def fused_hypergeom_pipeline_band_sharded(
+        u, v, w, vals, lgt, M, radius, enrichment_threshold, rank, *,
+        mesh: Mesh, axis: str = "data", n: int, band: int, block: int = 128,
+        iterations: int, precision: str = "highest",
+        use_pallas: bool | None = None):
+    """Row-sharded band pipeline, hypergeometric engine: census + survival
+    tail per shard, no collectives after the FW's pivot pmin."""
+    from safepy_tpu.ops.hypergeom import _sf_parts, finalize_logsf_device
+
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    ndev = mesh.shape[axis]
+    bt, nb, width, g_pad, local_rows = sharded_band_geometry(
+        n, band, ndev, block)
+    npad = nb * block
+
+    vals32 = jnp.asarray(vals, jnp.float32)
+    finite = jnp.isfinite(vals32)
+    nan0 = jnp.where(finite, vals32, 0.0)
+    nodes_not_nan = jnp.any(finite, axis=1).astype(jnp.float32)
+    K = jnp.sum(nan0, axis=0)
+    stacked_g = _ghost_pad_cols(
+        jnp.concatenate([nodes_not_nan[:, None], nan0], axis=1),
+        bt, block, npad)
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh, check_vma=False,
+        in_specs=(P(), P(), P(), P(), P(), P()),
+        out_specs=(P(axis, None), P(axis, None), P(axis),
+                   P(axis, None), P(axis, None), P(axis, None)))
+    def worker(u, v, w, stacked_g, K, lgt):
+        my = jax.lax.axis_index(axis)
+        slab = band_init_local(u, v, w, my, n=n, bt=bt,
+                               local_rows=local_rows, width=width,
+                               block=block)
+        slab = _band_fw_rounds(slab, my, axis, nb=nb, bt=bt,
+                               local_rows=local_rows, block=block,
+                               use_pallas=bool(use_pallas))
+        dist_local = jnp.where(slab <= jnp.asarray(radius, slab.dtype), slab,
+                               jnp.inf)
+        ind = (slab <= jnp.asarray(radius, slab.dtype)).astype(jnp.float32)
+        sizes_local = jnp.sum(ind, axis=1)
+        prod = _band_matmul_local(ind, stacked_g, my, bt=bt,
+                                  local_rows=local_rows, block=block,
+                                  precision=precision)
+        nsize = prod[:, 0]
+        counts = prod[:, 1:]
+        k64 = counts.astype(jnp.float64)
+        K64 = jnp.broadcast_to(K.astype(jnp.float64)[None, :], counts.shape)
+        n64 = jnp.broadcast_to(nsize.astype(jnp.float64)[:, None],
+                               counts.shape)
+        parts = _sf_parts(k64, M, K64, n64, lgt, iterations)
+        nes32, log_sf32, nes_binary = finalize_logsf_device(
+            parts, enrichment_threshold)
+        return dist_local, ind, sizes_local, nes32, log_sf32, nes_binary
+
+    dist_g, ind_g, sizes_g, nes_g, logsf_g, bin_g = worker(
+        u, v, w, stacked_g, K, lgt)
+
+    sizes = jax.lax.dynamic_slice_in_dim(sizes_g, bt * block, npad, 0)[:n]
+    mean, std = jnp.mean(sizes), jnp.std(sizes)
+    real = lambda x: jax.lax.dynamic_slice_in_dim(x, bt * block, npad, 0)
+    enriched_counts = jnp.sum(real(bin_g)[:n], axis=0, dtype=jnp.int32)
+    take = functools.partial(jnp.take, indices=rank, axis=0)
+    return (dist_g, ind_g, take(real(nes_g)), take(real(logsf_g)),
+            take(real(bin_g)), enriched_counts, mean, std)

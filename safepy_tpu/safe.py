@@ -1008,8 +1008,10 @@ class SAFE:
         mesh_shape = {} if self.mesh is None else self.mesh.shape
         on_data_mesh = ("data" in mesh_shape
                         or ("row" in mesh_shape and "col" in mesh_shape))
-        bs_plan = None if self.mesh is not None else self._band_storage_plan(
-            coords, edges, weights, num_nodes, nr)
+        band_mesh_ok = self.mesh is None or (
+            "data" in mesh_shape and len(mesh_shape) == 1)
+        bs_plan = self._band_storage_plan(
+            coords, edges, weights, num_nodes, nr) if band_mesh_ok else None
         if bs_plan is not None:
             return self._run_pipeline_bandstore(bs_plan, nr)
         plan = None if on_data_mesh else self._banded_plan(
@@ -1125,11 +1127,21 @@ class SAFE:
             k_max = int(max(1, np.nanmax(np.nansum(n2a, axis=0))))
             iters = _hyper.tail_iterations(M, min(k_max, M))
             lgt = jnp.asarray(_hyper.lgamma_table(M))
-            (dist_band, s_ind, nes32, log_sf32, nesbin8, counts_dev, mean,
-             std) = _pipe.fused_hypergeom_pipeline_band(
-                plan["u"], plan["v"], plan["w"], jnp.asarray(vals_perm), lgt,
-                M, radius, np.float64(self.enrichment_threshold), rank_dev,
-                n=num_nodes, band=band, iterations=iters)
+            if self.mesh is not None:
+                from safepy_tpu.parallel.band_sharded import (
+                    fused_hypergeom_pipeline_band_sharded)
+                (dist_band, s_ind, nes32, log_sf32, nesbin8, counts_dev, mean,
+                 std) = fused_hypergeom_pipeline_band_sharded(
+                    plan["u"], plan["v"], plan["w"], jnp.asarray(vals_perm),
+                    lgt, M, radius, np.float64(self.enrichment_threshold),
+                    rank_dev, mesh=self.mesh, n=num_nodes, band=band,
+                    iterations=iters)
+            else:
+                (dist_band, s_ind, nes32, log_sf32, nesbin8, counts_dev, mean,
+                 std) = _pipe.fused_hypergeom_pipeline_band(
+                    plan["u"], plan["v"], plan["w"], jnp.asarray(vals_perm),
+                    lgt, M, radius, np.float64(self.enrichment_threshold),
+                    rank_dev, n=num_nodes, band=band, iterations=iters)
             if self.multiple_testing:
                 log_sf = np.asarray(log_sf32, dtype=np.float64)
                 with np.errstate(over="ignore"):
@@ -1153,20 +1165,35 @@ class SAFE:
                 seed = int(np.random.default_rng().integers(2 ** 31 - 1))
             key = jax.random.PRNGKey(seed)
             batch = _perm.default_batch_size(V, A, int(self.num_permutations))
-            (dist_band, s_ind, obs_dev, counts_neg, counts_pos, mean, std) = \
-                _pipe.fused_permutation_pipeline_band(
-                    plan["u"], plan["v"], plan["w"], jnp.asarray(vals_perm),
-                    jnp.asarray(vals_perm[valid_perm]),
-                    jnp.asarray(valid_perm), jnp.asarray(starts, jnp.int32),
-                    rank_dev, key, radius, n=num_nodes, band=band,
-                    score_type=self.neighborhood_score_type,
-                    num_permutations=int(self.num_permutations),
-                    batch_size=batch, w_c=w_c,
-                    precision=self.matmul_precision)
+            band_args = (plan["u"], plan["v"], plan["w"],
+                         jnp.asarray(vals_perm),
+                         jnp.asarray(vals_perm[valid_perm]),
+                         jnp.asarray(valid_perm),
+                         jnp.asarray(starts, jnp.int32), rank_dev, key, radius)
+            band_kw = dict(n=num_nodes, band=band,
+                           score_type=self.neighborhood_score_type,
+                           num_permutations=int(self.num_permutations),
+                           batch_size=batch, w_c=w_c,
+                           precision=self.matmul_precision)
+            if self.mesh is not None:
+                from safepy_tpu.parallel.band_sharded import (
+                    fused_permutation_pipeline_band_sharded)
+                (dist_band, s_ind, obs_dev, counts_neg, counts_pos, mean,
+                 std) = fused_permutation_pipeline_band_sharded(
+                    *band_args, mesh=self.mesh, **band_kw)
+            else:
+                (dist_band, s_ind, obs_dev, counts_neg, counts_pos, mean,
+                 std) = _pipe.fused_permutation_pipeline_band(
+                    *band_args, **band_kw)
             obs = np.asarray(obs_dev)
             self.ns = obs
             self._finalize_randomization(counts_neg, counts_pos, obs)
 
+        bt = band // 128 + 1
+        g_rows = (-(-num_nodes // 128) + 2 * bt) * 128
+        if s_ind.shape[0] != g_rows:  # sharded outputs carry extra pad rows
+            s_ind = s_ind[:g_rows]
+            dist_band = dist_band[:g_rows]
         self._neighborhoods_dev = _BandedMatrix(s_ind, rank, num_nodes, band,
                                                 fill=0.0)
         self._neighborhoods_np = None
