@@ -108,6 +108,10 @@ def main(argv=None):
     parser.add_argument("--binary", action="store_true",
                         help="binary annotations -> hypergeometric engine")
     parser.add_argument("--permutations", type=int, default=1000)
+    parser.add_argument("--radius", type=float, default=None,
+                        help="neighborhood radius override (fraction of the "
+                             "x-extent); scale runs hold the mean neighborhood "
+                             "size constant with radius ~ sqrt(125/(pi*N))")
     args = parser.parse_args(argv)
 
     import safepy_tpu
@@ -115,7 +119,8 @@ def main(argv=None):
 
     wait_for_backend()
 
-    if args.nodes != N_NODES or args.attributes != 1 or args.binary:
+    if (args.nodes != N_NODES or args.attributes != 1 or args.binary
+            or args.radius is not None):
         return _custom_bench(args)
 
     g, coords = build_network()
@@ -215,6 +220,8 @@ def _custom_bench(args):
 
     sf = SAFE(verbose=False)
     sf.random_seed = 1885
+    if args.radius is not None:
+        sf.neighborhood_radius = args.radius
     sf.load_network(network_file=g, node_key_attribute="key")
 
     def run():
@@ -255,6 +262,13 @@ def _custom_bench(args):
                    "attributes": args.attributes, "binary": args.binary,
                    "num_permutations": args.permutations,
                    "apsp_steady_s": apsp_s,
+                   "engine": ("band_storage"
+                              if any(v is not None
+                                     for v in sf._bandstore_cache.values())
+                              else ("banded_window"
+                                    if any(v is not None
+                                           for v in sf._banded_cache.values())
+                                    else "dense")),
                    "enriched": int((sf.nes_binary > 0).sum())},
     }))
     return 0
