@@ -35,14 +35,32 @@ _ARRAYS = ["node2attribute", "ns", "pvalues_neg", "pvalues_pos", "nes",
 
 
 def save_session(sf, path: str) -> None:
-    """Write <path>.npz (arrays) + <path>.meta.json (settings/tables)."""
+    """Write <path>.npz (arrays) + <path>.meta.json (settings/tables).
+
+    Band-stored sessions (huge networks, ops/apsp_bandstore.py) checkpoint
+    the O(N*W) band itself — the dense matrices may be guarded or plainly
+    impossible at that scale."""
+    from safepy_tpu.ops.apsp_bandstore import BandedMatrix
+
     arrays = {}
-    nbr = sf.neighborhoods
-    if nbr is not None:
-        arrays["neighborhoods"] = np.asarray(nbr, dtype=np.int8)
-    nd = sf.node_distances
-    if nd is not None:
-        arrays["node_distances"] = np.asarray(nd, dtype=np.float32)
+    nbr_dev = getattr(sf, "_neighborhoods_dev", None)
+    if isinstance(nbr_dev, BandedMatrix) and not nbr_dev.dense_ok():
+        arrays["neighborhoods_band"] = np.asarray(nbr_dev.data,
+                                                  dtype=np.int8)
+        arrays["band_rank"] = np.asarray(nbr_dev.rank, dtype=np.int64)
+        arrays["band_meta"] = np.asarray(
+            [nbr_dev.n, nbr_dev.band, nbr_dev.block], dtype=np.int64)
+        nd_dev = getattr(sf, "_node_distances_dev", None)
+        if isinstance(nd_dev, BandedMatrix):
+            arrays["node_distances_band"] = np.asarray(nd_dev.data,
+                                                       dtype=np.float32)
+    else:
+        nbr = sf.neighborhoods
+        if nbr is not None:
+            arrays["neighborhoods"] = np.asarray(nbr, dtype=np.int8)
+        nd = sf.node_distances
+        if nd is not None:
+            arrays["node_distances"] = np.asarray(nd, dtype=np.float32)
     for name in _ARRAYS:
         val = getattr(sf, name)
         if val is not None:
@@ -79,6 +97,19 @@ def load_session(path: str, graph=None, verbose: bool = True):
         setattr(sf, k, v)
 
     data = np.load(path + ".npz", allow_pickle=False)
+    if "neighborhoods_band" in data:
+        from safepy_tpu.ops.apsp_bandstore import BandedMatrix
+        n, band, block = (int(x) for x in data["band_meta"])
+        rank = data["band_rank"]
+        sf._neighborhoods_dev = BandedMatrix(
+            data["neighborhoods_band"].astype(np.float32), rank, n, band,
+            block, fill=0.0)
+        sf._neighborhoods_np = None
+        if "node_distances_band" in data:
+            sf._node_distances_dev = BandedMatrix(
+                data["node_distances_band"], rank, n, band, block,
+                fill=np.inf)
+            sf._node_distances_np = None
     if "neighborhoods" in data:
         sf.neighborhoods = data["neighborhoods"].astype(int)
     if "node_distances" in data:

@@ -227,10 +227,30 @@ def _relax_skew_pallas(win, p_ext, *, bt: int, block: int):
     win[o, j] (tile indices) = D[K-bt+o, (K-2bt+o+j)*b tile]; Q for window row
     o is the D[I, K] tile at slab position 2bt - o; the matching pivot-row tile
     is p_ext[o + j]. All index maps are affine in the grid — no scalar prefetch.
+
+    Tiles with |o + j - 2bt| > bt relax against a provably-+inf pivot-row tile
+    (the absolute column J = K + o + j - 2bt is outside P's stored slab), so
+    the kernel passes them through untouched — ~25% of the window's work.
     """
     nt = 2 * bt + 1
+
+    def kernel(a_ref, b_ref, c_ref, o_ref):
+        o = apsp_pallas.pl.program_id(0)
+        j = apsp_pallas.pl.program_id(1)
+        offset = o + j - 2 * bt
+        in_band = (offset <= bt) & (offset >= -bt)
+
+        @apsp_pallas.pl.when(in_band)
+        def _():
+            o_ref[:] = apsp_pallas._tile_minplus(c_ref[:], a_ref[:], b_ref[:],
+                                                 block)
+
+        @apsp_pallas.pl.when(jnp.logical_not(in_band))
+        def _():
+            o_ref[:] = c_ref[:]
+
     return apsp_pallas.pl.pallas_call(
-        functools.partial(apsp_pallas._relax_kernel, block=block),
+        kernel,
         grid=(nt, nt),
         in_specs=[
             apsp_pallas.pl.BlockSpec((block, block),
@@ -305,15 +325,57 @@ def apsp_band_fw(s, *, bt: int, block: int = 128, use_pallas: bool | None = None
 # Downstream consumers: threshold, sizes, matmuls — all without densifying
 # ---------------------------------------------------------------------------
 
+@functools.partial(jax.jit, static_argnames=("n", "band", "block"))
+def euclidean_band_distances(coords_perm, *, n: int, band: int,
+                             block: int = 128):
+    """Banded pairwise Euclidean distances in the skewed storage frame.
+
+    The euclidean metric (reference safe.py:389-399) needs no graph algorithm
+    — per block-row the distances to its certified slab are computed directly
+    from the coordinates, O(N*W) work and memory, which takes the scatter /
+    UMAP annotation workflow (safe_io.py:271-285) to 100k+ points. Pairs
+    beyond the band are +inf (they are beyond the radius by the band
+    certificate); ghost/pad cells carry far-away sentinel coordinates, so
+    their distances overflow any radius.
+    """
+    bt, nb, width = band_params(n, band, block)
+    npad = nb * block
+    big = jnp.float32(3e18)  # sentinel: distances ~1e18 >> any radius, finite
+
+    coords_perm = jnp.asarray(coords_perm, jnp.float32)
+    cg = jnp.full((npad + 2 * bt * block, 2), big, jnp.float32)
+    cg = jax.lax.dynamic_update_slice(cg, coords_perm,
+                                      (bt * block, jnp.int32(0)))
+
+    out = jnp.full(((nb + 2 * bt) * block, width), _INF, jnp.float32)
+    z = jnp.int32(0)
+
+    def blk(i, out):
+        i = jnp.asarray(i, jnp.int32)
+        rows = jax.lax.dynamic_slice(cg, ((i + bt) * block, z), (block, 2))
+        slab = jax.lax.dynamic_slice(cg, (i * block, z), (width, 2))
+        diff = rows[:, None, :] - slab[None, :, :]
+        d = jnp.sqrt(jnp.maximum(jnp.sum(diff * diff, axis=-1), 0.0))
+        # exact-zero self distance despite float cancellation: the diagonal
+        # cell of row r is slab position r + bt*block - ... == bt*block + r
+        r_idx = jnp.arange(block)
+        d = d.at[r_idx, r_idx + bt * block].set(0.0)
+        return jax.lax.dynamic_update_slice(out, d, ((i + bt) * block, z))
+
+    return jax.lax.fori_loop(0, nb, blk, out)
+
+
 @jax.jit
 def band_threshold(s, radius):
-    """<= radius indicator in the same skewed frame (f32 0/1).
+    """<= radius indicator in the same skewed frame (int8 0/1 — the band is
+    the dominant HBM object at scale, and every consumer casts per-block
+    inside its contraction loop).
 
     Exact: in-band entries for true-distance <= radius pairs are exact, other
     entries are genuine-path upper bounds (> radius), and out-of-band pairs are
     beyond the radius by the certificate.
     """
-    return (s <= jnp.asarray(radius, s.dtype)).astype(jnp.float32)
+    return (s <= jnp.asarray(radius, s.dtype)).astype(jnp.int8)
 
 
 def band_row_stats(s_ind, *, n: int, bt: int, block: int = 128):
@@ -324,7 +386,7 @@ def band_row_stats(s_ind, *, n: int, bt: int, block: int = 128):
     values; the mean/std are order-invariant)."""
     real = jax.lax.dynamic_slice_in_dim(s_ind, bt * block,
                                         s_ind.shape[0] - 2 * bt * block, 0)
-    sizes = jnp.sum(real, axis=1)[:n]
+    sizes = jnp.sum(real, axis=1, dtype=jnp.float32)[:n]
     return sizes, jnp.mean(sizes), jnp.std(sizes)
 
 
@@ -353,7 +415,7 @@ def band_matmul(s_ind, x, *, bt: int, block: int = 128,
 
     def blk(i, out):
         rows = jax.lax.dynamic_slice(s_ind, ((i + bt) * block, 0),
-                                     (block, width))
+                                     (block, width)).astype(jnp.float32)
         slab = jax.lax.dynamic_slice(xg, (i * block, 0), (width, x.shape[1]))
         return jax.lax.dynamic_update_slice(out, jnp.dot(rows, slab, **kw),
                                             (i * block, 0))
@@ -383,7 +445,7 @@ def band_matmul_batch(s_rows, x_batch, starts, *, bt: int, block: int = 128,
         i = jnp.asarray(i, jnp.int32)
         z = jnp.int32(0)
         rows = jax.lax.dynamic_slice(s_rows, ((i + bt) * block, z),
-                                     (block, width))
+                                     (block, width)).astype(jnp.float32)
         slab = jax.lax.dynamic_slice(x_batch, (z, starts[i], z),
                                      (c_dim, width, a_dim))
         prod = jnp.einsum("nv,cva->cna", rows, slab, **kw)
@@ -444,14 +506,17 @@ def apply_compaction(s_ind, valid, w_c: int, *, bt: int, block: int = 128,
     cols = ((off + jnp.arange(nbg, dtype=jnp.int32)[:, None] - 2 * bt) * block
             + jnp.arange(width, dtype=jnp.int32)[None, :]) + pad
     cols = jnp.clip(cols, 0, ext_len - 1)
-    keys_blk = (~valid_ext[cols]).astype(jnp.int32)          # (nbg, W)
+    # int8 keys AND int8 sort values: both materialized arrays are band-sized,
+    # so dtype is a 4x lever on the compaction's peak HBM (the indicator is
+    # 0/1; only the final w_c-wide compacted slice returns to f32 for the MXU)
+    keys_blk = (~valid_ext[cols]).astype(jnp.int8)           # (nbg, W)
     keys = jnp.broadcast_to(keys_blk[:, None, :],
                             (nbg, block, width)).reshape(nbg * block, width)
 
-    masked = jnp.asarray(s_ind) * (1.0 - keys.astype(jnp.float32))
+    masked = jnp.asarray(s_ind).astype(jnp.int8) * (1 - keys)
     sorted_vals = jax.lax.sort((keys, masked), dimension=-1,
                                num_keys=1, is_stable=True)[1]
-    return sorted_vals[:, :w_c]
+    return sorted_vals[:, :w_c]  # int8; consumers cast per block
 
 
 def compact_band_columns(s_ind, valid, *, bt: int, block: int = 128):

@@ -34,6 +34,8 @@ from safepy_tpu.ops.score import zscore_from_contractions
 
 
 def _pad_rows_to(x, rows: int):
+    if x.shape[0] == rows:
+        return x
     return jnp.pad(x, ((0, rows - x.shape[0]),) + ((0, 0),) * (x.ndim - 1))
 
 
@@ -126,34 +128,185 @@ def scan_counts_band(compact, starts, vals, mask, obs, key, *,
     return counts_neg, counts_pos
 
 
-def hypergeom_tail_band(s_ind, vals, lgt, M, enrichment_threshold, *,
-                        iterations: int, bt: int, block: int = 128,
-                        precision: str = "highest"):
-    """Hypergeometric census + survival tail over the banded indicator.
+def hypergeom_core_band(s_ind, nan0, nodes_not_nan, K, lgt, M,
+                        enrichment_threshold, *, iterations: int, bt: int,
+                        block: int = 128, precision: str = "highest",
+                        attr_chunk: int | None = None, rank=None):
+    """Hypergeometric census + survival tail over the banded indicator, from
+    PRE-zeroed operands (the NaN-carrying matrix never reaches the device —
+    at GO scale on a 100k-node network it and its derived copies are the
+    difference between fitting HBM and not).
 
-    vals: (n, A) binary annotations with NaNs, rows in the PERMUTED frame.
-    Returns (nes_f32, log_sf_f32, nes_binary_int8) in the permuted frame —
-    identical semantics to pipeline._hypergeom_tail with the two census
-    matmuls (safe.py:587-594) riding one banded pass.
+    nan0: (n, A) f32 NaN->0 annotations, rows in the PERMUTED frame;
+    nodes_not_nan: (n,) f32; K: (A,) per-attribute totals.
+    ``rank`` (optional, (n,) int32): un-permute the row outputs to the
+    ORIGINAL frame *inside* the computation — at chunked scale this happens
+    per chunk, so no second full-size copy of the outputs ever exists.
+    ``attr_chunk``: process attributes in chunks of this size (a fori loop
+    with dynamic slices — stacking chunks for lax.map would duplicate the
+    (N, A) matrix) so only one chunk's f64 tail intermediates are live.
     """
     npad = s_ind.shape[0] - 2 * bt * block
+    nan0 = jnp.asarray(nan0, jnp.float32)
+    nodes_not_nan = jnp.asarray(nodes_not_nan, jnp.float32)
+    A = nan0.shape[1]
+    out_rows = npad if rank is None else rank.shape[0]
+
+    def gather(x):
+        return x if rank is None else jnp.take(x, rank, axis=0)
+
+    def tail(counts, nsize, K_c):
+        k64 = counts.astype(jnp.float64)
+        K64 = jnp.broadcast_to(K_c.astype(jnp.float64)[None, :], counts.shape)
+        n64 = jnp.broadcast_to(nsize.astype(jnp.float64)[:, None],
+                               counts.shape)
+        parts = _sf_parts(k64, M, K64, n64, lgt, iterations)
+        return finalize_logsf_device(parts, enrichment_threshold)
+
+    if attr_chunk is None or attr_chunk >= A:
+        stacked = _pad_rows_to(
+            jnp.concatenate([nodes_not_nan[:, None], nan0], axis=1), npad)
+        prod = band_matmul(s_ind, stacked, bt=bt, block=block,
+                           precision=precision)
+        nes, logsf, nbin = tail(prod[:, 1:], prod[:, 0], K)
+        return gather(nes), gather(logsf), gather(nbin)
+
+    nsize = band_matmul(s_ind, _pad_rows_to(nodes_not_nan[:, None], npad),
+                        bt=bt, block=block, precision=precision)[:, 0]
+    nc = -(-A // attr_chunk)
+    nan0_r = _pad_rows_to(nan0, npad)
+
+    # the last chunk CLAMPS its start to A - attr_chunk instead of padding
+    # columns: a few columns are recomputed identically, and the (N, A)
+    # matrix is never copied just to round A up
+    z = jnp.int32(0)
+    nes_b = jnp.zeros((out_rows, A), jnp.float32)
+    logsf_b = jnp.zeros((out_rows, A), jnp.float32)
+    bin_b = jnp.zeros((out_rows, A), jnp.int8)
+
+    def one(ci, bufs):
+        ci = jnp.asarray(ci, jnp.int32)
+        nes_b, logsf_b, bin_b = bufs
+        start = jnp.minimum(ci * attr_chunk, A - attr_chunk)
+        nan0_c = jax.lax.dynamic_slice(nan0_r, (z, start),
+                                       (npad, attr_chunk))
+        K_c = jax.lax.dynamic_slice(K, (start,), (attr_chunk,))
+        counts = band_matmul(s_ind, nan0_c, bt=bt, block=block,
+                             precision=precision)
+        nes_c, logsf_c, bin_c = tail(counts, nsize, K_c)
+        return (jax.lax.dynamic_update_slice(nes_b, gather(nes_c), (z, start)),
+                jax.lax.dynamic_update_slice(logsf_b, gather(logsf_c),
+                                             (z, start)),
+                jax.lax.dynamic_update_slice(bin_b, gather(bin_c),
+                                             (z, start)))
+
+    return jax.lax.fori_loop(0, nc, one, (nes_b, logsf_b, bin_b))
+
+
+def hypergeom_tail_band(s_ind, vals, lgt, M, enrichment_threshold, *,
+                        iterations: int, bt: int, block: int = 128,
+                        precision: str = "highest",
+                        attr_chunk: int | None = None, rank=None):
+    """Census + survival tail from the raw NaN-carrying annotation matrix
+    (reference safe.py:556-608 semantics); delegates to
+    :func:`hypergeom_core_band` after masking. Prefer the core directly with
+    host-precomputed operands at huge N."""
     vals = jnp.asarray(vals, jnp.float32)
     finite = jnp.isfinite(vals)
     nan0 = jnp.where(finite, vals, 0.0)
     nodes_not_nan = jnp.any(finite, axis=1).astype(jnp.float32)
-
-    stacked = _pad_rows_to(
-        jnp.concatenate([nodes_not_nan[:, None], nan0], axis=1), npad)
-    prod = band_matmul(s_ind, stacked, bt=bt, block=block, precision=precision)
-    nsize = prod[:, 0]
-    counts = prod[:, 1:]
-
     K = jnp.sum(nan0, axis=0)
-    k64 = counts.astype(jnp.float64)
-    K64 = jnp.broadcast_to(K.astype(jnp.float64)[None, :], counts.shape)
-    n64 = jnp.broadcast_to(nsize.astype(jnp.float64)[:, None], counts.shape)
-    parts = _sf_parts(k64, M, K64, n64, lgt, iterations)
-    return finalize_logsf_device(parts, enrichment_threshold)
+    return hypergeom_core_band(s_ind, nan0, nodes_not_nan, K, lgt, M,
+                               enrichment_threshold, iterations=iterations,
+                               bt=bt, block=block, precision=precision,
+                               attr_chunk=attr_chunk, rank=rank)
+
+
+def _iteration_bucket(iters: int) -> int:
+    """Round the static tail-iteration bound up to a power of two so the
+    host-chunked driver compiles at most ~7 distinct programs."""
+    b = 64
+    while b < iters:
+        b *= 2
+    return b
+
+
+def hypergeom_band_hostchunks(s_ind, nan0_np, nodes_not_nan_np, lgt, M,
+                              enrichment_threshold, *, bt: int,
+                              block: int = 128, rank_np, attr_chunk: int,
+                              precision: str = "highest"):
+    """GO-scale hypergeometric tail as HOST-driven chunk dispatches.
+
+    The survival tail runs in emulated f64 and dominates at huge N x A — a
+    single fused dispatch over 100k x 4,373 runs long enough to trip the
+    remote worker watchdog. This driver instead:
+
+      * sorts attribute columns by their annotation total K, so each chunk's
+        static iteration bound (sigma ~ sqrt(K_max)/2) fits ITS terms — on
+        real GO data most terms are small and get ~4x shorter tails;
+      * dispatches one jit per chunk (minutes-short steps, ~7 compiled
+        variants thanks to power-of-two iteration buckets), with the
+        row-unpermute fused into each chunk;
+      * reassembles on device: concat + the transpose/row-gather/transpose
+        column permutation (lane gathers serialize on TPU; row gathers DMA).
+
+    Returns (nes_dev, logsf_dev, bin_dev, counts_np) with columns in the
+    ORIGINAL attribute order and rows in the ORIGINAL node frame.
+    """
+    import numpy as np
+    from safepy_tpu.ops.hypergeom import tail_iterations
+
+    n_attrs = nan0_np.shape[1]
+    K_np = nan0_np.sum(axis=0)
+    order_a = np.argsort(K_np, kind="stable")
+    inv_a = np.argsort(order_a, kind="stable")
+
+    nan0_dev = jnp.asarray(nan0_np[:, order_a])
+    nnn_dev = jnp.asarray(nodes_not_nan_np)
+    rank_dev = jnp.asarray(rank_np, jnp.int32)
+    K_sorted = K_np[order_a]
+
+    attr_chunk = min(attr_chunk, n_attrs)
+    nc = -(-n_attrs // attr_chunk)
+    nes_pieces, logsf_pieces, bin_pieces, counts = [], [], [], []
+    for ci in range(nc):
+        start = min(ci * attr_chunk, n_attrs - attr_chunk)
+        overlap = ci * attr_chunk - start  # last chunk clamps; drop the rerun
+        cols = jax.lax.dynamic_slice_in_dim(nan0_dev, start, attr_chunk, 1)
+        K_c = K_sorted[start:start + attr_chunk]
+        k_max = int(max(1.0, float(K_c.max()))) if K_c.size else 1
+        iters = _iteration_bucket(tail_iterations(M, min(k_max, M)))
+        nes_c, logsf_c, bin_c = hypergeom_core_band_jit(
+            s_ind, cols, nnn_dev, jnp.asarray(K_c, jnp.float32), lgt, M,
+            enrichment_threshold, iterations=iters, bt=bt, block=block,
+            precision=precision, rank=rank_dev)
+        if overlap:
+            nes_c = nes_c[:, overlap:]
+            logsf_c = logsf_c[:, overlap:]
+            bin_c = bin_c[:, overlap:]
+        nes_pieces.append(nes_c)
+        logsf_pieces.append(logsf_c)
+        bin_pieces.append(bin_c)
+        counts.append(np.asarray(jnp.sum(bin_c, axis=0, dtype=jnp.int32)))
+
+    # assembly allocates (n, A)-sized outputs: drop every reference that is
+    # no longer needed FIRST (the sorted annotation matrix alone is the size
+    # of one output), and consume each piece list as its tensor assembles
+    del nan0_dev, cols
+    inv_dev = jnp.asarray(inv_a, jnp.int32)
+
+    def assemble(pieces):
+        sorted_cols = jnp.concatenate(pieces, axis=1)
+        pieces.clear()
+        # column permutation via transpose + ROW gather + transpose (lane
+        # gathers serialize on TPU; row gathers ride the DMA engines)
+        return jnp.take(sorted_cols.T, inv_dev, axis=0).T
+
+    nes = assemble(nes_pieces)
+    logsf = assemble(logsf_pieces)
+    nbin = assemble(bin_pieces)
+    counts_np = np.concatenate(counts)[inv_a]
+    return nes, logsf, nbin, counts_np
 
 
 # jitted single-dispatch wrappers for the STAGED facade paths (the fused
@@ -165,5 +318,8 @@ run_permutations_band = functools.partial(
     jax.jit, static_argnames=("score_type", "num_permutations", "batch_size",
                               "bt", "block", "precision"))(scan_counts_band)
 hypergeom_tail_band_jit = functools.partial(
-    jax.jit, static_argnames=("iterations", "bt", "block", "precision"))(
-        hypergeom_tail_band)
+    jax.jit, static_argnames=("iterations", "bt", "block", "precision",
+                              "attr_chunk"))(hypergeom_tail_band)
+hypergeom_core_band_jit = functools.partial(
+    jax.jit, static_argnames=("iterations", "bt", "block", "precision",
+                              "attr_chunk"))(hypergeom_core_band)

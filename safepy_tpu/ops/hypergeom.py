@@ -98,15 +98,15 @@ def _sf_parts(k, M, K, n, lgt, iterations: int):
                 + gather(M - K) - gather(n - t0) - gather(M - K - n + t0)
                 - (gather(M) - gather(n) - gather(M - n)))
 
-    # Ratio recurrences (all operands are exact small integers in f64).
-    def ratio_up(t):
-        num = (K - t) * (n - t)
-        den = (t + 1.0) * (M - K - n + t + 1.0)
-        return num / jnp.where(den == 0.0, 1.0, den)
-
-    def ratio_down(t):
-        num = t * (M - K - n + t)
-        den = (K - t + 1.0) * (n - t + 1.0)
+    # Ratio recurrences (all operands are exact small integers in f64). The
+    # branch select happens on the small integer products BEFORE the division:
+    # f64 division is software-emulated on TPU and dominates the loop, so one
+    # selected divide beats two branch divides merged by a where.
+    def ratio(t):
+        num = jnp.where(use_upper, (K - t) * (n - t),
+                        t * (M - K - n + t))
+        den = jnp.where(use_upper, (t + 1.0) * (M - K - n + t + 1.0),
+                        (K - t + 1.0) * (n - t + 1.0))
         return num / jnp.where(den == 0.0, 1.0, den)
 
     # Terms only ever DECAY (both branches sum away from the mode), so the
@@ -125,7 +125,7 @@ def _sf_parts(k, M, K, n, lgt, iterations: int):
         in_range = jnp.where(use_upper, t0 + fi <= upper, t0 - fi >= lower)
         term = jnp.where(in_range, term, 0.0)
         acc = acc + term
-        r = jnp.where(use_upper, ratio_up(t), ratio_down(t))
+        r = ratio(t)
         t_next = jnp.where(use_upper, t + 1.0, t - 1.0)
         return i + 1, acc, term * r, t_next
 

@@ -198,7 +198,8 @@ def _band_matmul_local(s_local, xg, my, *, bt: int, local_rows: int,
 
     def blk(i, out):
         i = jnp.asarray(i, jnp.int32)
-        rows = jax.lax.dynamic_slice(s_local, (i * block, z), (block, width))
+        rows = jax.lax.dynamic_slice(s_local, (i * block, z),
+                                     (block, width)).astype(jnp.float32)
         start = jnp.clip((my * local_rows + i - bt) * block, 0,
                          xg.shape[0] - width).astype(jnp.int32)
         slab = jax.lax.dynamic_slice(xg, (start, z), (width, a_dim))
@@ -225,7 +226,8 @@ def _band_matmul_batch_local(s_local, x_batch, starts, my, *, bt: int,
 
     def blk(i, out):
         i = jnp.asarray(i, jnp.int32)
-        rows = jax.lax.dynamic_slice(s_local, (i * block, z), (block, w_c))
+        rows = jax.lax.dynamic_slice(s_local, (i * block, z),
+                                     (block, w_c)).astype(jnp.float32)
         gi = jnp.clip(my * local_rows + i - bt, 0, nb - 1)
         slab = jax.lax.dynamic_slice(x_batch, (z, starts[gi], z),
                                      (c_dim, w_c, a_dim))
@@ -371,8 +373,8 @@ def fused_permutation_pipeline_band_sharded(
                                use_pallas=bool(use_pallas))
         dist_local = jnp.where(slab <= jnp.asarray(radius, slab.dtype), slab,
                                jnp.inf)
-        ind = (slab <= jnp.asarray(radius, slab.dtype)).astype(jnp.float32)
-        sizes_local = jnp.sum(ind, axis=1)
+        ind = (slab <= jnp.asarray(radius, slab.dtype)).astype(jnp.int8)
+        sizes_local = jnp.sum(ind, axis=1, dtype=jnp.float32)
         obs_local = _band_score_local(ind, xg_val, xg_mask, my, bt=bt,
                                       local_rows=local_rows, block=block,
                                       score_type=score_type,
@@ -402,12 +404,14 @@ def fused_permutation_pipeline_band_sharded(
     "mesh", "axis", "n", "band", "block", "iterations", "precision",
     "use_pallas"))
 def fused_hypergeom_pipeline_band_sharded(
-        u, v, w, vals, lgt, M, radius, enrichment_threshold, rank, *,
+        u, v, w, nan0, nodes_not_nan, K, lgt, M, radius,
+        enrichment_threshold, rank, *,
         mesh: Mesh, axis: str = "data", n: int, band: int, block: int = 128,
         iterations: int, precision: str = "highest",
         use_pallas: bool | None = None):
     """Row-sharded band pipeline, hypergeometric engine: census + survival
-    tail per shard, no collectives after the FW's pivot pmin."""
+    tail per shard, no collectives after the FW's pivot pmin. Operands are
+    host-precomputed like fused_hypergeom_pipeline_band's."""
     from safepy_tpu.ops.hypergeom import _sf_parts, finalize_logsf_device
 
     if use_pallas is None:
@@ -417,11 +421,8 @@ def fused_hypergeom_pipeline_band_sharded(
         n, band, ndev, block)
     npad = nb * block
 
-    vals32 = jnp.asarray(vals, jnp.float32)
-    finite = jnp.isfinite(vals32)
-    nan0 = jnp.where(finite, vals32, 0.0)
-    nodes_not_nan = jnp.any(finite, axis=1).astype(jnp.float32)
-    K = jnp.sum(nan0, axis=0)
+    nan0 = jnp.asarray(nan0, jnp.float32)
+    nodes_not_nan = jnp.asarray(nodes_not_nan, jnp.float32)
     stacked_g = _ghost_pad_cols(
         jnp.concatenate([nodes_not_nan[:, None], nan0], axis=1),
         bt, block, npad)
@@ -441,8 +442,8 @@ def fused_hypergeom_pipeline_band_sharded(
                                use_pallas=bool(use_pallas))
         dist_local = jnp.where(slab <= jnp.asarray(radius, slab.dtype), slab,
                                jnp.inf)
-        ind = (slab <= jnp.asarray(radius, slab.dtype)).astype(jnp.float32)
-        sizes_local = jnp.sum(ind, axis=1)
+        ind = (slab <= jnp.asarray(radius, slab.dtype)).astype(jnp.int8)
+        sizes_local = jnp.sum(ind, axis=1, dtype=jnp.float32)
         prod = _band_matmul_local(ind, stacked_g, my, bt=bt,
                                   local_rows=local_rows, block=block,
                                   precision=precision)

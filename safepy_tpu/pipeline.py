@@ -222,6 +222,24 @@ def _band_front(u, v, w, radius, *, n, band, block):
 
 
 @functools.partial(jax.jit, static_argnames=("n", "band", "block"))
+def euclidean_band_neighborhoods(coords_perm, radius, *, n: int, band: int,
+                                 block: int = 128):
+    """Banded euclidean neighborhoods (strict ``dist < r``, reference
+    safe.py:389-399) for scatter/UMAP inputs at band-storage scale:
+    (dist_band, s_ind, mean_size, std_size) in the permuted frame."""
+    from safepy_tpu.ops import apsp_bandstore as bst
+
+    bt = band // block + 1
+    raw = bst.euclidean_band_distances(coords_perm, n=n, band=band,
+                                       block=block)
+    r = jnp.asarray(radius, raw.dtype)
+    dist_band = jnp.where(raw < r, raw, jnp.inf)
+    s_ind = (raw < r).astype(jnp.int8)
+    _, mean, std = bst.band_row_stats(s_ind, n=n, bt=bt, block=block)
+    return dist_band, s_ind, mean, std
+
+
+@functools.partial(jax.jit, static_argnames=("n", "band", "block"))
 def band_neighborhoods(u, v, w, radius, *, n: int, band: int, block: int = 128):
     """Band-storage neighborhoods alone (the staged define_neighborhoods path):
     (dist_band, s_ind, mean_size, std_size) in the permuted frame."""
@@ -269,27 +287,31 @@ def fused_permutation_pipeline_band(u, v, w, vals, vals_valid, valid, starts,
 
 
 @functools.partial(jax.jit, static_argnames=("n", "band", "block",
-                                             "iterations"))
-def fused_hypergeom_pipeline_band(u, v, w, vals, lgt, M, radius,
-                                  enrichment_threshold, rank, *, n: int,
-                                  band: int, block: int = 128,
-                                  iterations: int):
+                                             "iterations", "attr_chunk"))
+def fused_hypergeom_pipeline_band(u, v, w, nan0, nodes_not_nan, K, lgt, M,
+                                  radius, enrichment_threshold, rank, *,
+                                  n: int, band: int, block: int = 128,
+                                  iterations: int,
+                                  attr_chunk: int | None = None):
     """Band-storage APSP + hypergeometric enrichment, one dispatch.
 
-    Same frames as :func:`fused_permutation_pipeline_band`; returns
-    (dist_band, s_ind, nes32, log_sf32, nes_binary_int8, enriched_counts,
-    mean, std) with the (n, A) matrices un-permuted to the original frame.
+    Operands are HOST-precomputed (nan0 = NaN->0 annotations, nodes_not_nan,
+    per-attribute totals K — all in the PERMUTED frame): the NaN-carrying
+    matrix and its derived masks never reach the device, and the row
+    un-permute happens inside the (chunked) tail, so at GO scale on a
+    100k-node network peak HBM stays within one chip. Returns (dist_band,
+    s_ind, nes32, log_sf32, nes_binary_int8, enriched_counts, mean, std)
+    with the (n, A) matrices in the ORIGINAL frame.
     """
-    from safepy_tpu.ops.enrich_band import hypergeom_tail_band
+    from safepy_tpu.ops.enrich_band import hypergeom_core_band
 
     dist_band, s_ind, mean, std, bt = _band_front(
         u, v, w, radius, n=n, band=band, block=block)
 
-    nes32, log_sf32, nes_binary = hypergeom_tail_band(
-        s_ind, vals, lgt, M, enrichment_threshold, iterations=iterations,
-        bt=bt, block=block)
-    # pad rows (>= n, all-zero indicator) are sliced off BEFORE the count
-    enriched_counts = jnp.sum(nes_binary[:n], axis=0, dtype=jnp.int32)
-    take = functools.partial(jnp.take, indices=rank, axis=0)
-    return (dist_band, s_ind, take(nes32), take(log_sf32), take(nes_binary),
+    nes32, log_sf32, nes_binary = hypergeom_core_band(
+        s_ind, nan0, nodes_not_nan, K, lgt, M, enrichment_threshold,
+        iterations=iterations, bt=bt, block=block, attr_chunk=attr_chunk,
+        rank=rank)
+    enriched_counts = jnp.sum(nes_binary, axis=0, dtype=jnp.int32)
+    return (dist_band, s_ind, nes32, log_sf32, nes_binary,
             enriched_counts, mean, std)

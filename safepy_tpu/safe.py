@@ -242,12 +242,26 @@ class SAFE:
 
     def _build_graph_euclidean(self):
         """Pseudo-network connecting nodes within the neighborhood radius —
-        used for unimodality checks on edgeless scatter inputs (safe.py:302-309)."""
+        used for unimodality checks on edgeless scatter inputs (safe.py:302-309).
+
+        Above dense scale the same strict-< adjacency comes from a KD-tree
+        radius query instead of the O(N^2) distance matrix."""
         coords = _ga.get_node_coordinates(self.graph)
-        dist = np.asarray(_nbr.euclidean_distance_matrix(coords))
         nr = self.neighborhood_radius * (coords.ravel().max() - coords.ravel().min())
-        adjacency = (dist < nr).astype(float)
-        self.graph_euclidean = nx.from_numpy_array(adjacency)
+        n = len(coords)
+        if n > 20000:
+            from scipy.spatial import cKDTree
+            pairs = cKDTree(coords).query_pairs(nr, output_type="ndarray")
+            d = np.hypot(coords[pairs[:, 0], 0] - coords[pairs[:, 1], 0],
+                         coords[pairs[:, 0], 1] - coords[pairs[:, 1], 1])
+            g = nx.Graph()
+            g.add_nodes_from(range(n))
+            g.add_edges_from(pairs[d < nr])
+            self.graph_euclidean = g
+        else:
+            dist = np.asarray(_nbr.euclidean_distance_matrix(coords))
+            adjacency = (dist < nr).astype(float)
+            self.graph_euclidean = nx.from_numpy_array(adjacency)
 
     def save_network(self, **kwargs):
         output_file = kwargs.get(
@@ -315,10 +329,24 @@ class SAFE:
         if self.node_distance_metric == "euclidean":
             x = coords[:, 0]
             nr = self.neighborhood_radius * (np.max(x) - np.min(x))
-            dist_dev = _nbr.euclidean_distance_matrix(
-                jnp.asarray(coords, jnp.float32))
-            nbr_dev, mean, std = _nbr.threshold_and_stats(
-                dist_dev, np.float32(nr), strict=True)
+            eb_plan = None if self.mesh is not None else \
+                self._euclidean_band_plan(coords, num_nodes, nr)
+            if eb_plan is not None:
+                from safepy_tpu import pipeline as _pipe
+                rank, band = eb_plan["rank"], eb_plan["band"]
+                dist_band, s_ind, mean, std = \
+                    _pipe.euclidean_band_neighborhoods(
+                        jnp.asarray(coords[np.argsort(rank)], jnp.float32),
+                        np.float32(nr), n=num_nodes, band=band)
+                dist_dev = _BandedMatrix(dist_band, rank, num_nodes, band,
+                                         fill=np.inf)
+                nbr_dev = _BandedMatrix(s_ind, rank, num_nodes, band,
+                                        fill=0.0)
+            else:
+                dist_dev = _nbr.euclidean_distance_matrix(
+                    jnp.asarray(coords, jnp.float32))
+                nbr_dev, mean, std = _nbr.threshold_and_stats(
+                    dist_dev, np.float32(nr), strict=True)
         else:
             if self.node_distance_metric == "shortpath_weighted_layout":
                 x = coords[:, 0]
@@ -529,6 +557,52 @@ class SAFE:
                         jnp.asarray(np.asarray(lengths, np.float32)))
                 plan = (init, jnp.asarray(rank, jnp.int32), window)
         self._banded_cache[key] = plan
+        return plan
+
+    @staticmethod
+    def _hypergeom_host_operands(n2a, order):
+        """(nan0_perm f32, nodes_not_nan_perm f32, K f64->f32) for the banded
+        hypergeometric core — computed on the host so the NaN-carrying matrix
+        never occupies device HBM."""
+        finite = ~np.isnan(n2a)
+        nan0 = np.where(finite, n2a, 0.0).astype(np.float32)
+        K = nan0.sum(axis=0).astype(np.float32)
+        nnn = np.any(finite, axis=1).astype(np.float32)
+        return nan0[order], nnn[order], K
+
+    @staticmethod
+    def _hypergeom_attr_chunk(n, num_attrs, budget_elems=2 ** 24):
+        """Attribute chunk for the banded survival tail: the tail's f64
+        intermediates are (N, A)-shaped and ~8-10 of them are live inside one
+        chunk (gathers, broadcasts, while-loop carry), so cap a chunk at
+        ~128 MB of f64 (2^24 elements); None = unchunked."""
+        if n * num_attrs <= budget_elems:
+            return None
+        return int(max(64, budget_elems // max(1, n)))
+
+    def _euclidean_band_plan(self, coords, num_nodes, nr):
+        """Band plan for the EUCLIDEAN metric (no edge-length contract — the
+        band certificate is the measured index separation of the radius pairs
+        themselves). dict(rank, band) or None."""
+        forced = self.apsp_mode == "band"
+        if not forced and (self.apsp_mode != "auto"
+                           or num_nodes < int(self.band_storage_min_nodes)):
+            return None
+        key = ("euclid", float(np.float32(nr)))
+        if key in self._bandstore_cache:
+            return self._bandstore_cache[key]
+
+        from safepy_tpu.ops import apsp_banded as _banded
+        from safepy_tpu.ops import apsp_bandstore as _bst
+
+        plan = None
+        order, band = _banded.banded_order(coords, nr)
+        if forced or (_bst.band_nbytes(num_nodes, band)
+                      <= 0.5 * 4 * num_nodes * num_nodes):
+            rank = np.empty(num_nodes, dtype=np.int64)
+            rank[order] = np.arange(num_nodes)
+            plan = dict(rank=rank, band=int(band))
+        self._bandstore_cache[key] = plan
         return plan
 
     def _band_storage_plan(self, coords, edges, lengths, num_nodes, nr):
@@ -761,26 +835,30 @@ class SAFE:
         """Staged hypergeometric enrichment over band-stored neighborhoods
         (ops/enrich_band.py): census + survival tail against the skewed band,
         row results un-permuted on device."""
-        from safepy_tpu.ops.enrich_band import hypergeom_tail_band_jit
+        from safepy_tpu.ops.enrich_band import hypergeom_core_band_jit
 
         order = np.argsort(bm.rank)  # permuted position -> original node
-        vals_perm = jnp.asarray(np.asarray(n2a, np.float32)[order])
-        nodes_not_nan = np.any(~np.isnan(n2a), axis=1)
-        M = int(nodes_not_nan.sum())
-        N_in_group = np.nansum(n2a, axis=0)
-        k_max = int(max(1, np.nanmax(N_in_group))) if N_in_group.size else 1
+        nan0_perm, nnn_perm, K = self._hypergeom_host_operands(n2a, order)
+        M = int(nnn_perm.sum())
+        k_max = int(max(1, K.max())) if K.size else 1
         iters = _hyper.tail_iterations(M, min(k_max, M))
         lgt = jnp.asarray(_hyper.lgamma_table(M))
-
-        nes32, log_sf32, nes_binary8 = hypergeom_tail_band_jit(
-            bm.data, vals_perm, lgt, M, np.float64(self.enrichment_threshold),
-            iterations=iters, bt=bm.bt, block=bm.block)
-        counts = np.asarray(jnp.sum(nes_binary8[:bm.n], axis=0,
-                                    dtype=jnp.int32))
         rank_dev = jnp.asarray(bm.rank, jnp.int32)
-        nes32 = jnp.take(nes32, rank_dev, axis=0)
-        log_sf32 = jnp.take(log_sf32, rank_dev, axis=0)
-        nes_binary8 = jnp.take(nes_binary8, rank_dev, axis=0)
+
+        attr_chunk = self._hypergeom_attr_chunk(bm.n, n2a.shape[1])
+        if attr_chunk is not None:
+            from safepy_tpu.ops.enrich_band import hypergeom_band_hostchunks
+            nes32, log_sf32, nes_binary8, counts = hypergeom_band_hostchunks(
+                bm.data, nan0_perm, nnn_perm, lgt, M,
+                np.float64(self.enrichment_threshold), bt=bm.bt,
+                block=bm.block, rank_np=bm.rank, attr_chunk=attr_chunk)
+        else:
+            nes32, log_sf32, nes_binary8 = hypergeom_core_band_jit(
+                bm.data, jnp.asarray(nan0_perm), jnp.asarray(nnn_perm),
+                jnp.asarray(K), lgt, M,
+                np.float64(self.enrichment_threshold),
+                iterations=iters, bt=bm.bt, block=bm.block, rank=rank_dev)
+            counts = np.asarray(jnp.sum(nes_binary8, axis=0, dtype=jnp.int32))
 
         if self.multiple_testing:
             if self.verbose:
@@ -1115,33 +1193,49 @@ class SAFE:
         order = np.argsort(rank)  # permuted position -> original node
 
         n2a = self.node2attribute
-        vals_perm = np.asarray(n2a, np.float32)[order]
         num_other = np.sum(~np.isnan(n2a) & ~np.isin(n2a, [0, 1]))
         binary = (self.enrichment_type == "hypergeometric"
                   or (self.enrichment_type == "auto" and num_other == 0))
 
         binary_pending = (None, None)
         if binary:
-            nodes_not_nan = np.any(~np.isnan(n2a), axis=1)
-            M = int(nodes_not_nan.sum())
-            k_max = int(max(1, np.nanmax(np.nansum(n2a, axis=0))))
+            nan0_perm, nnn_perm, K = self._hypergeom_host_operands(n2a, order)
+            M = int(nnn_perm.sum())
+            k_max = int(max(1, K.max())) if K.size else 1
             iters = _hyper.tail_iterations(M, min(k_max, M))
             lgt = jnp.asarray(_hyper.lgamma_table(M))
-            if self.mesh is not None:
+            attr_chunk = self._hypergeom_attr_chunk(num_nodes, n2a.shape[1])
+            if self.mesh is None and attr_chunk is not None:
+                # host-driven K-sorted chunk dispatches: the emulated-f64
+                # survival tail dominates at this scale, and one fused
+                # dispatch would run long enough to trip the worker watchdog
+                from safepy_tpu.ops.enrich_band import (
+                    hypergeom_band_hostchunks)
+                dist_band, s_ind, mean, std = _pipe.band_neighborhoods(
+                    plan["u"], plan["v"], plan["w"], radius, n=num_nodes,
+                    band=band)
+                nes32, log_sf32, nesbin8, counts_dev = \
+                    hypergeom_band_hostchunks(
+                        s_ind, nan0_perm, nnn_perm, lgt, M,
+                        np.float64(self.enrichment_threshold),
+                        bt=band // 128 + 1, rank_np=rank,
+                        attr_chunk=attr_chunk)
+            elif self.mesh is not None:
                 from safepy_tpu.parallel.band_sharded import (
                     fused_hypergeom_pipeline_band_sharded)
                 (dist_band, s_ind, nes32, log_sf32, nesbin8, counts_dev, mean,
                  std) = fused_hypergeom_pipeline_band_sharded(
-                    plan["u"], plan["v"], plan["w"], jnp.asarray(vals_perm),
-                    lgt, M, radius, np.float64(self.enrichment_threshold),
-                    rank_dev, mesh=self.mesh, n=num_nodes, band=band,
-                    iterations=iters)
+                    plan["u"], plan["v"], plan["w"], jnp.asarray(nan0_perm),
+                    jnp.asarray(nnn_perm), jnp.asarray(K), lgt, M, radius,
+                    np.float64(self.enrichment_threshold), rank_dev,
+                    mesh=self.mesh, n=num_nodes, band=band, iterations=iters)
             else:
                 (dist_band, s_ind, nes32, log_sf32, nesbin8, counts_dev, mean,
                  std) = _pipe.fused_hypergeom_pipeline_band(
-                    plan["u"], plan["v"], plan["w"], jnp.asarray(vals_perm),
-                    lgt, M, radius, np.float64(self.enrichment_threshold),
-                    rank_dev, n=num_nodes, band=band, iterations=iters)
+                    plan["u"], plan["v"], plan["w"], jnp.asarray(nan0_perm),
+                    jnp.asarray(nnn_perm), jnp.asarray(K), lgt, M, radius,
+                    np.float64(self.enrichment_threshold), rank_dev,
+                    n=num_nodes, band=band, iterations=iters)
             if self.multiple_testing:
                 log_sf = np.asarray(log_sf32, dtype=np.float64)
                 with np.errstate(over="ignore"):
@@ -1155,6 +1249,7 @@ class SAFE:
                 self._nes_dev = nes32
                 binary_pending = (nesbin8, np.asarray(counts_dev))
         else:
+            vals_perm = np.asarray(n2a, np.float32)[order]
             valid_perm = np.any(~np.isnan(vals_perm), axis=1)
             V, A = int(valid_perm.sum()), n2a.shape[1]
             bt = band // 128 + 1

@@ -112,13 +112,17 @@ def test_sharded_hypergeom_pipeline_matches_single():
     vals = (rng.random((n, 4)) < 0.07).astype(np.float32)
     vals[rng.random((n, 4)) < 0.1] = np.nan
     vals_perm = vals[np.argsort(rank)]
-    M = int(np.any(~np.isnan(vals_perm), axis=1).sum())
-    k_max = int(max(1, np.nanmax(np.nansum(vals_perm, axis=0))))
+    finite = ~np.isnan(vals_perm)
+    nan0 = np.where(finite, vals_perm, 0.0).astype(np.float32)
+    nnn = np.any(finite, axis=1).astype(np.float32)
+    K = nan0.sum(axis=0).astype(np.float32)
+    M = int(nnn.sum())
+    k_max = int(max(1, K.max()))
     iters = hyper.tail_iterations(M, min(k_max, M))
     lgt = jnp.asarray(hyper.lgamma_table(M))
     radius = inclusive_radius(nr)
-    args = (u, v, w, jnp.asarray(vals_perm), lgt, M, radius,
-            np.float64(0.05), jnp.asarray(rank, jnp.int32))
+    args = (u, v, w, jnp.asarray(nan0), jnp.asarray(nnn), jnp.asarray(K),
+            lgt, M, radius, np.float64(0.05), jnp.asarray(rank, jnp.int32))
     kw = dict(n=n, band=band, block=block, iterations=iters)
 
     single = pipe.fused_hypergeom_pipeline_band(*args, **kw)

@@ -167,3 +167,120 @@ def test_band_session_pickles(net, tmp_path):
     np.testing.assert_array_equal(back.neighborhoods, banded.neighborhoods)
     np.testing.assert_allclose(np.asarray(back.nes), np.asarray(banded.nes),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_band_hypergeom_attr_chunked_matches_unchunked(net):
+    """lax.map attribute chunking of the banded survival tail is results-
+    invariant (it only bounds the f64 intermediates' peak HBM)."""
+    import jax.numpy as jnp
+    from safepy_tpu.ops import hypergeom as hyper
+    from safepy_tpu import pipeline as pipe
+    from safepy_tpu.ops import apsp_banded as ab
+
+    path, n = net
+    attrs = _binary_attrs(n, a=11, seed=9)
+    vals = attrs.values.astype(np.float32)
+
+    sf = _run(path, attrs, "band")
+    plan = next(v for v in sf._bandstore_cache.values() if v is not None)
+    rank, band = plan["rank"], plan["band"]
+    nan0, nnn, K = SAFE._hypergeom_host_operands(vals, np.argsort(rank))
+    M = int(nnn.sum())
+    k_max = int(max(1, K.max()))
+    iters = hyper.tail_iterations(M, min(k_max, M))
+    lgt = jnp.asarray(hyper.lgamma_table(M))
+    from safepy_tpu.ops.neighborhoods import inclusive_radius
+    x = [sf.graph.nodes[i]["x"] for i in sf.graph]
+    radius = inclusive_radius(sf.neighborhood_radius
+                              * (np.max(x) - np.min(x)))
+    args = (plan["u"], plan["v"], plan["w"], jnp.asarray(nan0),
+            jnp.asarray(nnn), jnp.asarray(K), lgt, M,
+            radius, np.float64(0.05), plan["rank_dev"])
+    kw = dict(n=n, band=band, iterations=iters)
+
+    plain = pipe.fused_hypergeom_pipeline_band(*args, **kw)
+    chunked = pipe.fused_hypergeom_pipeline_band(*args, attr_chunk=4, **kw)
+    np.testing.assert_array_equal(np.asarray(chunked[2]),
+                                  np.asarray(plain[2]))   # nes
+    np.testing.assert_array_equal(np.asarray(chunked[4]),
+                                  np.asarray(plain[4]))   # nes_binary
+    np.testing.assert_array_equal(np.asarray(chunked[5]),
+                                  np.asarray(plain[5]))   # counts
+
+
+def test_band_euclidean_matches_dense(net):
+    """Banded euclidean neighborhoods (strict <) == the dense metric through
+    the staged facade, including enrichment downstream."""
+    path, n = net
+    attrs = _binary_attrs(n, seed=12)
+    full = _run(path, attrs, "full", staged=True,
+                node_distance_metric="euclidean")
+    banded = _run(path, attrs, "band", staged=True,
+                  node_distance_metric="euclidean")
+    np.testing.assert_array_equal(banded.neighborhoods, full.neighborhoods)
+    assert np.nanmax(np.abs(banded.pvalues_pos - full.pvalues_pos)) <= 1e-6
+    np.testing.assert_array_equal(banded.nes_binary, full.nes_binary)
+    # distances: exact within the radius, inf beyond (banded semantics)
+    x = [full.graph.nodes[i]["x"] for i in full.graph]
+    r = float(np.float32(full.neighborhood_radius
+                         * (np.max(x) - np.min(x))))
+    inside = full.node_distances < r
+    np.testing.assert_allclose(banded.node_distances[inside],
+                               full.node_distances[inside],
+                               rtol=1e-6, atol=1e-6)
+    assert np.isinf(banded.node_distances[~inside & ~np.eye(n, dtype=bool)
+                                          & (full.node_distances >= r)]).all()
+
+
+def test_band_checkpoint_roundtrip(net, tmp_path):
+    """save_session/load_session checkpoint the band itself when the dense
+    matrices are guarded, and the reloaded session keeps computing."""
+    from safepy_tpu import checkpoint as ckpt
+    from safepy_tpu.ops.apsp_bandstore import BandedMatrix
+
+    path, n = net
+    attrs = _binary_attrs(n, seed=13)
+    sf = _run(path, attrs, "band")
+    bm = sf._neighborhoods_dev
+    assert isinstance(bm, BandedMatrix)
+    old_max = BandedMatrix.DENSE_MAX_BYTES
+    BandedMatrix.DENSE_MAX_BYTES = 10  # force the huge-N branch at test scale
+    try:
+        ckpt.save_session(sf, str(tmp_path / "sess"))
+        back = ckpt.load_session(str(tmp_path / "sess"), graph=sf.graph,
+                                 verbose=False)
+    finally:
+        BandedMatrix.DENSE_MAX_BYTES = old_max
+    np.testing.assert_array_equal(back.neighborhoods, sf.neighborhoods)
+    np.testing.assert_allclose(np.asarray(back.nes), np.asarray(sf.nes),
+                               rtol=1e-6, atol=1e-6)
+    # graph-independent stages still run on the restored band
+    back.define_top_attributes(attribute_enrichment_min_size=2)
+
+
+def test_band_hypergeom_hostchunks_matches_unchunked(net):
+    """The host-driven K-sorted chunk driver (huge-N GO path) reproduces the
+    single-dispatch banded hypergeometric results exactly."""
+    path, n = net
+    attrs = _binary_attrs(n, a=13, seed=14)
+    plain = _run(path, attrs, "band")
+
+    sf = SAFE(verbose=False)
+    sf.apsp_mode = "band"
+    sf.random_seed = 7
+    # force the host-chunk driver at test scale
+    sf._hypergeom_attr_chunk = lambda n_, a_, budget_elems=0: 4
+    sf.load_network(network_file=path, node_key_attribute="key")
+    sf.load_attributes(attribute_file=attrs)
+    sf.run_pipeline()
+
+    np.testing.assert_array_equal(np.asarray(sf.nes_binary),
+                                  np.asarray(plain.nes_binary))
+    np.testing.assert_array_equal(
+        sf.attributes["num_neighborhoods_enriched"].values,
+        plain.attributes["num_neighborhoods_enriched"].values)
+    # identical tails modulo the per-chunk iteration bucket (both bounds are
+    # sufficient, so the sums agree to f64 truncation)
+    np.testing.assert_allclose(np.asarray(sf.nes), np.asarray(plain.nes),
+                               rtol=1e-9, atol=1e-9)
+    np.testing.assert_array_equal(sf.neighborhoods, plain.neighborhoods)

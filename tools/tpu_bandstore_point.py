@@ -1,0 +1,83 @@
+"""Run ONE band-storage scale point in its own process (a fatal TPU error is
+sticky per process, so the battery drives this script once per point).
+
+Usage: tpu_bandstore_point.py {canary | quant:<nodes> | go:<nodes>:<attrs>}
+"""
+
+import json
+import sys
+import time
+import traceback
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+from tpu_bandstore_scale import build_graph, run_safe, quant_attrs  # noqa: E402
+
+
+def main():
+    import jax
+    import pandas as pd
+
+    spec = sys.argv[1]
+    print(f"# {spec} devices: {jax.devices()}", flush=True)
+
+    if spec == "canary":
+        g = build_graph(800)
+        sf, first, steady = run_safe(g, quant_attrs(800), "band", 0.1,
+                                     perms=200, min_nodes=100)
+        print(json.dumps({"check": "canary", "steady_s": round(steady, 3),
+                          "enriched": int((sf.nes_binary > 0).sum())}),
+              flush=True)
+        return
+
+    kind, rest = spec.split(":", 1)
+    if kind == "quant":
+        n = int(rest)
+        t0 = time.time()
+        g = build_graph(n)
+        print(f"# graph built in {time.time() - t0:.1f} s", flush=True)
+        attrs = quant_attrs(n)
+        radius = float(np.sqrt(125.0 / (np.pi * n)))
+        sf, first, steady = run_safe(g, attrs, "auto", radius)
+        plan = next(v for v in sf._bandstore_cache.values() if v)
+        from safepy_tpu.ops.apsp_bandstore import band_nbytes
+        print(json.dumps({
+            "check": "scale", "nodes": n, "radius": radius,
+            "band": int(plan["band"]),
+            "band_gb": round(band_nbytes(n, plan["band"]) / 1e9, 2),
+            "dense_gb": round(4 * n * n / 1e9, 1),
+            "first_s": round(first, 2), "steady_s": round(steady, 3),
+            "enriched": int((sf.nes_binary > 0).sum())}), flush=True)
+    else:
+        n, a = (int(x) for x in rest.split(":"))
+        t0 = time.time()
+        g = build_graph(n)
+        print(f"# graph built in {time.time() - t0:.1f} s", flush=True)
+        rng = np.random.default_rng(2)
+        # realistic GO term-size distribution: heavy-tailed (most terms tiny)
+        # — real GO-BP has median term size ~10 and a long tail; the K-sorted
+        # chunk driver's iteration bounds depend on it
+        sizes = np.exp(rng.uniform(np.log(5), np.log(0.03 * n), a))
+        vals = (rng.random((n, a)) < (sizes / n)[None, :]).astype(np.float32)
+        vals[rng.random((n, a)) < 0.05] = np.nan
+        attrs = pd.DataFrame(vals, index=[f"n{i}" for i in range(n)],
+                             columns=[f"go{j}" for j in range(a)])
+        radius = float(np.sqrt(125.0 / (np.pi * n)))
+        sf, first, steady = run_safe(g, attrs, "band", radius,
+                                     min_nodes=10000)
+        print(json.dumps({
+            "check": "go_scale", "nodes": n, "attributes": a,
+            "radius": radius, "first_s": round(first, 2),
+            "steady_s": round(steady, 3),
+            "attrs_with_gt10_enriched": int(
+                (sf.attributes["num_neighborhoods_enriched"] > 10).sum()),
+            "attr_chunk": sf._hypergeom_attr_chunk(n, a)}), flush=True)
+
+
+if __name__ == "__main__":
+    try:
+        main()
+    except Exception:
+        traceback.print_exc()
+        sys.exit(1)
