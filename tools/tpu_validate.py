@@ -93,4 +93,18 @@ sf.run_pipeline(num_permutations=500)
 print("facade e2e wall:", round(time.time() - t0, 2), "s; enriched:",
       int(sf.nes_binary.sum()), flush=True)
 assert sf.nes.shape == (n, 1) and np.isfinite(sf.nes).any()
+
+# 6. band-STORAGE engine vs the dense engine (forced at validation scale)
+sf_band = safepy_tpu.SAFE(verbose=False)
+sf_band.apsp_mode = "band"
+sf_band.random_seed = 11
+sf_band.load_network(network_file=netf, node_key_attribute="key")
+sf_band.load_attributes(attribute_file=attr)
+t0 = time.time()
+sf_band.run_pipeline(num_permutations=500)
+band_err = np.nanmax(np.abs(sf_band.ns - sf.ns))
+print("band engine wall:", round(time.time() - t0, 2), "s; ns err:",
+      band_err, flush=True)
+assert np.array_equal(sf_band.neighborhoods, sf.neighborhoods)
+assert band_err <= 1e-4
 print("VERIFY OK", flush=True)
