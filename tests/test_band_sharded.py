@@ -206,3 +206,37 @@ def test_band_fw_sharded_matches_oracle():
     ref = _oracle(n, edges, w)
     r = float(inclusive_radius(nr))
     np.testing.assert_array_equal(dist <= r, ref <= r)
+
+
+def test_sharded_zscore_pipeline_bit_identical():
+    """The z-score variant rides the same stacked contraction — pin it
+    bit-identical to the single-device band engine too."""
+    import jax.random as jrandom
+    from safepy_tpu import pipeline as pipe
+    from safepy_tpu.ops.neighborhoods import inclusive_radius
+
+    n, block, ndev = 600, 64, 4
+    u, v, w, rank, band, nr = _plan(n, 6, 5)
+    bt = band // block + 1
+    rng = np.random.default_rng(2)
+    vals = rng.normal(size=(n, 1)).astype(np.float32)
+    vals[rng.random(n) < 0.25, 0] = np.nan
+    vals_perm = vals[np.argsort(rank)]
+    valid = np.any(~np.isnan(vals_perm), axis=1)
+    starts, w_c = bs.compaction_plan(valid, n=n, bt=bt, block=block)
+    args = (u, v, w, jnp.asarray(vals_perm), jnp.asarray(vals_perm[valid]),
+            jnp.asarray(valid), jnp.asarray(starts, jnp.int32),
+            jnp.asarray(rank, jnp.int32), jrandom.PRNGKey(3),
+            inclusive_radius(nr))
+    kw = dict(n=n, band=band, block=block, score_type="z-score",
+              num_permutations=40, batch_size=20, w_c=w_c)
+
+    single = pipe.fused_permutation_pipeline_band(*args, **kw)
+    sharded = bsh.fused_permutation_pipeline_band_sharded(
+        *args, mesh=_mesh(ndev), **kw)
+    np.testing.assert_array_equal(np.asarray(sharded[2]),
+                                  np.asarray(single[2]))  # obs (NaNs equal)
+    np.testing.assert_array_equal(np.asarray(sharded[3]),
+                                  np.asarray(single[3]))
+    np.testing.assert_array_equal(np.asarray(sharded[4]),
+                                  np.asarray(single[4]))

@@ -284,3 +284,27 @@ def test_band_hypergeom_hostchunks_matches_unchunked(net):
     np.testing.assert_allclose(np.asarray(sf.nes), np.asarray(plain.nes),
                                rtol=1e-9, atol=1e-9)
     np.testing.assert_array_equal(sf.neighborhoods, plain.neighborhoods)
+
+
+def test_band_session_full_downstream(net, tmp_path):
+    """A band-engine session supports the entire downstream API: top
+    attributes, domains, trimming, TSV reports, and both plot families."""
+    import matplotlib
+    matplotlib.use("Agg")
+    path, n = net
+    attrs = _binary_attrs(n, a=8, seed=21)
+    sf = _run(path, attrs, "band")
+    sf.define_top_attributes(attribute_enrichment_min_size=3)
+    if int(sf.attributes["top"].sum()) >= 2:
+        sf.define_domains(attribute_distance_threshold=0.9)
+        sf.trim_domains(attribute_enrichment_min_size=2)
+        assert sf.domains is not None
+        fig, axes = sf.plot_composite_network(color_seed=0)
+        assert len(axes) >= 2
+    sf.print_output_files(output_dir=str(tmp_path) + "/")
+    import os
+    assert os.path.exists(tmp_path / "attribute_properties_annotation.txt")
+    assert os.path.exists(tmp_path / "node_properties_annotation.txt")
+    fig2 = sf.plot_sample_attributes(attributes=1, show_raw_data=True,
+                                     save_fig=str(tmp_path / "attr.png"))
+    assert (tmp_path / "attr.png").exists()
