@@ -340,12 +340,10 @@ def euclidean_band_distances(coords_perm, *, n: int, band: int,
     """
     bt, nb, width = band_params(n, band, block)
     npad = nb * block
-    big = jnp.float32(3e18)  # sentinel: distances ~1e18 >> any radius, finite
 
     coords_perm = jnp.asarray(coords_perm, jnp.float32)
-    cg = jnp.full((npad + 2 * bt * block, 2), big, jnp.float32)
-    cg = jax.lax.dynamic_update_slice(cg, coords_perm,
-                                      (bt * block, jnp.int32(0)))
+    cg = jnp.zeros((npad + 2 * bt * block, 2), jnp.float32)
+    cg = jax.lax.dynamic_update_slice(cg, coords_perm, (bt * block, 0))
 
     out = jnp.full(((nb + 2 * bt) * block, width), _INF, jnp.float32)
     z = jnp.int32(0)
@@ -356,10 +354,17 @@ def euclidean_band_distances(coords_perm, *, n: int, band: int,
         slab = jax.lax.dynamic_slice(cg, (i * block, z), (width, 2))
         diff = rows[:, None, :] - slab[None, :, :]
         d = jnp.sqrt(jnp.maximum(jnp.sum(diff * diff, axis=-1), 0.0))
-        # exact-zero self distance despite float cancellation: the diagonal
-        # cell of row r is slab position r + bt*block - ... == bt*block + r
+        # ghost/pad cells are masked to +inf EXPLICITLY (not via sentinel
+        # coordinates — two pads would sit at distance 0 of each other); the
+        # real diagonal is then re-set to an exact 0 despite float cancellation
+        # (the diagonal cell of row r is slab position bt*block + r)
+        row_g = i * block + jnp.arange(block, dtype=jnp.int32)
+        col_g = (i - bt) * block + jnp.arange(width, dtype=jnp.int32)
+        pad = (row_g[:, None] >= n) | (col_g[None, :] < 0) | (col_g[None, :] >= n)
+        d = jnp.where(pad, jnp.inf, d)
         r_idx = jnp.arange(block)
-        d = d.at[r_idx, r_idx + bt * block].set(0.0)
+        d = d.at[r_idx, r_idx + bt * block].set(
+            jnp.where(row_g < n, 0.0, jnp.inf))
         return jax.lax.dynamic_update_slice(out, d, ((i + bt) * block, z))
 
     return jax.lax.fori_loop(0, nb, blk, out)

@@ -28,7 +28,8 @@ import jax.numpy as jnp
 
 from safepy_tpu.ops.apsp_bandstore import band_matmul, band_matmul_batch
 from safepy_tpu.ops.hypergeom import _sf_parts, finalize_logsf_device
-from safepy_tpu.ops.permutation import (permuted_operands_sorted,
+from safepy_tpu.ops.permutation import (count_scan,
+                                        permuted_operands_sorted,
                                         uses_sort_path)
 from safepy_tpu.ops.score import zscore_from_contractions
 
@@ -81,8 +82,6 @@ def scan_counts_band(compact, starts, vals, mask, obs, key, *,
     V, A = vals.shape
     w_c = compact.shape[1]
     v_pad = V + w_c  # slack so starts[i] + w_c never overruns
-    num_chunks = -(-num_permutations // batch_size)
-    chunk_keys = jax.random.split(key, num_chunks)
     sort_path = uses_sort_path(A)
     zscore = score_type == "z-score"
 
@@ -106,26 +105,9 @@ def scan_counts_band(compact, starts, vals, mask, obs, key, *,
         AB, Np, EXX_sum = jnp.split(out, 3, axis=-1)
         return zscore_from_contractions(AB, Np, EXX_sum)
 
-    def chunk_body(carry, inputs):
-        counts_neg, counts_pos = carry
-        chunk_key, chunk_start = inputs
-        scores = chunk_scores(chunk_key)
-        live = (chunk_start + jnp.arange(batch_size)) < num_permutations
-        live = live[:, None, None]
-        counts_neg = counts_neg + jnp.sum(
-            jnp.where(live & (scores <= obs[None]), 1, 0), axis=0,
-            dtype=jnp.int32)
-        counts_pos = counts_pos + jnp.sum(
-            jnp.where(live & (scores >= obs[None]), 1, 0), axis=0,
-            dtype=jnp.int32)
-        return (counts_neg, counts_pos), None
-
-    zeros = jnp.zeros(obs.shape, jnp.int32)
-    zeros = zeros + (chunk_keys.ravel()[0] * 0).astype(jnp.int32)
-    starts_ = jnp.arange(num_chunks) * batch_size
-    (counts_neg, counts_pos), _ = jax.lax.scan(
-        chunk_body, (zeros, zeros), (chunk_keys, starts_))
-    return counts_neg, counts_pos
+    return count_scan(chunk_scores, obs, key,
+                      num_permutations=num_permutations,
+                      batch_size=batch_size)
 
 
 def hypergeom_core_band(s_ind, nan0, nodes_not_nan, K, lgt, M,

@@ -129,36 +129,31 @@ def uses_sort_path(num_attributes: int) -> bool:
     return num_attributes <= SORT_PATH_MAX_ATTRIBUTES
 
 
-def scan_counts(nbr_valid, vals, mask, obs, key, *, score_type: str,
-                num_permutations: int, batch_size: int,
-                precision: str = "highest"):
-    """Core count loop over permutation chunks (shard_map-compatible).
+def count_scan(chunk_scores, obs, key, *, num_permutations: int,
+               batch_size: int):
+    """The shared two-sided count accumulator over permutation chunks.
 
-    All shapes static; `key` is a single PRNG key. Returns int32 (N, A) counts.
+    ``chunk_scores(chunk_key) -> (C, N, A)`` supplies one chunk of permuted
+    scores (dense GEMM, banded, or shard-local — every engine reuses this
+    driver so tie semantics, the live-permutation mask, and the shard_map
+    varying-axes carry trick stay defined in exactly one place).
+    Tie-inclusive two-sided counts, reference safe_extras.py:64-66.
     """
-    V, A = vals.shape
     num_chunks = -(-num_permutations // batch_size)
     chunk_keys = jax.random.split(key, num_chunks)
-    sort_path = uses_sort_path(A)
 
     def chunk_body(carry, inputs):
         counts_neg, counts_pos = carry
         chunk_key, chunk_start = inputs
-        if sort_path:
-            scores = permutation_scores_sorted(
-                nbr_valid, vals, mask, chunk_key, batch_size, score_type,
-                precision)
-        else:
-            perm_keys = jax.random.split(chunk_key, batch_size)
-            perm_idx = jax.vmap(lambda k: jax.random.permutation(k, V))(perm_keys)
-            scores = permutation_scores(nbr_valid, vals, mask, perm_idx,
-                                        score_type, precision)
+        scores = chunk_scores(chunk_key)
         live = (chunk_start + jnp.arange(batch_size)) < num_permutations
         live = live[:, None, None]
         counts_neg = counts_neg + jnp.sum(
-            jnp.where(live & (scores <= obs[None]), 1, 0), axis=0, dtype=jnp.int32)
+            jnp.where(live & (scores <= obs[None]), 1, 0), axis=0,
+            dtype=jnp.int32)
         counts_pos = counts_pos + jnp.sum(
-            jnp.where(live & (scores >= obs[None]), 1, 0), axis=0, dtype=jnp.int32)
+            jnp.where(live & (scores >= obs[None]), 1, 0), axis=0,
+            dtype=jnp.int32)
         return (counts_neg, counts_pos), None
 
     zeros = jnp.zeros(obs.shape, jnp.int32)
@@ -170,6 +165,31 @@ def scan_counts(nbr_valid, vals, mask, obs, key, *, score_type: str,
     (counts_neg, counts_pos), _ = jax.lax.scan(
         chunk_body, (zeros, zeros), (chunk_keys, starts))
     return counts_neg, counts_pos
+
+
+def scan_counts(nbr_valid, vals, mask, obs, key, *, score_type: str,
+                num_permutations: int, batch_size: int,
+                precision: str = "highest"):
+    """Core count loop over permutation chunks (shard_map-compatible).
+
+    All shapes static; `key` is a single PRNG key. Returns int32 (N, A) counts.
+    """
+    V, A = vals.shape
+    sort_path = uses_sort_path(A)
+
+    def chunk_scores(chunk_key):
+        if sort_path:
+            return permutation_scores_sorted(
+                nbr_valid, vals, mask, chunk_key, batch_size, score_type,
+                precision)
+        perm_keys = jax.random.split(chunk_key, batch_size)
+        perm_idx = jax.vmap(lambda k: jax.random.permutation(k, V))(perm_keys)
+        return permutation_scores(nbr_valid, vals, mask, perm_idx,
+                                  score_type, precision)
+
+    return count_scan(chunk_scores, obs, key,
+                      num_permutations=num_permutations,
+                      batch_size=batch_size)
 
 
 def prepare_valid(neighborhoods, node2attribute, valid_rows):

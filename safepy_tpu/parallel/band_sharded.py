@@ -44,10 +44,12 @@ _INF = float("inf")
 
 def sharded_band_geometry(n: int, band: int, ndev: int, block: int = 128):
     """(bt, nb, width, g_pad, local_rows): ghosted block-row count padded to a
-    device multiple (extra all-inf ghost rows at the bottom are harmless)."""
-    bt = band // block + 1
-    nb = -(-n // block)
-    width = (2 * bt + 1) * block
+    device multiple (extra all-inf ghost rows at the bottom are harmless).
+    bt/nb/width come from the single source of truth, band_params — the shard
+    frames must stay bit-aligned with the unsharded engine's."""
+    from safepy_tpu.ops.apsp_bandstore import band_params
+
+    bt, nb, width = band_params(n, band, block)
     g = nb + 2 * bt
     g_pad = -(-g // ndev) * ndev
     return bt, nb, width, g_pad, g_pad // ndev
@@ -247,6 +249,8 @@ def _band_score_local(s_local, xg_val, xg_mask, my, *, bt, local_rows, block,
         return _band_matmul_local(s_local, xg_val, my, bt=bt,
                                   local_rows=local_rows, block=block,
                                   precision=precision)
+    if score_type != "z-score":
+        raise ValueError(f"unknown neighborhood_score_type: {score_type!r}")
     stacked = jnp.concatenate([xg_val, xg_mask, xg_val * xg_val], axis=1)
     out = _band_matmul_local(s_local, stacked, my, bt=bt,
                              local_rows=local_rows, block=block,
@@ -261,15 +265,14 @@ def _scan_counts_local(compact, starts, vals, mask, obs_local, key, my, *,
     """Permutation counts for the shard's rows. Every device draws the SAME
     permutations (replicated key + operands) and contracts only its band rows
     — compute scales with the row shard, no collective needed."""
-    from safepy_tpu.ops.permutation import (permuted_operands_sorted,
+    from safepy_tpu.ops.permutation import (count_scan,
+                                            permuted_operands_sorted,
                                             uses_sort_path)
     from safepy_tpu.ops.score import zscore_from_contractions
 
     V, A = vals.shape
     w_c = compact.shape[1]
     v_pad = V + w_c
-    num_chunks = -(-num_permutations // batch_size)
-    chunk_keys = jax.random.split(key, num_chunks)
     sort_path = uses_sort_path(A)
     zscore = score_type == "z-score"
 
@@ -293,26 +296,9 @@ def _scan_counts_local(compact, starts, vals, mask, obs_local, key, my, *,
         AB, Np, EXX_sum = jnp.split(out, 3, axis=-1)
         return zscore_from_contractions(AB, Np, EXX_sum)
 
-    def chunk_body(carry, inputs):
-        counts_neg, counts_pos = carry
-        chunk_key, chunk_start = inputs
-        scores = chunk_scores(chunk_key)
-        live = (chunk_start + jnp.arange(batch_size)) < num_permutations
-        live = live[:, None, None]
-        counts_neg = counts_neg + jnp.sum(
-            jnp.where(live & (scores <= obs_local[None]), 1, 0), axis=0,
-            dtype=jnp.int32)
-        counts_pos = counts_pos + jnp.sum(
-            jnp.where(live & (scores >= obs_local[None]), 1, 0), axis=0,
-            dtype=jnp.int32)
-        return (counts_neg, counts_pos), None
-
-    zeros = jnp.zeros(obs_local.shape, jnp.int32)
-    zeros = zeros + (chunk_keys.ravel()[0] * 0).astype(jnp.int32)
-    cstarts = jnp.arange(num_chunks) * batch_size
-    (cn, cp), _ = jax.lax.scan(chunk_body, (zeros, zeros),
-                               (chunk_keys, cstarts))
-    return cn, cp
+    return count_scan(chunk_scores, obs_local, key,
+                      num_permutations=num_permutations,
+                      batch_size=batch_size)
 
 
 # ---------------------------------------------------------------------------

@@ -1221,6 +1221,15 @@ class SAFE:
                         bt=band // 128 + 1, rank_np=rank,
                         attr_chunk=attr_chunk)
             elif self.mesh is not None:
+                if attr_chunk is not None:
+                    logging.warning(
+                        "mesh + GO-scale attribute matrix: the sharded band "
+                        "tail runs as ONE fused dispatch per device (no "
+                        "attribute chunking); at 100k x thousands of "
+                        "attributes on few devices the emulated-f64 survival "
+                        "tail can run long enough to trip remote-worker "
+                        "watchdogs — prefer mesh=None (host-chunked driver) "
+                        "for that regime.")
                 from safepy_tpu.parallel.band_sharded import (
                     fused_hypergeom_pipeline_band_sharded)
                 (dist_band, s_ind, nes32, log_sf32, nesbin8, counts_dev, mean,

@@ -34,7 +34,10 @@ def _run(net, attrs, mode, *, seed=7, staged=False, **kwargs):
     sf.load_network(network_file=net, node_key_attribute="key")
     sf.load_attributes(attribute_file=attrs)
     if staged:
-        sf.define_neighborhoods()
+        nbr_kwargs = {k: kwargs.pop(k) for k in
+                      ("node_distance_metric", "neighborhood_radius")
+                      if k in kwargs}
+        sf.define_neighborhoods(**nbr_kwargs)
         sf.compute_pvalues(**kwargs)
     else:
         sf.run_pipeline(**kwargs)
@@ -225,8 +228,14 @@ def test_band_euclidean_matches_dense(net):
     r = float(np.float32(full.neighborhood_radius
                          * (np.max(x) - np.min(x))))
     inside = full.node_distances < r
-    np.testing.assert_allclose(banded.node_distances[inside],
-                               full.node_distances[inside],
+    # pin the band's distances against TRUE f64 pairwise distances: the dense
+    # engine's Gram-matrix formula loses ~2e-5 to cancellation on near pairs,
+    # while the band's direct coordinate differences are f32-exact
+    xy = np.array([[full.graph.nodes[i]["x"], full.graph.nodes[i]["y"]]
+                   for i in full.graph])
+    true_d = np.hypot(xy[:, 0][:, None] - xy[:, 0][None, :],
+                      xy[:, 1][:, None] - xy[:, 1][None, :])
+    np.testing.assert_allclose(banded.node_distances[inside], true_d[inside],
                                rtol=1e-6, atol=1e-6)
     assert np.isinf(banded.node_distances[~inside & ~np.eye(n, dtype=bool)
                                           & (full.node_distances >= r)]).all()
