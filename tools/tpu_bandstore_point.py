@@ -32,6 +32,47 @@ def main():
         return
 
     kind, rest = spec.split(":", 1)
+    if kind == "euclid":
+        # scatter/UMAP-style euclidean neighborhoods at band-storage scale
+        n = int(rest)
+        rng = np.random.default_rng(5)
+        coords = rng.uniform(-1, 1, (n, 2))
+        import networkx as nx
+        from safepy_tpu import SAFE
+        g = nx.Graph()
+        g.add_nodes_from(range(n))
+        for i in range(n):
+            g.nodes[i]["label"] = g.nodes[i]["key"] = f"c{i}"
+            g.nodes[i]["x"] = float(coords[i, 0])
+            g.nodes[i]["y"] = float(coords[i, 1])
+        vals = rng.normal(size=(n, 1))
+        vals[rng.random(n) < 0.3, 0] = np.nan
+        attrs = pd.DataFrame(vals, index=[f"c{i}" for i in range(n)],
+                             columns=["q"])
+        sf = SAFE(verbose=False)
+        sf.random_seed = 17
+        # auto-selected at real scale; FORCED below it so the CPU smoke still
+        # exercises the band path even where it would not pay
+        sf.apsp_mode = "auto" if n >= 32768 else "band"
+        sf.neighborhood_radius = float(np.sqrt(125.0 / (np.pi * n)))
+        sf.load_network(network_file=g, node_key_attribute="key")
+        sf.load_attributes(attribute_file=attrs)
+        t0 = time.time()
+        sf.define_neighborhoods(node_distance_metric="euclidean")
+        sf.compute_pvalues(num_permutations=1000)
+        first = time.time() - t0
+        t0 = time.time()
+        sf.define_neighborhoods(node_distance_metric="euclidean")
+        sf.compute_pvalues(num_permutations=1000)
+        steady = time.time() - t0
+        from safepy_tpu.ops.apsp_bandstore import BandedMatrix
+        assert isinstance(sf._neighborhoods_dev, BandedMatrix)
+        print(json.dumps({
+            "check": "euclid_scale", "nodes": n,
+            "radius": sf.neighborhood_radius,
+            "first_s": round(first, 2), "steady_s": round(steady, 3),
+            "enriched": int((sf.nes_binary > 0).sum())}), flush=True)
+        return
     if kind == "quant":
         n = int(rest)
         t0 = time.time()
