@@ -246,6 +246,28 @@ def band_neighborhoods(u, v, w, radius, *, n: int, band: int, block: int = 128):
     return _band_front(u, v, w, radius, n=n, band=band, block=block)[:4]
 
 
+def _band_perm_tail(s_ind, vals, vals_valid, valid, starts, rank, key, *,
+                    bt, block, score_type, num_permutations, batch_size, w_c,
+                    precision):
+    """Observed scores + compaction + permutation counts over a banded
+    indicator, with the (n, A) outputs un-permuted to the original frame —
+    shared by the shortest-path and euclidean band pipelines."""
+    from safepy_tpu.ops import apsp_bandstore as bst
+    from safepy_tpu.ops.enrich_band import band_score, scan_counts_band
+
+    obs = band_score(s_ind, vals, bt=bt, block=block, score_type=score_type,
+                     precision=precision)
+    compact = bst.apply_compaction(s_ind, valid, w_c, bt=bt, block=block)
+    mask_valid = jnp.isfinite(vals_valid).astype(jnp.float32)
+    vv = jnp.where(mask_valid > 0, jnp.asarray(vals_valid, jnp.float32), 0.0)
+    counts_neg, counts_pos = scan_counts_band(
+        compact, starts, vv, mask_valid, obs, key, score_type=score_type,
+        num_permutations=num_permutations, batch_size=batch_size, bt=bt,
+        block=block, precision=precision)
+    take = functools.partial(jnp.take, indices=rank, axis=0)
+    return take(obs), take(counts_neg), take(counts_pos)
+
+
 @functools.partial(jax.jit, static_argnames=(
     "n", "band", "block", "score_type", "num_permutations", "batch_size",
     "w_c", "precision"))
@@ -265,25 +287,40 @@ def fused_permutation_pipeline_band(u, v, w, vals, vals_valid, valid, starts,
     ORIGINAL frame; the band matrices stay permuted (their frame is part of
     the BandedMatrix wrapper).
     """
-    from safepy_tpu.ops import apsp_bandstore as bst
-    from safepy_tpu.ops.enrich_band import band_score, scan_counts_band
-
     dist_band, s_ind, mean, std, bt = _band_front(
         u, v, w, radius, n=n, band=band, block=block)
+    obs, counts_neg, counts_pos = _band_perm_tail(
+        s_ind, vals, vals_valid, valid, starts, rank, key, bt=bt, block=block,
+        score_type=score_type, num_permutations=num_permutations,
+        batch_size=batch_size, w_c=w_c, precision=precision)
+    return dist_band, s_ind, obs, counts_neg, counts_pos, mean, std
 
-    obs = band_score(s_ind, vals, bt=bt, block=block, score_type=score_type,
-                     precision=precision)
-    compact = bst.apply_compaction(s_ind, valid, w_c, bt=bt, block=block)
-    mask_valid = jnp.isfinite(vals_valid).astype(jnp.float32)
-    vv = jnp.where(mask_valid > 0, jnp.asarray(vals_valid, jnp.float32), 0.0)
-    counts_neg, counts_pos = scan_counts_band(
-        compact, starts, vv, mask_valid, obs, key, score_type=score_type,
-        num_permutations=num_permutations, batch_size=batch_size, bt=bt,
-        block=block, precision=precision)
 
-    take = functools.partial(jnp.take, indices=rank, axis=0)
-    return (dist_band, s_ind, take(obs), take(counts_neg), take(counts_pos),
-            mean, std)
+@functools.partial(jax.jit, static_argnames=(
+    "n", "band", "block", "score_type", "num_permutations", "batch_size",
+    "w_c", "precision"))
+def fused_permutation_pipeline_band_euclid(
+        coords_perm, vals, vals_valid, valid, starts, rank, key, radius, *,
+        n: int, band: int, block: int = 128, score_type: str = "sum",
+        num_permutations: int = 1000, batch_size: int = 1000, w_c: int,
+        precision: str = "highest"):
+    """Euclidean band neighborhoods + permutation null, one dispatch — the
+    scatter/UMAP flagship at band-storage scale (no graph algorithm at all;
+    strict ``dist < r``, reference safe.py:389-399)."""
+    from safepy_tpu.ops import apsp_bandstore as bst
+
+    bt = band // block + 1
+    raw = bst.euclidean_band_distances(coords_perm, n=n, band=band,
+                                       block=block)
+    r = jnp.asarray(radius, raw.dtype)
+    dist_band = jnp.where(raw < r, raw, jnp.inf)
+    s_ind = (raw < r).astype(jnp.int8)
+    _, mean, std = bst.band_row_stats(s_ind, n=n, bt=bt, block=block)
+    obs, counts_neg, counts_pos = _band_perm_tail(
+        s_ind, vals, vals_valid, valid, starts, rank, key, bt=bt, block=block,
+        score_type=score_type, num_permutations=num_permutations,
+        batch_size=batch_size, w_c=w_c, precision=precision)
+    return dist_band, s_ind, obs, counts_neg, counts_pos, mean, std
 
 
 @functools.partial(jax.jit, static_argnames=("n", "band", "block",

@@ -1063,6 +1063,21 @@ class SAFE:
 
         if (self.node_distance_metric == "euclidean"
                 or self.background == "network"):
+            if (self.node_distance_metric == "euclidean"
+                    and self.background != "network" and self.mesh is None):
+                n2a = self.node2attribute
+                num_other = np.sum(~np.isnan(n2a) & ~np.isin(n2a, [0, 1]))
+                binary = (self.enrichment_type == "hypergeometric"
+                          or (self.enrichment_type == "auto"
+                              and num_other == 0))
+                if not binary:
+                    coords = self._graph_to_arrays_cached()[0]
+                    num_nodes = self.graph.number_of_nodes()
+                    x = coords[:, 0]
+                    nr = self.neighborhood_radius * (np.max(x) - np.min(x))
+                    eb = self._euclidean_band_plan(coords, num_nodes, nr)
+                    if eb is not None:
+                        return self._run_pipeline_band_euclid(eb, coords, nr)
             self.define_neighborhoods()
             self.compute_pvalues()
             return
@@ -1180,6 +1195,58 @@ class SAFE:
                          "%.2f +/- %.2f" % (float(mean), float(std)))
 
         self._update_binary_enrichment(*binary_pending)
+
+    def _run_pipeline_band_euclid(self, plan, coords, nr):
+        """run_pipeline for the euclidean metric at band-storage scale: banded
+        direct coordinate distances + permutation null, ONE fused dispatch
+        (the scatter/UMAP flagship; no graph algorithm at all)."""
+        from safepy_tpu import pipeline as _pipe
+        from safepy_tpu.ops import apsp_bandstore as _bst
+
+        num_nodes = self.graph.number_of_nodes()
+        rank, band = plan["rank"], plan["band"]
+        order = np.argsort(rank)
+        bt = band // 128 + 1
+
+        n2a = self.node2attribute
+        vals_perm = np.asarray(n2a, np.float32)[order]
+        valid_perm = np.any(~np.isnan(vals_perm), axis=1)
+        V, A = int(valid_perm.sum()), n2a.shape[1]
+        starts, w_c = _bst.compaction_plan(valid_perm, n=num_nodes, bt=bt,
+                                           block=128)
+        seed = self.random_seed
+        if seed is None:
+            seed = int(np.random.default_rng().integers(2 ** 31 - 1))
+        key = jax.random.PRNGKey(seed)
+        batch = _perm.default_batch_size(V, A, int(self.num_permutations))
+
+        (dist_band, s_ind, obs_dev, counts_neg, counts_pos, mean, std) = \
+            _pipe.fused_permutation_pipeline_band_euclid(
+                jnp.asarray(coords[order], jnp.float32),
+                jnp.asarray(vals_perm), jnp.asarray(vals_perm[valid_perm]),
+                jnp.asarray(valid_perm), jnp.asarray(starts, jnp.int32),
+                jnp.asarray(rank, jnp.int32), key, np.float32(nr),
+                n=num_nodes, band=band,
+                score_type=self.neighborhood_score_type,
+                num_permutations=int(self.num_permutations),
+                batch_size=batch, w_c=w_c, precision=self.matmul_precision)
+        obs = np.asarray(obs_dev)
+        self.ns = obs
+        self._finalize_randomization(counts_neg, counts_pos, obs)
+
+        self._neighborhoods_dev = _BandedMatrix(s_ind, rank, num_nodes, band,
+                                                fill=0.0)
+        self._neighborhoods_np = None
+        self._node_distances_dev = _BandedMatrix(dist_band, rank, num_nodes,
+                                                 band, fill=np.inf)
+        self._node_distances_np = None
+
+        if self.verbose:
+            logging.info("Node distance metric: %s (band storage)"
+                         % self.node_distance_metric)
+            logging.info("Number of nodes per neighborhood (mean +/- std): "
+                         "%.2f +/- %.2f" % (float(mean), float(std)))
+        self._update_binary_enrichment()
 
     def _run_pipeline_bandstore(self, plan, nr):
         """run_pipeline over the band-STORAGE engine: one fused dispatch, all

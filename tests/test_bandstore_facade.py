@@ -317,3 +317,20 @@ def test_band_session_full_downstream(net, tmp_path):
     fig2 = sf.plot_sample_attributes(attributes=1, show_raw_data=True,
                                      save_fig=str(tmp_path / "attr.png"))
     assert (tmp_path / "attr.png").exists()
+
+
+def test_band_euclid_fused_matches_staged(net):
+    """run_pipeline's fused euclidean band route == the staged path
+    bit-for-bit (same key -> same compaction -> same permutations)."""
+    path, n = net
+    attrs = _quant_attrs(n, seed=22)
+    staged = _run(path, attrs, "band", staged=True,
+                  node_distance_metric="euclidean", num_permutations=90)
+    fused = _run(path, attrs, "band",
+                 node_distance_metric="euclidean", num_permutations=90)
+    np.testing.assert_array_equal(fused.neighborhoods, staged.neighborhoods)
+    np.testing.assert_array_equal(np.asarray(fused.ns),
+                                  np.asarray(staged.ns))
+    np.testing.assert_array_equal(
+        np.nan_to_num(fused.pvalues_pos, nan=-1),
+        np.nan_to_num(staged.pvalues_pos, nan=-1))

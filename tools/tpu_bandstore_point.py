@@ -58,12 +58,12 @@ def main():
         sf.load_network(network_file=g, node_key_attribute="key")
         sf.load_attributes(attribute_file=attrs)
         t0 = time.time()
-        sf.define_neighborhoods(node_distance_metric="euclidean")
-        sf.compute_pvalues(num_permutations=1000)
+        sf.run_pipeline(node_distance_metric="euclidean",
+                        num_permutations=1000)
         first = time.time() - t0
         t0 = time.time()
-        sf.define_neighborhoods(node_distance_metric="euclidean")
-        sf.compute_pvalues(num_permutations=1000)
+        sf.run_pipeline(node_distance_metric="euclidean",
+                        num_permutations=1000)
         steady = time.time() - t0
         from safepy_tpu.ops.apsp_bandstore import BandedMatrix
         assert isinstance(sf._neighborhoods_dev, BandedMatrix)
