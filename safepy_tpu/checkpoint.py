@@ -101,9 +101,11 @@ def load_session(path: str, graph=None, verbose: bool = True):
         from safepy_tpu.ops.apsp_bandstore import BandedMatrix
         n, band, block = (int(x) for x in data["band_meta"])
         rank = data["band_rank"]
+        # the saved indicator band stays int8 on load: it is the dominant
+        # HBM/upload object at 100k+ nodes (4x smaller than f32), and every
+        # banded consumer casts per block inside its contraction loop
         sf._neighborhoods_dev = BandedMatrix(
-            data["neighborhoods_band"].astype(np.float32), rank, n, band,
-            block, fill=0.0)
+            data["neighborhoods_band"], rank, n, band, block, fill=0.0)
         sf._neighborhoods_np = None
         if "node_distances_band" in data:
             sf._node_distances_dev = BandedMatrix(

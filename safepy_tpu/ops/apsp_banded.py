@@ -112,6 +112,62 @@ def banded_order(coords: np.ndarray, radius: float):
     return best
 
 
+def graph_banded_order(n: int, edges: np.ndarray, weights: np.ndarray,
+                       radius: float):
+    """(order, half-width B) certified WITHOUT coordinates — any metric.
+
+    The Euclidean certificate (module docstring) needs edge lengths to be the
+    endpoint distances; hop-count networks ('shortpath', reference
+    safe.py:408-410) and arbitrary user lengths have no such geometry. The
+    landmark triangle inequality supplies a graph-native certificate instead:
+    with ``ds`` the shortest-path distance from any fixed source,
+
+        d(u, v) <= r  =>  |ds(u) - ds(v)| <= d(u, v) <= r,
+
+    so ordering nodes by (component, ds) bounds the rank separation of EVERY
+    within-radius pair — and of every intermediate node w of a <= r path,
+    since d(u, w) <= r as well — by the maximum number of nodes in any
+    closed ds-window of width r (an exact sorted two-pointer count, no APSP
+    required). The source is chosen peripheral per component by a double
+    sweep, which flattens the level sets and tightens the window.
+
+    Returns (order, band); callers compare ``band_nbytes`` against dense
+    storage exactly as with the geometric certificate.
+    """
+    from scipy.sparse import coo_matrix
+    from scipy.sparse.csgraph import connected_components, dijkstra
+
+    edges = np.asarray(edges)
+    if len(edges) == 0:
+        return np.arange(n), max(1, n - 1)
+    w = np.asarray(weights, np.float64)
+    u2 = np.concatenate([edges[:, 0], edges[:, 1]])
+    v2 = np.concatenate([edges[:, 1], edges[:, 0]])
+    g = coo_matrix((np.concatenate([w, w]), (u2, v2)), shape=(n, n)).tocsr()
+
+    ncomp, labels = connected_components(g, directed=False)
+    # one seed per component -> distances to nearest seed; the per-component
+    # argmax of that sweep is a peripheral node (double-sweep heuristic)
+    seeds = np.unique(labels, return_index=True)[1]
+    d0 = dijkstra(g, indices=seeds, min_only=True)
+    d0 = np.where(np.isfinite(d0), d0, 0.0)
+    by_comp = np.lexsort((d0, labels))
+    far = by_comp[np.searchsorted(labels[by_comp], np.arange(ncomp),
+                                  side="right") - 1]
+    ds = dijkstra(g, indices=far, min_only=True)
+    ds = np.where(np.isfinite(ds), ds, 0.0)
+
+    order = np.lexsort((ds, labels))
+    # max nodes in any closed per-component ds-window of width `radius`: shift
+    # each component's ds range into a disjoint block so one two-pointer
+    # searchsorted covers them all
+    span = float(ds.max()) + float(radius) + 1.0
+    keys = labels[order] * (2.0 * span) + ds[order]
+    j = np.searchsorted(keys, keys + float(radius), side="right")
+    band = int(max(1, (j - np.arange(n) - 1).max()))
+    return order, band
+
+
 def window_width(n: int, band: int, block: int = 128) -> int:
     """Static window span covering [pivot - B, pivot + block + B), padded to a
     block multiple and capped at the (padded) matrix size."""

@@ -335,8 +335,8 @@ def euclidean_band_distances(coords_perm, *, n: int, band: int,
     from the coordinates, O(N*W) work and memory, which takes the scatter /
     UMAP annotation workflow (safe_io.py:271-285) to 100k+ points. Pairs
     beyond the band are +inf (they are beyond the radius by the band
-    certificate); ghost/pad cells carry far-away sentinel coordinates, so
-    their distances overflow any radius.
+    certificate); ghost/pad cells are masked to +inf explicitly (see the
+    inline comment — sentinel coordinates would put two pads at distance 0).
     """
     bt, nb, width = band_params(n, band, block)
     npad = nb * block

@@ -291,6 +291,101 @@ def hypergeom_band_hostchunks(s_ind, nan0_np, nodes_not_nan_np, lgt, M,
     return nes, logsf, nbin, counts_np
 
 
+def hypergeom_band_table(s_ind, nan0_np, nodes_not_nan_np, M,
+                         enrichment_threshold, *, bt: int, block: int = 128,
+                         rank_np, precision: str = "highest",
+                         chunk_cols: int = 1024, nsize_dev=None, plan=None):
+    """GO-scale hypergeometric enrichment via the class-table engine
+    (ops/hypergeom_table.py) — the production path for binary annotations.
+
+    Replaces the per-cell f64 tail of :func:`hypergeom_band_hostchunks`
+    (235 s at 99,840 x 4,373 on v5e) with one f64 recurrence per distinct
+    (K, neighborhood-size) class plus one table gather per cell. Column
+    chunks are K-sorted so each chunk's scan length hugs its largest class.
+
+    Returns (nes_dev, logsf_dev, bin_dev, counts_np) with columns in the
+    ORIGINAL attribute order and rows in the ORIGINAL node frame, or None
+    when the plan is ineligible (caller falls back to the loop engine).
+    """
+    import numpy as np
+    from safepy_tpu.ops import hypergeom_table as htab
+
+    import numpy as np
+
+    K_np = nan0_np.sum(axis=0)
+    if nsize_dev is None:
+        nnn_dev = jnp.asarray(nodes_not_nan_np)
+        nsize_dev = band_matmul(
+            s_ind, _pad_rows_to(nnn_dev[:, None],
+                                s_ind.shape[0] - 2 * bt * block),
+            bt=bt, block=block, precision=precision)[:, 0]
+    n_max = float(jnp.max(nsize_dev))  # scalar download
+    if plan is None:
+        plan = htab.plan(K_np, n_max, int(M), chunk_cols=chunk_cols)
+    if plan is None:
+        return None
+
+    log_thr64 = float(np.log(enrichment_threshold))
+    # upload the K-sorted matrix ONCE; chunks slice it contiguously on device
+    nan0_sorted = jnp.asarray(nan0_np[:, plan["order"]])
+    rank_dev = jnp.asarray(rank_np, jnp.int32)
+    npad = s_ind.shape[0] - 2 * bt * block
+
+    nes_pieces, logsf_pieces, bin_pieces, counts = [], [], [], []
+    start = 0
+    for ch in plan["chunks"]:
+        width = len(ch["cols"])
+        cols = jax.lax.dynamic_slice_in_dim(nan0_sorted, start, width, 1)
+        start += width
+        nes_c, logsf_c, bin_c = _band_table_chunk(
+            s_ind, cols, nsize_dev, jnp.asarray(ch["K_dist"]),
+            jnp.asarray(ch["colc"], jnp.int32), M, log_thr64, rank_dev,
+            R=ch["R"], S_max=ch["S_max"], C=ch["C"], bt=bt, block=block,
+            npad=npad, precision=precision)
+        nes_pieces.append(nes_c)
+        logsf_pieces.append(logsf_c)
+        bin_pieces.append(bin_c)
+        counts.append(np.asarray(jnp.sum(bin_c, axis=0, dtype=jnp.int32)))
+
+    del nan0_sorted, cols
+    inv_dev = jnp.asarray(plan["inv"], jnp.int32)
+
+    def assemble(pieces):
+        sorted_cols = jnp.concatenate(pieces, axis=1)
+        pieces.clear()
+        # column un-sort via transpose + ROW gather + transpose (lane gathers
+        # serialize on TPU; row gathers ride the DMA engines)
+        return jnp.take(sorted_cols.T, inv_dev, axis=0).T
+
+    nes = assemble(nes_pieces)
+    logsf = assemble(logsf_pieces)
+    nbin = assemble(bin_pieces)
+    counts_np = np.concatenate(counts)[plan["inv"]]
+    return nes, logsf, nbin, counts_np
+
+
+@functools.partial(jax.jit, static_argnames=("R", "S_max", "C", "bt", "block",
+                                             "npad", "precision"))
+def _band_table_chunk(s_ind, cols, nsize, K_dist, colc, M, log_thr64, rank, *,
+                      R: int, S_max: int, C: int, bt: int, block: int,
+                      npad: int, precision: str):
+    """One K-sorted column chunk: banded census + table build + lookup +
+    row un-permute, fused into a single dispatch."""
+    import numpy as np
+    from safepy_tpu.ops import hypergeom_table as htab
+
+    counts = band_matmul(s_ind, _pad_rows_to(cols, npad), bt=bt, block=block,
+                         precision=precision)
+    table = htab.build_logsf_table(K_dist, M, log_thr64, R=R, S_max=S_max,
+                                   C=C)
+    nes, logsf, nbin = htab.table_lookup(
+        table, counts, nsize, colc,
+        jnp.asarray(log_thr64).astype(jnp.float32),
+        S_max=S_max, R=R, C=C)
+    take = functools.partial(jnp.take, indices=rank, axis=0)
+    return take(nes), take(logsf), take(nbin)
+
+
 # jitted single-dispatch wrappers for the STAGED facade paths (the fused
 # pipelines in safepy_tpu/pipeline.py trace the raw functions directly)
 band_score_jit = functools.partial(

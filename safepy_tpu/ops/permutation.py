@@ -42,9 +42,15 @@ import jax.numpy as jnp
 
 from safepy_tpu.ops.score import dot_kwargs
 
-# above this many attributes the joint sort carries too many operands and the
-# index+gather path wins
-SORT_PATH_MAX_ATTRIBUTES = 4
+# the keyed sort re-runs per group of this many value columns — identical
+# uint32 keys + a stable sort give the identical permutation each time, so
+# cross-column row alignment is preserved while no single variadic sort
+# carries more than ~2*G operands (XLA variadic sorts degrade beyond that)
+SORT_GROUP_COLUMNS = 4
+# above this many attributes the repeated key sorts outweigh the gather
+# engine's serialized lane gathers (v5e measurement: the sort path wins by
+# ~3.5x at few columns and stays ahead through the low hundreds)
+SORT_PATH_MAX_ATTRIBUTES = 256
 
 
 def default_batch_size(num_valid: int, num_attributes: int,
@@ -98,22 +104,33 @@ def permuted_operands_sorted(vals, mask, chunk_key, chunk_size: int,
                              with_mask: bool):
     """A chunk of row-permuted operands drawn by key-sorting the data itself.
 
-    One stable ``lax.sort`` jointly permutes every attribute column (and its
-    mask) by independent uint32 keys — the permutation indices never exist.
-    Returns (Bp, NBp): (C, V, A) permuted values and (when ``with_mask``)
-    their finite masks, permuted identically.
+    Stable ``lax.sort`` calls permute the attribute columns (and their masks)
+    by independent uint32 keys — the permutation indices never exist. Columns
+    are processed in groups of ``SORT_GROUP_COLUMNS``: every group re-sorts
+    the SAME key array, and a stable sort of identical keys produces the
+    identical permutation, so rows stay aligned across groups (this is what
+    lifts the old 4-attribute cap — reference safe_extras.py:50-62 permutes
+    matrices of arbitrary width). Returns (Bp, NBp): (C, V, A) permuted
+    values and (when ``with_mask``) their finite masks, permuted identically.
     """
     V, A = vals.shape
     bits = jax.random.bits(chunk_key, (chunk_size, V), dtype=jnp.uint32)
-    columns = [jnp.broadcast_to(vals[:, a][None, :], (chunk_size, V))
-               for a in range(A)]
-    if with_mask:
-        columns += [jnp.broadcast_to(mask[:, a][None, :], (chunk_size, V))
-                    for a in range(A)]
-    sorted_ops = jax.lax.sort((bits, *columns), dimension=-1, num_keys=1,
-                              is_stable=True)[1:]
-    Bp = jnp.stack(sorted_ops[:A], axis=-1)                  # (C, V, A)
-    NBp = jnp.stack(sorted_ops[A:], axis=-1) if with_mask else None
+
+    vals_g, mask_g = [], []
+    for g in range(0, A, SORT_GROUP_COLUMNS):
+        cols = range(g, min(g + SORT_GROUP_COLUMNS, A))
+        ops = [jnp.broadcast_to(vals[:, a][None, :], (chunk_size, V))
+               for a in cols]
+        if with_mask:
+            ops += [jnp.broadcast_to(mask[:, a][None, :], (chunk_size, V))
+                    for a in cols]
+        sorted_ops = jax.lax.sort((bits, *ops), dimension=-1, num_keys=1,
+                                  is_stable=True)[1:]
+        vals_g.extend(sorted_ops[:len(cols)])
+        if with_mask:
+            mask_g.extend(sorted_ops[len(cols):])
+    Bp = jnp.stack(vals_g, axis=-1)                          # (C, V, A)
+    NBp = jnp.stack(mask_g, axis=-1) if with_mask else None
     return Bp, NBp
 
 

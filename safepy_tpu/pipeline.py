@@ -141,17 +141,34 @@ def fused_permutation_pipeline(d0, vals, valid_rows, key, radius, *,
 
 
 def _hypergeom_tail(nbr, vals, lgt, M, enrichment_threshold, *, iterations,
-                    mesh=None, attr_axis="attr"):
+                    mesh=None, attr_axis="attr", table_K_dist=None,
+                    table_colc=None, table_spec=None):
     """Census matmuls + survival tail + device finalization; columns sharded over
     `attr_axis` when the mesh has one (reference CLI column parallelism,
-    safe.py:1335-1355, with zero inter-device traffic)."""
+    safe.py:1335-1355, with zero inter-device traffic).
+
+    With ``table_spec = (R, S_max, C)`` (plus the matching ``table_K_dist`` /
+    ``table_colc`` operands) the survival values come from the class-table
+    engine (ops/hypergeom_table.py) instead of the per-cell f64 tail loop —
+    the binary-annotation fast path that keeps the whole pipeline a single
+    dispatch (the table's row axis covers every possible neighborhood size)."""
     finite = jnp.isfinite(vals)
     nan0 = jnp.where(finite, vals, 0.0).astype(jnp.float32)
     nodes_not_nan = jnp.any(finite, axis=1).astype(jnp.float32)
 
-    def tail(nbr, nan0_cols, nodes_not_nan, lgt):
+    def tail(nbr, nan0_cols, nodes_not_nan, lgt, colc):
         nsize = jnp.dot(nbr, nodes_not_nan, **_DOT_KW)
         counts = jnp.dot(nbr, nan0_cols, **_DOT_KW)
+        if table_spec is not None:
+            from safepy_tpu.ops import hypergeom_table as htab
+            r, s_max, c = table_spec
+            log_thr64 = jnp.log(jnp.asarray(enrichment_threshold,
+                                            jnp.float64))
+            table = htab.build_logsf_table(table_K_dist, M, log_thr64,
+                                           R=r, S_max=s_max, C=c)
+            return htab.table_lookup(table, counts, nsize, colc,
+                                     log_thr64.astype(jnp.float32),
+                                     S_max=s_max, R=r, C=c)
         K = jnp.sum(nan0_cols, axis=0)
         k64 = counts.astype(jnp.float64)
         K64 = jnp.broadcast_to(K.astype(jnp.float64)[None, :], counts.shape)
@@ -159,29 +176,34 @@ def _hypergeom_tail(nbr, vals, lgt, M, enrichment_threshold, *, iterations,
         parts = _sf_parts(k64, M, K64, n64, lgt, iterations)
         return finalize_logsf_device(parts, enrichment_threshold)
 
+    if table_colc is None:
+        table_colc = jnp.zeros((nan0.shape[1],), jnp.int32)
     if mesh is None or attr_axis not in mesh.shape:
-        return tail(nbr, nan0, nodes_not_nan, lgt)
+        return tail(nbr, nan0, nodes_not_nan, lgt, table_colc)
 
     num_attrs = nan0.shape[1]
     pad = (-num_attrs) % mesh.shape[attr_axis]
     if pad:
         nan0 = jnp.pad(nan0, ((0, 0), (0, pad)))
+        table_colc = jnp.pad(table_colc, ((0, pad),))
 
     worker = jax.shard_map(
         tail, mesh=mesh,
-        in_specs=(P(), P(None, attr_axis), P(), P()),
+        in_specs=(P(), P(None, attr_axis), P(), P(), P(attr_axis)),
         out_specs=(P(None, attr_axis),) * 3)
-    nes32, log_sf32, nes_binary = worker(nbr, nan0, nodes_not_nan, lgt)
+    nes32, log_sf32, nes_binary = worker(nbr, nan0, nodes_not_nan, lgt,
+                                         table_colc)
     return (nes32[:, :num_attrs], log_sf32[:, :num_attrs],
             nes_binary[:, :num_attrs])
 
 
 @functools.partial(jax.jit, static_argnames=("iterations", "strict", "block",
-                                             "mesh", "window"))
+                                             "mesh", "window", "table_spec"))
 def fused_hypergeom_pipeline(d0, vals, lgt, M, radius, enrichment_threshold, *,
                              iterations: int, strict: bool = False,
                              block: int = 128, mesh=None,
-                             window=None, inv_rank=None):
+                             window=None, inv_rank=None, table_K_dist=None,
+                             table_colc=None, table_spec=None):
     """APSP + neighborhoods + hypergeometric enrichment, one dispatch.
 
     vals: (N, A) with NaNs. Returns (dist, nbr, nes_f32, log_sf_f32,
@@ -195,7 +217,8 @@ def fused_hypergeom_pipeline(d0, vals, lgt, M, radius, enrichment_threshold, *,
     nbr, mean, std = threshold_and_stats(dist, radius, strict=strict)
     nes32, log_sf32, nes_binary = _hypergeom_tail(
         nbr, vals, lgt, M, enrichment_threshold, iterations=iterations,
-        mesh=mesh)
+        mesh=mesh, table_K_dist=table_K_dist, table_colc=table_colc,
+        table_spec=table_spec)
     # per-attribute enriched counts reduced ON DEVICE: workflows that only need
     # the counts (GO-scale batch) skip the (N, A) indicator download entirely
     enriched_counts = jnp.sum(nes_binary, axis=0, dtype=jnp.int32)

@@ -102,6 +102,10 @@ class SAFE:
         self.multiple_testing = False
         self.neighborhood_score_type = "sum"
         self.enrichment_type = "auto"
+        # hypergeometric survival engine: 'auto' = class-table engine
+        # (ops/hypergeom_table.py) for binary annotations within budget,
+        # per-cell f64 tail loop otherwise; 'table' / 'loop' force one
+        self.hypergeom_engine = "auto"
         self.enrichment_threshold = 0.05
         self.enrichment_max_log10 = 16
         self.attribute_enrichment_min_size = 10
@@ -588,7 +592,9 @@ class SAFE:
         if not forced and (self.apsp_mode != "auto"
                            or num_nodes < int(self.band_storage_min_nodes)):
             return None
-        key = ("euclid", float(np.float32(nr)))
+        # the forced flag is part of plan construction: an 'auto' run that
+        # rejected the band must not pin apsp_mode='band' reruns to None
+        key = ("euclid", float(np.float32(nr)), forced)
         if key in self._bandstore_cache:
             return self._bandstore_cache[key]
 
@@ -605,22 +611,33 @@ class SAFE:
         self._bandstore_cache[key] = plan
         return plan
 
-    def _band_storage_plan(self, coords, edges, lengths, num_nodes, nr):
+    def _band_storage_plan(self, coords, edges, weights, num_nodes, nr):
         """Band-STORAGE plan (ops/apsp_bandstore.py) or None.
 
         Selected when the dense (N, N) matrices would not fit one chip
         (``apsp_mode='auto'`` above ``band_storage_min_nodes``) or when forced
-        with ``apsp_mode='band'``. Same geometric certificate as the banded
-        window kernel: edge lengths must BE the Euclidean endpoint distances.
+        with ``apsp_mode='band'``. Two certificates, tried in order:
+
+          * geometric (edge lengths ARE the Euclidean endpoint distances —
+            the default `shortpath_weighted_layout` contract): spatial-sort
+            band measured over the radius pairs (ops/apsp_banded.banded_order);
+          * landmark (ANY metric, incl. 'shortpath' hop counts, reference
+            safe.py:408-410): order by per-component peripheral-source
+            distance; the triangle inequality bounds every within-radius
+            pair's rank separation (ops/apsp_banded.graph_banded_order).
+
         Returns dict(u, v, w, rank, rank_dev, band)."""
         forced = self.apsp_mode == "band"
         if not forced and (self.apsp_mode != "auto"
                            or num_nodes < int(self.band_storage_min_nodes)):
             return None
-        if (self.node_distance_metric != "shortpath_weighted_layout"
-                or lengths is None or len(edges) == 0):
+        if (self.node_distance_metric not in ("shortpath_weighted_layout",
+                                              "shortpath")
+                or weights is None or len(edges) == 0):
             return None
-        key = float(np.float32(nr))
+        # forced flag in the key: a cached 'auto' rejection (None) must not
+        # shadow a later apsp_mode='band' run (and vice versa)
+        key = (float(np.float32(nr)), forced, self.node_distance_metric)
         if key in self._bandstore_cache:
             return self._bandstore_cache[key]
 
@@ -628,23 +645,29 @@ class SAFE:
         from safepy_tpu.ops import apsp_bandstore as _bst
 
         plan = None
-        euclid = np.hypot(coords[edges[:, 0], 0] - coords[edges[:, 1], 0],
-                          coords[edges[:, 0], 1] - coords[edges[:, 1], 1])
-        if np.allclose(lengths, euclid, rtol=1e-7, atol=1e-12):
-            order, band = _banded.banded_order(coords, nr * (1 + 1e-5))
-            # the band must genuinely beat dense storage (unless forced)
-            if forced or (_bst.band_nbytes(num_nodes, band)
-                          <= 0.5 * 4 * num_nodes * num_nodes):
-                rank = np.empty(num_nodes, dtype=np.int64)
-                rank[order] = np.arange(num_nodes)
-                permuted = rank[edges]
-                plan = dict(
-                    u=jnp.asarray(permuted[:, 0], jnp.int32),
-                    v=jnp.asarray(permuted[:, 1], jnp.int32),
-                    w=jnp.asarray(np.asarray(lengths, np.float32)),
-                    rank=rank,
-                    rank_dev=jnp.asarray(rank, jnp.int32),
-                    band=int(band))
+        order = None
+        if (self.node_distance_metric == "shortpath_weighted_layout"
+                and coords is not None):
+            euclid = np.hypot(coords[edges[:, 0], 0] - coords[edges[:, 1], 0],
+                              coords[edges[:, 0], 1] - coords[edges[:, 1], 1])
+            if np.allclose(weights, euclid, rtol=1e-7, atol=1e-12):
+                order, band = _banded.banded_order(coords, nr * (1 + 1e-5))
+        if order is None:
+            order, band = _banded.graph_banded_order(num_nodes, edges,
+                                                     weights, nr * (1 + 1e-5))
+        # the band must genuinely beat dense storage (unless forced)
+        if forced or (_bst.band_nbytes(num_nodes, band)
+                      <= 0.5 * 4 * num_nodes * num_nodes):
+            rank = np.empty(num_nodes, dtype=np.int64)
+            rank[order] = np.arange(num_nodes)
+            permuted = rank[edges]
+            plan = dict(
+                u=jnp.asarray(permuted[:, 0], jnp.int32),
+                v=jnp.asarray(permuted[:, 1], jnp.int32),
+                w=jnp.asarray(np.asarray(weights, np.float32)),
+                rank=rank,
+                rank_dev=jnp.asarray(rank, jnp.int32),
+                band=int(band))
         self._bandstore_cache[key] = plan
         return plan
 
@@ -831,15 +854,65 @@ class SAFE:
             # full-precision NES straight from the log-space tail sum
             self.nes = nes
 
+    def _dense_table_kwargs(self, K_np, M, num_other,
+                            budget_cells=3 * 10 ** 8):
+        """kwargs routing the dense fused pipeline onto the class-table
+        survival engine (ops/hypergeom_table.py), or {} for the f64 tail
+        loop. In-jit eligibility: binary annotations and a within-budget
+        table whose row axis covers every possible neighborhood size
+        (n <= M), so the pipeline stays a single dispatch."""
+        if self.hypergeom_engine not in ("auto", "table") or num_other != 0:
+            return {}
+        from safepy_tpu.ops import hypergeom_table as htab
+        k_dist, colc = np.unique(np.asarray(K_np, np.float64),
+                                 return_inverse=True)
+        r, s_max = htab.table_geometry(k_dist, M, M)
+        c = 1
+        while c < max(1, len(k_dist)):
+            c *= 2
+        if s_max * c * r > budget_cells:
+            return {}
+        k_pad = np.zeros(c, np.float64)
+        k_pad[:len(k_dist)] = k_dist
+        return dict(table_K_dist=jnp.asarray(k_pad),
+                    table_colc=jnp.asarray(colc, jnp.int32),
+                    table_spec=(r, s_max, c))
+
+    def _binary_annotations(self, nan0) -> bool:
+        """True when every (NaN-zeroed) annotation value is 0/1 — the
+        integer-count precondition of the class-table survival engine."""
+        return bool(((nan0 == 0) | (nan0 == 1)).all())
+
     def _hypergeom_bandstore(self, bm, n2a):
         """Staged hypergeometric enrichment over band-stored neighborhoods
         (ops/enrich_band.py): census + survival tail against the skewed band,
-        row results un-permuted on device."""
+        row results un-permuted on device. The class-table engine
+        (ops/hypergeom_table.py) serves binary annotations; the per-cell f64
+        tail loop is the fallback."""
         from safepy_tpu.ops.enrich_band import hypergeom_core_band_jit
 
         order = np.argsort(bm.rank)  # permuted position -> original node
         nan0_perm, nnn_perm, K = self._hypergeom_host_operands(n2a, order)
         M = int(nnn_perm.sum())
+
+        table_out = None
+        if (self.hypergeom_engine in ("auto", "table")
+                and self._binary_annotations(nan0_perm)):
+            from safepy_tpu.ops.enrich_band import hypergeom_band_table
+            table_out = hypergeom_band_table(
+                bm.data, nan0_perm, nnn_perm, M,
+                np.float64(self.enrichment_threshold), bt=bm.bt,
+                block=bm.block, rank_np=bm.rank,
+                precision=self.matmul_precision)
+        if table_out is not None:
+            nes32, log_sf32, nes_binary8, counts = table_out
+            return self._store_hypergeom_results(nes32, log_sf32, nes_binary8,
+                                                 counts)
+        if self.hypergeom_engine == "table":
+            raise ValueError(
+                "hypergeom_engine='table' requires binary 0/1 annotations "
+                "with an in-budget class table")
+
         k_max = int(max(1, K.max())) if K.size else 1
         iters = _hyper.tail_iterations(M, min(k_max, M))
         lgt = jnp.asarray(_hyper.lgamma_table(M))
@@ -859,7 +932,11 @@ class SAFE:
                 np.float64(self.enrichment_threshold),
                 iterations=iters, bt=bm.bt, block=bm.block, rank=rank_dev)
             counts = np.asarray(jnp.sum(nes_binary8, axis=0, dtype=jnp.int32))
+        self._store_hypergeom_results(nes32, log_sf32, nes_binary8, counts)
 
+    def _store_hypergeom_results(self, nes32, log_sf32, nes_binary8, counts):
+        """Shared hypergeometric result storage: FDR adjustment when asked,
+        lazy device-resident NES/log-sf/indicator otherwise."""
         if self.multiple_testing:
             if self.verbose:
                 logging.info("Running FDR-adjustment of p-values...")
@@ -873,7 +950,8 @@ class SAFE:
             self._logsf_dev = log_sf32
             self._nes_np = None
             self._nes_dev = nes32
-            self._nes_binary_pending = (nes_binary8, counts)
+            self._nes_binary_pending = (nes_binary8,
+                                        np.asarray(counts))
 
     def _randomization_bandstore(self, bm):
         """Staged permutation null over band-stored neighborhoods: banded
@@ -1128,14 +1206,17 @@ class SAFE:
         if binary:
             nodes_not_nan = np.any(~np.isnan(n2a), axis=1)
             M = int(nodes_not_nan.sum())
-            k_max = int(max(1, np.nanmax(np.nansum(n2a, axis=0))))
+            K_np = np.nansum(n2a, axis=0)
+            k_max = int(max(1, np.nanmax(K_np))) if K_np.size else 1
             iters = _hyper.tail_iterations(M, min(k_max, M))
             lgt = jnp.asarray(_hyper.lgamma_table(M))
+            table_kw = self._dense_table_kwargs(K_np, M, num_other)
             (dist, nbr, nes32, log_sf32, nesbin8, counts_dev, mean, std) = \
                 _pipe.fused_hypergeom_pipeline(
                     d0, self._node2attribute_device(), lgt, M, radius,
                     np.float64(self.enrichment_threshold), iterations=iters,
-                    mesh=self.mesh, window=window, inv_rank=inv_rank)
+                    mesh=self.mesh, window=window, inv_rank=inv_rank,
+                    **table_kw)
             if self.multiple_testing:
                 log_sf = np.asarray(log_sf32, dtype=np.float64)
                 with np.errstate(over="ignore"):
@@ -1268,19 +1349,39 @@ class SAFE:
         if binary:
             nan0_perm, nnn_perm, K = self._hypergeom_host_operands(n2a, order)
             M = int(nnn_perm.sum())
+            table_out = band_done = None
+            if (self.mesh is None
+                    and self.hypergeom_engine in ("auto", "table")):
+                # class-table survival engine (binary annotations): band FW
+                # in one dispatch, then the chunked census+table+lookup
+                # driver (ops/enrich_band.hypergeom_band_table)
+                from safepy_tpu.ops.enrich_band import hypergeom_band_table
+                band_done = _pipe.band_neighborhoods(
+                    plan["u"], plan["v"], plan["w"], radius, n=num_nodes,
+                    band=band)
+                dist_band, s_ind, mean, std = band_done
+                table_out = hypergeom_band_table(
+                    s_ind, nan0_perm, nnn_perm, M,
+                    np.float64(self.enrichment_threshold),
+                    bt=band // 128 + 1, rank_np=rank,
+                    precision=self.matmul_precision)
             k_max = int(max(1, K.max())) if K.size else 1
             iters = _hyper.tail_iterations(M, min(k_max, M))
-            lgt = jnp.asarray(_hyper.lgamma_table(M))
             attr_chunk = self._hypergeom_attr_chunk(num_nodes, n2a.shape[1])
-            if self.mesh is None and attr_chunk is not None:
+            if table_out is not None:
+                nes32, log_sf32, nesbin8, counts_dev = table_out
+            elif self.mesh is None and attr_chunk is not None:
+                lgt = jnp.asarray(_hyper.lgamma_table(M))
                 # host-driven K-sorted chunk dispatches: the emulated-f64
                 # survival tail dominates at this scale, and one fused
                 # dispatch would run long enough to trip the worker watchdog
                 from safepy_tpu.ops.enrich_band import (
                     hypergeom_band_hostchunks)
-                dist_band, s_ind, mean, std = _pipe.band_neighborhoods(
-                    plan["u"], plan["v"], plan["w"], radius, n=num_nodes,
-                    band=band)
+                if band_done is None:
+                    band_done = _pipe.band_neighborhoods(
+                        plan["u"], plan["v"], plan["w"], radius, n=num_nodes,
+                        band=band)
+                dist_band, s_ind, mean, std = band_done
                 nes32, log_sf32, nesbin8, counts_dev = \
                     hypergeom_band_hostchunks(
                         s_ind, nan0_perm, nnn_perm, lgt, M,
@@ -1299,6 +1400,7 @@ class SAFE:
                         "for that regime.")
                 from safepy_tpu.parallel.band_sharded import (
                     fused_hypergeom_pipeline_band_sharded)
+                lgt = jnp.asarray(_hyper.lgamma_table(M))
                 (dist_band, s_ind, nes32, log_sf32, nesbin8, counts_dev, mean,
                  std) = fused_hypergeom_pipeline_band_sharded(
                     plan["u"], plan["v"], plan["w"], jnp.asarray(nan0_perm),
@@ -1306,6 +1408,7 @@ class SAFE:
                     np.float64(self.enrichment_threshold), rank_dev,
                     mesh=self.mesh, n=num_nodes, band=band, iterations=iters)
             else:
+                lgt = jnp.asarray(_hyper.lgamma_table(M))
                 (dist_band, s_ind, nes32, log_sf32, nesbin8, counts_dev, mean,
                  std) = _pipe.fused_hypergeom_pipeline_band(
                     plan["u"], plan["v"], plan["w"], jnp.asarray(nan0_perm),

@@ -27,9 +27,11 @@ def _write_net(tmp_path, n=500, k=6, seed=2):
     return str(net), n
 
 
-def _run(net, attrs, mode, *, seed=7, staged=False, **kwargs):
+def _run(net, attrs, mode, *, seed=7, staged=False, hypergeom_engine="auto",
+         **kwargs):
     sf = SAFE(verbose=False)
     sf.apsp_mode = mode
+    sf.hypergeom_engine = hypergeom_engine
     sf.random_seed = seed
     sf.load_network(network_file=net, node_key_attribute="key")
     sf.load_attributes(attribute_file=attrs)
@@ -267,17 +269,38 @@ def test_band_checkpoint_roundtrip(net, tmp_path):
     back.define_top_attributes(attribute_enrichment_min_size=2)
 
 
+def test_forced_band_not_pinned_by_auto_rejection(net):
+    """An 'auto' run that rejected the band plan (band too wide to pay) must
+    not pin a later apsp_mode='band' run to the dense engine via the plan
+    cache — the forced flag is part of the cache key."""
+    path, n = net
+    sf = SAFE(verbose=False)
+    sf.random_seed = 7
+    sf.load_network(network_file=path, node_key_attribute="key")
+    sf.band_storage_min_nodes = 100
+    sf.neighborhood_radius = 2.0  # whole graph within radius -> band ~ n
+    coords, edges, lengths, _ = sf._graph_to_arrays_cached()
+    x = coords[:, 0]
+    nr = sf.neighborhood_radius * (np.max(x) - np.min(x))
+    sf.apsp_mode = "auto"
+    assert sf._band_storage_plan(coords, edges, lengths, n, nr) is None
+    sf.apsp_mode = "band"
+    assert sf._band_storage_plan(coords, edges, lengths, n, nr) is not None
+
+
 def test_band_hypergeom_hostchunks_matches_unchunked(net):
     """The host-driven K-sorted chunk driver (huge-N GO path) reproduces the
     single-dispatch banded hypergeometric results exactly."""
     path, n = net
     attrs = _binary_attrs(n, a=13, seed=14)
-    plain = _run(path, attrs, "band")
+    plain = _run(path, attrs, "band", hypergeom_engine="loop")
 
     sf = SAFE(verbose=False)
     sf.apsp_mode = "band"
     sf.random_seed = 7
-    # force the host-chunk driver at test scale
+    # force the host-chunk driver at test scale (and keep the f64 tail loop:
+    # the class-table engine would otherwise intercept binary annotations)
+    sf.hypergeom_engine = "loop"
     sf._hypergeom_attr_chunk = lambda n_, a_, budget_elems=0: 4
     sf.load_network(network_file=path, node_key_attribute="key")
     sf.load_attributes(attribute_file=attrs)

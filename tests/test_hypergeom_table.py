@@ -1,0 +1,203 @@
+"""Class-table hypergeometric engine vs scipy and vs the f64 tail loop.
+
+Reference semantics: hypergeom.sf(k-1, M, K, n) per cell (safepy/safe.py:596).
+The table engine (ops/hypergeom_table.py) must stay within the 1e-6 absolute
+p-value parity budget and make the identical significance decision as an
+f64 evaluation.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+from scipy.special import gammaln
+from scipy.stats import hypergeom as scipy_hypergeom
+
+import jax.numpy as jnp
+
+from safepy_tpu.ops import hypergeom_table as htab
+
+
+def test_log_factorial_matches_gammaln():
+    x = np.concatenate([np.arange(0, 40),
+                        np.unique(np.geomspace(40, 1_000_000, 60).astype(int))])
+    got = np.asarray(htab.log_factorial(jnp.asarray(x, jnp.float64)))
+    want = gammaln(x.astype(np.float64) + 1.0)
+    # absolute error budget: ~eps * |lgamma| at the top of the range
+    assert np.max(np.abs(got - want)) <= 1e-8
+
+
+def _table_values(K_dist, M, R, S_max, threshold=0.05):
+    C = 1
+    while C < len(K_dist):
+        C *= 2
+    kd = np.zeros(C)
+    kd[:len(K_dist)] = K_dist
+    table = np.asarray(htab.build_logsf_table(
+        jnp.asarray(kd), M, float(np.log(threshold)), R=R, S_max=S_max, C=C))
+    return table, C
+
+
+@pytest.mark.parametrize("M", [97, 1000])
+def test_table_matches_scipy_sf(M):
+    rng = np.random.default_rng(0)
+    K_dist = np.unique(rng.integers(0, min(M, 400), 12))
+    n_max = min(M, 180)
+    R, S_max = htab.table_geometry(K_dist, n_max, M)
+    table, C = _table_values(K_dist, M, R, S_max)
+
+    for ci, K in enumerate(K_dist):
+        for n in rng.integers(0, n_max + 1, 8):
+            lo = max(0, n + int(K) - M)
+            hi = min(int(K), int(n))
+            for k in range(0, hi + 1):
+                stored = table[S_max - 1 - k, ci, n]
+                want = scipy_hypergeom.sf(k - 1, M, int(K), int(n))
+                got = np.exp(np.float64(stored))
+                assert abs(got - want) <= 1e-6, (M, K, n, k)
+                # significance bit must equal the f64 decision, and must be
+                # recoverable from the stored f32 value alone
+                sig64 = np.log(want) < np.log(0.05) if want > 0 else True
+                sig32 = stored < np.float32(np.log(0.05))
+                assert bool(sig32) == bool(sig64) or \
+                    abs(want - 0.05) < 1e-12, (M, K, n, k)
+
+
+def test_table_deep_tail_log_accuracy():
+    """Deeply-enriched cells: the stored log-sf (not p, which underflows f32)
+    must match scipy's logsf to f32 resolution."""
+    M, K, n = 5000, 400, 300
+    R, S_max = htab.table_geometry([K], n, M)
+    table, C = _table_values([K], M, R, S_max)
+    for k in (150, 200, 240):
+        stored = float(table[S_max - 1 - k, 0, n])
+        want = scipy_hypergeom.logsf(k - 1, M, K, n)
+        assert abs(stored - want) <= max(1e-4, 2e-6 * abs(want)), (k, stored,
+                                                                   want)
+
+
+def test_table_overflow_renorm():
+    """Extreme-overlap classes where 1/pmf(lo) overflows f64: the renormalized
+    T carry must keep every in-support slot finite and ordered."""
+    M, K, n = 4000, 2000, 2000
+    R, S_max = htab.table_geometry([K], n, M)
+    table, C = _table_values([K], M, R, S_max)
+    col = table[::-1, 0, n]  # slot k
+    lo, hi = max(0, n + K - M), min(K, n)
+    vals = col[lo:hi + 1].astype(np.float64)
+    assert np.all(np.isfinite(vals))
+    assert np.all(np.diff(vals) <= 1e-9)  # sf decreasing in k
+    want = scipy_hypergeom.logsf(np.arange(lo, hi + 1) - 1, M, K, n)
+    ok = want > -1e30
+    assert np.max(np.abs(vals[ok] - want[ok])
+                  / np.maximum(1.0, np.abs(want[ok]))) <= 1e-5
+
+
+def test_lookup_end_to_end_matches_scipy():
+    rng = np.random.default_rng(3)
+    N, A, M = 300, 17, 260
+    nsize = rng.integers(0, 200, N).astype(np.float64)
+    K = rng.integers(0, 120, A).astype(np.float64)
+    counts = np.minimum(nsize[:, None], K[None, :])
+    counts = np.floor(counts * rng.random((N, A))).astype(np.float64)
+
+    plan = htab.plan(K, float(nsize.max()), M)
+    assert plan is not None and len(plan["chunks"]) == 1
+    ch = plan["chunks"][0]
+    table = htab.build_logsf_table(
+        jnp.asarray(ch["K_dist"]), M, float(np.log(0.05)),
+        R=ch["R"], S_max=ch["S_max"], C=ch["C"])
+    counts_sorted = counts[:, plan["order"]]
+    nes, logsf, nbin = htab.table_lookup(
+        table, jnp.asarray(counts_sorted, jnp.float32),
+        jnp.asarray(nsize, jnp.float32),
+        jnp.asarray(ch["colc"], jnp.int32), np.float32(np.log(0.05)),
+        S_max=ch["S_max"], R=ch["R"], C=ch["C"])
+    p_got = np.exp(np.asarray(logsf, np.float64))[:, plan["inv"]]
+    nbin = np.asarray(nbin)[:, plan["inv"]]
+
+    p_want = scipy_hypergeom.sf(counts - 1, M, K[None, :], nsize[:, None])
+    assert np.max(np.abs(p_got - p_want)) <= 1e-6
+    np.testing.assert_array_equal(nbin, (p_want < 0.05).astype(np.int8))
+
+
+def _geom_net(tmp_path, n=400, k=6, seed=11):
+    rng = np.random.default_rng(seed)
+    coords = rng.uniform(-1, 1, (n, 2))
+    from scipy.spatial import cKDTree
+    _, nn = cKDTree(coords).query(coords, k=k)
+    pairs = sorted({(min(i, int(j)), max(i, int(j)))
+                    for i in range(n) for j in nn[i, 1:]})
+    net = tmp_path / "net.txt"
+    with open(net, "w") as f:
+        for a, b in pairs:
+            f.write(f"g{a}\tg{b}\t1.0\n")
+    return str(net), n
+
+
+def _binary_attrs(n, a=6, seed=4):
+    rng = np.random.default_rng(seed)
+    vals = (rng.random((n, a)) < 0.1).astype(float)
+    vals[rng.random((n, a)) < 0.08] = np.nan
+    return pd.DataFrame(vals, index=[f"g{i}" for i in range(n)],
+                        columns=[f"go{j}" for j in range(a)])
+
+
+def _run(net, attrs, *, engine, mode="auto", staged=False, **kwargs):
+    from safepy_tpu import SAFE
+    sf = SAFE(verbose=False)
+    sf.apsp_mode = mode
+    sf.hypergeom_engine = engine
+    sf.random_seed = 5
+    sf.load_network(network_file=net, node_key_attribute="key")
+    sf.load_attributes(attribute_file=attrs)
+    if staged:
+        sf.define_neighborhoods()
+        sf.compute_pvalues(**kwargs)
+    else:
+        sf.run_pipeline(**kwargs)
+    return sf
+
+
+def test_facade_dense_table_vs_loop(tmp_path):
+    net, n = _geom_net(tmp_path)
+    attrs = _binary_attrs(n)
+    t = _run(net, attrs, engine="table")
+    l = _run(net, attrs, engine="loop")
+    assert np.nanmax(np.abs(t.pvalues_pos - l.pvalues_pos)) <= 1e-6
+    np.testing.assert_array_equal(t.nes_binary, l.nes_binary)
+    np.testing.assert_array_equal(
+        t.attributes["num_neighborhoods_enriched"].values,
+        l.attributes["num_neighborhoods_enriched"].values)
+
+
+def test_facade_band_table_vs_loop(tmp_path):
+    net, n = _geom_net(tmp_path, seed=12)
+    attrs = _binary_attrs(n, seed=9)
+    t = _run(net, attrs, engine="table", mode="band")
+    l = _run(net, attrs, engine="loop", mode="band")
+    assert np.nanmax(np.abs(t.pvalues_pos - l.pvalues_pos)) <= 1e-6
+    np.testing.assert_array_equal(t.nes_binary, l.nes_binary)
+    # staged band path must route through the same table driver bit-exactly
+    s = _run(net, attrs, engine="table", mode="band", staged=True)
+    np.testing.assert_array_equal(np.asarray(s.nes), np.asarray(t.nes))
+    np.testing.assert_array_equal(s.nes_binary, t.nes_binary)
+
+
+def test_table_engine_rejects_non_binary(tmp_path):
+    net, n = _geom_net(tmp_path, seed=13)
+    rng = np.random.default_rng(0)
+    vals = rng.normal(size=(n, 2))
+    attrs = pd.DataFrame(vals, index=[f"g{i}" for i in range(n)],
+                         columns=["a", "b"])
+    sf = _run(net, attrs, engine="table", mode="band", staged=True,
+              how="randomization", num_permutations=50)
+    assert sf.nes is not None  # randomization path unaffected by the engine
+
+    with pytest.raises(ValueError, match="binary"):
+        _run(net, attrs, engine="table", mode="band", staged=True,
+             how="hypergeometric")
+
+
+def test_plan_ineligible_on_fractional_K():
+    assert htab.plan(np.array([2.5, 3.0]), 50, 100) is None
+    assert htab.plan(np.array([]), 50, 100) is None

@@ -138,17 +138,44 @@ def test_batch_partial_chunk(rng):
     assert np.asarray(neg).max() <= 25
 
 
-def test_counts_match_oracle_gather_path(rng):
-    """Many attributes force the index+gather engine; same oracle contract."""
-    from safepy_tpu.ops.permutation import uses_sort_path
+def test_counts_match_oracle_gather_path(rng, monkeypatch):
+    """Very many attributes force the index+gather engine; same oracle
+    contract (the cap is monkeypatched down so the test stays small)."""
+    from safepy_tpu.ops import permutation as perm_mod
 
+    monkeypatch.setattr(perm_mod, "SORT_PATH_MAX_ATTRIBUTES", 4)
     nbr, n2a = _random_inputs(rng, n=40, a=6)
-    assert not uses_sort_path(n2a.shape[1])
+    assert not perm_mod.uses_sort_path(n2a.shape[1])
     valid = np.flatnonzero(np.sum(~np.isnan(n2a), axis=1))
     V = len(valid)
     key = jax.random.PRNGKey(5)
     P, batch = 12, 6
     perms = _replay_gather_perms(key, P // batch, batch, V)
+
+    obs = compute_neighborhood_score(nbr, n2a, "sum")
+    got_neg, got_pos = run_permutations(
+        nbr, n2a, valid, obs, key, score_type="sum",
+        num_permutations=P, batch_size=batch)
+    want_neg, want_pos = _numpy_counts(nbr, n2a, perms, "sum")
+    np.testing.assert_array_equal(np.asarray(got_neg), want_neg)
+    np.testing.assert_array_equal(np.asarray(got_pos), want_pos)
+
+
+def test_counts_match_oracle_sort_path_many_columns(rng):
+    """A > SORT_GROUP_COLUMNS exercises the grouped key re-sort: identical
+    keys must yield the identical permutation for EVERY column group, so the
+    exact-count oracle (fed the replayed stable argsort) still matches
+    bit-for-bit across all columns."""
+    from safepy_tpu.ops.permutation import (SORT_GROUP_COLUMNS,
+                                            uses_sort_path)
+
+    nbr, n2a = _random_inputs(rng, n=40, a=3 * SORT_GROUP_COLUMNS + 2)
+    assert uses_sort_path(n2a.shape[1])
+    valid = np.flatnonzero(np.sum(~np.isnan(n2a), axis=1))
+    V = len(valid)
+    key = jax.random.PRNGKey(9)
+    P, batch = 12, 6
+    perms = _replay_sort_perms(key, P // batch, batch, V)
 
     obs = compute_neighborhood_score(nbr, n2a, "sum")
     got_neg, got_pos = run_permutations(
