@@ -175,6 +175,63 @@ def main(argv=None):
         _ = float(np.asarray(dist_b[0, 0]))
         apsp_s = time.time() - t0
 
+    # --- roofline: how close each engine runs to its hardware bound --------
+    # min-plus op/s of the FW kernels (1 f32 add + 1 min per relaxation
+    # lattice point), against the 0.96 T single-issue VPU bound measured in
+    # round 1 — the full kernel relaxes npad^3 points, the banded kernel
+    # ~nb * (window^2 * kept + 2 * window * block) (corner tiles skipped)
+    block = 128
+    npad = -(-N_NODES // block) * block
+    roofline = {"vpu_minplus_bound_tops": 0.96}
+    roofline["apsp_full_minplus_tops"] = round(
+        2 * npad ** 3 / apsp_full_s / 1e12, 3)
+    if plan is not None:
+        w = plan[2]
+        nt = w // block
+        half = (w - block) // 2
+        band_tiles = half // block + 3
+        kept = min(nt, 2 * band_tiles + 1)
+        tiles_per_round = 2 * nt + nt * kept
+        ops = (npad // block) * tiles_per_round * block ** 3 * 2
+        roofline["apsp_banded_minplus_tops"] = round(ops / apsp_s / 1e12, 3)
+
+    # the permutation-null GEMM stream: isolated steady timing of the count
+    # scan, its achieved f32 Tflop/s, and utilization vs the v5e MXU peak
+    # (197 Tflop/s bf16; precision='highest' runs 3-pass f32, so this MFU is
+    # the honest conservative number)
+    import jax
+    from safepy_tpu.ops import permutation as perm_ops
+    from safepy_tpu.ops.score import compute_neighborhood_score
+    nbr_dev = sf._neighborhoods_device()
+    n2a_dev = sf._node2attribute_device()
+    n2a_np = np.asarray(sf.node2attribute)
+    valid_rows = np.flatnonzero(np.sum(~np.isnan(n2a_np), axis=1))
+    v_count = len(valid_rows)
+    if v_count == n2a_np.shape[0]:
+        valid_rows = None
+    obs_dev = compute_neighborhood_score(nbr_dev, n2a_dev, "sum", "highest")
+    key = jax.random.PRNGKey(0)
+
+    def null_once():
+        cn, cp = perm_ops.run_permutations(
+            nbr_dev, n2a_dev, valid_rows, obs_dev, key, score_type="sum",
+            num_permutations=args.permutations)
+        return float(np.asarray(cn[0, 0]))
+
+    null_once()
+    t0 = time.time()
+    null_once()
+    null_s = time.time() - t0
+    a_dim = n2a_np.shape[1]
+    gemm_flops = 2.0 * N_NODES * v_count * a_dim * args.permutations
+    roofline["null_steady_s"] = round(null_s, 4)
+    roofline["null_gemm_tflops"] = round(gemm_flops / null_s / 1e12, 3)
+    roofline["gemm_mfu_vs_bf16_peak"] = round(
+        gemm_flops / null_s / 197e12, 4)
+    # bytes over the tunneled relay per steady run (downloads dominate at
+    # ~20-35 MB/s): two int32 count matrices + the f32 observed scores
+    roofline["relay_bytes_per_run"] = int(N_NODES * a_dim * (4 + 4 + 4))
+
     enriched = int((sf.nes_binary > 0).sum())
     detail = {
         "nodes": N_NODES,
@@ -182,6 +239,7 @@ def main(argv=None):
         "num_permutations": args.permutations,
         "apsp_steady_s": round(apsp_s, 4),
         "apsp_full_kernel_steady_s": round(apsp_full_s, 4),
+        "roofline": roofline,
         # synthetic network — NOT comparable to the reference's real-data
         # 637+/-20 (tests/test_enrichments.py:100); compare against
         # reference_enriched_same_network below instead

@@ -84,7 +84,12 @@ def table_geometry(K_values, n_max: int, M: int):
     while r < int(n_max) + 1:
         r *= 2
     k_max = int(max(1, np.max(K_values))) if len(K_values) else 1
-    s_max = int(min(k_max, n_max) + 2)
+    # power-of-two S_max: every distinct (R, S_max, C) triple is a separate
+    # compiled program, and remote TPU compiles cost 1 s-10 min each — the
+    # padded slots are sentinel-filled and never looked up (k <= true support)
+    s_max = 64
+    while s_max < int(min(k_max, n_max) + 2):
+        s_max *= 2
     return r, s_max
 
 
@@ -195,13 +200,19 @@ def table_lookup(table, counts, nsize, colc, log_thr32, *, S_max: int,
 
 
 def plan(K_np, n_max: int, M: int, *, chunk_cols: int = 512,
-         budget_cells: int = 3 * 10 ** 8):
+         budget_cells: int = 12 * 10 ** 8,
+         chunk_budget_cells: int = 4 * 10 ** 8):
     """Host-side plan for the chunked table engine, or None if ineligible.
 
-    Eligibility: integer K (binary annotations), integer n_max, and the total
-    table size within budget. Columns are sorted by K so each chunk's S_max
-    hugs its own largest class; the plan records, per chunk, the distinct-K
-    table spec and each column's class index.
+    Eligibility: integer K (binary annotations), integer n_max, and the table
+    within budget. ``budget_cells`` bounds the summed f64 build WORK across
+    chunks (the per-cell recurrence runs at ~0.5 ns on v5e, so 1.2e9 cells
+    ~ 1 s of build — always far cheaper than the per-cell tail loop it
+    replaces); ``chunk_budget_cells`` bounds any single chunk's LIVE table
+    (~1.6 GB f32), the actual HBM constraint — chunks are transient, built,
+    gathered from, and freed one at a time. Columns are sorted by K so each
+    chunk's S_max hugs its own largest class; the plan records, per chunk,
+    the distinct-K table spec and each column's class index.
     """
     K_np = np.asarray(K_np, np.float64)
     if K_np.size == 0 or not np.all(K_np == np.floor(K_np)):

@@ -301,6 +301,39 @@ def _scan_counts_local(compact, starts, vals, mask, obs_local, key, my, *,
                       batch_size=batch_size)
 
 
+def _euclid_band_local(coords_g, my, *, n: int, bt: int, nb: int,
+                       local_rows: int, width: int, block: int):
+    """Device-local slab of banded Euclidean distances — the shard's slice of
+    ops/apsp_bandstore.euclidean_band_distances (explicit +inf pad masking,
+    exact-0 diagonal)."""
+    lrows = local_rows * block
+    out = jnp.full((lrows, width), _INF, jnp.float32)
+    z = jnp.int32(0)
+
+    def blk(j, out):
+        j = jnp.asarray(j, jnp.int32)
+        i = my * local_rows + j - bt      # real block index of this slab row
+        valid = (i >= 0) & (i < nb)
+        i_c = jnp.clip(i, 0, nb - 1)
+        rows = jax.lax.dynamic_slice(coords_g, ((i_c + bt) * block, z),
+                                     (block, 2))
+        slab = jax.lax.dynamic_slice(coords_g, (i_c * block, z), (width, 2))
+        diff = rows[:, None, :] - slab[None, :, :]
+        d = jnp.sqrt(jnp.maximum(jnp.sum(diff * diff, axis=-1), 0.0))
+        row_g = i_c * block + jnp.arange(block, dtype=jnp.int32)
+        col_g = (i_c - bt) * block + jnp.arange(width, dtype=jnp.int32)
+        pad = ((row_g[:, None] >= n) | (col_g[None, :] < 0)
+               | (col_g[None, :] >= n))
+        d = jnp.where(pad, jnp.inf, d)
+        r_idx = jnp.arange(block)
+        d = d.at[r_idx, r_idx + bt * block].set(
+            jnp.where(row_g < n, 0.0, jnp.inf))
+        d = jnp.where(valid, d, jnp.inf)
+        return jax.lax.dynamic_update_slice(out, d, (j * block, z))
+
+    return jax.lax.fori_loop(0, local_rows, blk, out)
+
+
 # ---------------------------------------------------------------------------
 # Fused sharded band pipelines
 # ---------------------------------------------------------------------------
@@ -454,3 +487,240 @@ def fused_hypergeom_pipeline_band_sharded(
     take = functools.partial(jnp.take, indices=rank, axis=0)
     return (dist_g, ind_g, take(real(nes_g)), take(real(logsf_g)),
             take(real(bin_g)), enriched_counts, mean, std)
+
+
+# ---------------------------------------------------------------------------
+# Sharded band front halves + the sharded class-table hypergeometric driver
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("mesh", "axis", "n", "band",
+                                             "block", "use_pallas"))
+def band_neighborhoods_sharded(u, v, w, radius, *, mesh: Mesh,
+                               axis: str = "data", n: int, band: int,
+                               block: int = 128, use_pallas: bool | None = None):
+    """Row-sharded band FW front half: (dist_g, ind_g, sizes_g, mean, std).
+
+    The band matrices stay sharded over `axis` in the global ghost-padded
+    permuted frame; downstream drivers keep operating on them shard-wise."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    ndev = mesh.shape[axis]
+    bt, nb, width, g_pad, local_rows = sharded_band_geometry(
+        n, band, ndev, block)
+    npad = nb * block
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh, check_vma=False,
+        in_specs=(P(), P(), P()),
+        out_specs=(P(axis, None), P(axis, None), P(axis)))
+    def worker(u, v, w):
+        my = jax.lax.axis_index(axis)
+        slab = band_init_local(u, v, w, my, n=n, bt=bt,
+                               local_rows=local_rows, width=width,
+                               block=block)
+        slab = _band_fw_rounds(slab, my, axis, nb=nb, bt=bt,
+                               local_rows=local_rows, block=block,
+                               use_pallas=bool(use_pallas))
+        dist_local = jnp.where(slab <= jnp.asarray(radius, slab.dtype), slab,
+                               jnp.inf)
+        ind = (slab <= jnp.asarray(radius, slab.dtype)).astype(jnp.int8)
+        sizes_local = jnp.sum(ind, axis=1, dtype=jnp.float32)
+        return dist_local, ind, sizes_local
+
+    dist_g, ind_g, sizes_g = worker(u, v, w)
+    sizes = jax.lax.dynamic_slice_in_dim(sizes_g, bt * block, npad, 0)[:n]
+    return dist_g, ind_g, sizes_g, jnp.mean(sizes), jnp.std(sizes)
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "axis", "n", "band",
+                                             "block", "precision"))
+def band_matmul_sharded(ind_g, x, *, mesh: Mesh, axis: str = "data", n: int,
+                        band: int, block: int = 128,
+                        precision: str = "highest"):
+    """(sharded banded indicator) @ x for a replicated (n, A) operand —
+    returns the ghosted global product, rows sharded over `axis`."""
+    ndev = mesh.shape[axis]
+    bt, nb, width, g_pad, local_rows = sharded_band_geometry(
+        n, band, ndev, block)
+    npad = nb * block
+    xg = _ghost_pad_cols(x, bt, block, npad)
+
+    @functools.partial(jax.shard_map, mesh=mesh, check_vma=False,
+                       in_specs=(P(axis, None), P()),
+                       out_specs=P(axis, None))
+    def worker(ind_local, xg):
+        my = jax.lax.axis_index(axis)
+        return _band_matmul_local(ind_local, xg, my, bt=bt,
+                                  local_rows=local_rows, block=block,
+                                  precision=precision)
+
+    return worker(ind_g, xg)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "mesh", "axis", "R", "S_max", "C", "n", "band", "block", "precision"))
+def _band_table_chunk_sharded(ind_g, cols, nsize_g, K_dist, colc, M,
+                              log_thr64, rank, *, mesh: Mesh, axis: str,
+                              R: int, S_max: int, C: int, n: int, band: int,
+                              block: int, precision: str):
+    """One K-sorted column chunk of the sharded class-table engine: local
+    banded census + replicated table build + local lookup; outputs
+    un-permuted to the ORIGINAL node frame (resharded by the row gather)."""
+    from safepy_tpu.ops import hypergeom_table as htab
+
+    ndev = mesh.shape[axis]
+    bt, nb, width, g_pad, local_rows = sharded_band_geometry(
+        n, band, ndev, block)
+    npad = nb * block
+    cols_g = _ghost_pad_cols(cols, bt, block, npad)
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh, check_vma=False,
+        in_specs=(P(axis, None), P(), P(axis), P(), P()),
+        out_specs=(P(axis, None),) * 3)
+    def worker(ind_local, cols_g, nsize_local, K_dist, colc):
+        my = jax.lax.axis_index(axis)
+        counts = _band_matmul_local(ind_local, cols_g, my, bt=bt,
+                                    local_rows=local_rows, block=block,
+                                    precision=precision)
+        table = htab.build_logsf_table(K_dist, M, log_thr64, R=R,
+                                       S_max=S_max, C=C)
+        return htab.table_lookup(table, counts, nsize_local, colc,
+                                 jnp.asarray(log_thr64, jnp.float32),
+                                 S_max=S_max, R=R, C=C)
+
+    nes_g, logsf_g, bin_g = worker(ind_g, cols_g, nsize_g, K_dist, colc)
+    real = lambda x: jax.lax.dynamic_slice_in_dim(x, bt * block, npad, 0)
+    take = functools.partial(jnp.take, indices=rank, axis=0)
+    return take(real(nes_g)), take(real(logsf_g)), take(real(bin_g))
+
+
+def hypergeom_band_table_sharded(ind_g, nan0_np,
+                                 nodes_not_nan_np, M, enrichment_threshold, *,
+                                 mesh: Mesh, axis: str = "data", n: int,
+                                 band: int, block: int = 128, rank_np,
+                                 precision: str = "highest",
+                                 chunk_cols: int = 1024):
+    """Sharded counterpart of ops/enrich_band.hypergeom_band_table.
+
+    Multi-dispatch: nsize (one sharded banded matvec + a scalar download for
+    the table row bound), then one sharded census+table+lookup dispatch per
+    K-sorted column chunk — each step short, so no per-device fused program
+    ever runs near remote-worker watchdog horizons (this retires the old
+    "prefer mesh=None at GO scale" warning). Returns (nes, logsf, bin,
+    counts_np) in ORIGINAL column order / node frame, or None if the plan is
+    ineligible (caller falls back to the f64 tail loop)."""
+    from safepy_tpu.ops import hypergeom_table as htab
+
+    K_np = nan0_np.sum(axis=0)
+    nsize_g = band_matmul_sharded(
+        ind_g, jnp.asarray(nodes_not_nan_np)[:, None], mesh=mesh, axis=axis,
+        n=n, band=band, block=block, precision=precision)[:, 0]
+    n_max = float(jnp.max(nsize_g))
+    plan = htab.plan(K_np, n_max, int(M), chunk_cols=chunk_cols)
+    if plan is None:
+        return None
+
+    log_thr64 = float(np.log(enrichment_threshold))
+    nan0_sorted = jnp.asarray(nan0_np[:, plan["order"]])
+    rank_dev = jnp.asarray(rank_np, jnp.int32)
+
+    nes_pieces, logsf_pieces, bin_pieces, counts = [], [], [], []
+    start = 0
+    for ch in plan["chunks"]:
+        width_c = len(ch["cols"])
+        cols = jax.lax.dynamic_slice_in_dim(nan0_sorted, start, width_c, 1)
+        start += width_c
+        nes_c, logsf_c, bin_c = _band_table_chunk_sharded(
+            ind_g, cols, nsize_g, jnp.asarray(ch["K_dist"]),
+            jnp.asarray(ch["colc"], jnp.int32), M, log_thr64, rank_dev,
+            mesh=mesh, axis=axis, R=ch["R"], S_max=ch["S_max"], C=ch["C"],
+            n=n, band=band, block=block, precision=precision)
+        nes_pieces.append(nes_c)
+        logsf_pieces.append(logsf_c)
+        bin_pieces.append(bin_c)
+        counts.append(np.asarray(jnp.sum(bin_c, axis=0, dtype=jnp.int32)))
+
+    del nan0_sorted, cols
+    inv_dev = jnp.asarray(plan["inv"], jnp.int32)
+
+    def assemble(pieces):
+        sorted_cols = jnp.concatenate(pieces, axis=1)
+        pieces.clear()
+        return jnp.take(sorted_cols.T, inv_dev, axis=0).T
+
+    nes = assemble(nes_pieces)
+    logsf = assemble(logsf_pieces)
+    nbin = assemble(bin_pieces)
+    counts_np = np.concatenate(counts)[plan["inv"]]
+    return nes, logsf, nbin, counts_np
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "mesh", "axis", "n", "band", "block", "score_type", "num_permutations",
+    "batch_size", "w_c", "precision"))
+def fused_permutation_pipeline_band_euclid_sharded(
+        coords_perm, vals, vals_valid, valid, starts, rank, key, radius, *,
+        mesh: Mesh, axis: str = "data", n: int, band: int, block: int = 128,
+        score_type: str = "sum", num_permutations: int = 1000,
+        batch_size: int = 1000, w_c: int, precision: str = "highest"):
+    """Row-sharded euclidean band pipeline (scatter/UMAP flagship): banded
+    direct coordinate distances per shard (strict ``dist < r``, reference
+    safe.py:389-399) + the sharded permutation null — the euclidean metric's
+    mesh path (previously single-chip only)."""
+    from safepy_tpu.ops.apsp_bandstore import apply_compaction
+
+    ndev = mesh.shape[axis]
+    bt, nb, width, g_pad, local_rows = sharded_band_geometry(
+        n, band, ndev, block)
+    npad = nb * block
+
+    coords_g = jnp.zeros((npad + 2 * bt * block, 2), jnp.float32)
+    coords_g = jax.lax.dynamic_update_slice(
+        coords_g, jnp.asarray(coords_perm, jnp.float32), (bt * block, 0))
+    mask_valid = jnp.isfinite(jnp.asarray(vals_valid, jnp.float32)) \
+        .astype(jnp.float32)
+    vv = jnp.where(mask_valid > 0, jnp.asarray(vals_valid, jnp.float32), 0.0)
+    finite = jnp.isfinite(jnp.asarray(vals, jnp.float32))
+    xg_val = _ghost_pad_cols(jnp.where(finite, jnp.asarray(vals, jnp.float32),
+                                       0.0), bt, block, npad)
+    xg_mask = _ghost_pad_cols(finite.astype(jnp.float32), bt, block, npad)
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh, check_vma=False,
+        in_specs=(P(), P(), P(), P(), P(), P(), P()),
+        out_specs=(P(axis, None), P(axis, None), P(axis),
+                   P(axis, None), P(axis, None), P(axis, None)))
+    def worker(coords_g, xg_val, xg_mask, valid, starts, vv_mask, key):
+        vv_, mask_ = vv_mask
+        my = jax.lax.axis_index(axis)
+        raw = _euclid_band_local(coords_g, my, n=n, bt=bt, nb=nb,
+                                 local_rows=local_rows, width=width,
+                                 block=block)
+        r = jnp.asarray(radius, raw.dtype)
+        dist_local = jnp.where(raw < r, raw, jnp.inf)
+        ind = (raw < r).astype(jnp.int8)
+        sizes_local = jnp.sum(ind, axis=1, dtype=jnp.float32)
+        obs_local = _band_score_local(ind, xg_val, xg_mask, my, bt=bt,
+                                      local_rows=local_rows, block=block,
+                                      score_type=score_type,
+                                      precision=precision)
+        compact = apply_compaction(ind, valid, w_c, bt=bt, block=block,
+                                   row_block_offset=my * local_rows)
+        cn, cp = _scan_counts_local(
+            compact, starts, vv_, mask_, obs_local, key, my,
+            score_type=score_type, num_permutations=num_permutations,
+            batch_size=batch_size, bt=bt, local_rows=local_rows, nb=nb,
+            block=block, precision=precision)
+        return dist_local, ind, sizes_local, obs_local, cn, cp
+
+    dist_g, ind_g, sizes_g, obs_g, cn_g, cp_g = worker(
+        coords_g, xg_val, xg_mask, jnp.asarray(valid), starts,
+        (vv, mask_valid), key)
+
+    sizes = jax.lax.dynamic_slice_in_dim(sizes_g, bt * block, npad, 0)[:n]
+    mean, std = jnp.mean(sizes), jnp.std(sizes)
+    real = lambda x: jax.lax.dynamic_slice_in_dim(x, bt * block, npad, 0)
+    take = functools.partial(jnp.take, indices=rank, axis=0)
+    return (dist_g, ind_g, take(real(obs_g)), take(real(cn_g)),
+            take(real(cp_g)), mean, std)

@@ -142,6 +142,10 @@ class SAFE:
         self.domains = None
         self.node2domain = None
 
+        # observability: which hypergeometric engine actually served the last
+        # compute (benchmarks and scale tools report it; see hypergeom_engine)
+        self._hypergeom_engine_used = None
+
         self.output_dir = ""
 
         self.read_config(path_to_ini_file, path_to_safe_data=self.path_to_safe_data)
@@ -333,8 +337,9 @@ class SAFE:
         if self.node_distance_metric == "euclidean":
             x = coords[:, 0]
             nr = self.neighborhood_radius * (np.max(x) - np.min(x))
-            eb_plan = None if self.mesh is not None else \
-                self._euclidean_band_plan(coords, num_nodes, nr)
+            # the staged front runs single-device either way (run_pipeline is
+            # the sharded euclid path); the plan stays valid under a mesh
+            eb_plan = self._euclidean_band_plan(coords, num_nodes, nr)
             if eb_plan is not None:
                 from safepy_tpu import pipeline as _pipe
                 rank, band = eb_plan["rank"], eb_plan["band"]
@@ -905,6 +910,7 @@ class SAFE:
                 block=bm.block, rank_np=bm.rank,
                 precision=self.matmul_precision)
         if table_out is not None:
+            self._hypergeom_engine_used = "table-band-staged"
             nes32, log_sf32, nes_binary8, counts = table_out
             return self._store_hypergeom_results(nes32, log_sf32, nes_binary8,
                                                  counts)
@@ -919,6 +925,9 @@ class SAFE:
         rank_dev = jnp.asarray(bm.rank, jnp.int32)
 
         attr_chunk = self._hypergeom_attr_chunk(bm.n, n2a.shape[1])
+        self._hypergeom_engine_used = ("hostchunks-band-staged"
+                                       if attr_chunk is not None
+                                       else "loop-band-staged")
         if attr_chunk is not None:
             from safepy_tpu.ops.enrich_band import hypergeom_band_hostchunks
             nes32, log_sf32, nes_binary8, counts = hypergeom_band_hostchunks(
@@ -1139,10 +1148,13 @@ class SAFE:
             self.background = kwargs.pop("background")
         self.validate_config()
 
+        mesh_shape0 = {} if self.mesh is None else self.mesh.shape
+        data_mesh_1d = "data" in mesh_shape0 and len(mesh_shape0) == 1
         if (self.node_distance_metric == "euclidean"
                 or self.background == "network"):
             if (self.node_distance_metric == "euclidean"
-                    and self.background != "network" and self.mesh is None):
+                    and self.background != "network"
+                    and (self.mesh is None or data_mesh_1d)):
                 n2a = self.node2attribute
                 num_other = np.sum(~np.isnan(n2a) & ~np.isin(n2a, [0, 1]))
                 binary = (self.enrichment_type == "hypergeometric"
@@ -1211,6 +1223,8 @@ class SAFE:
             iters = _hyper.tail_iterations(M, min(k_max, M))
             lgt = jnp.asarray(_hyper.lgamma_table(M))
             table_kw = self._dense_table_kwargs(K_np, M, num_other)
+            self._hypergeom_engine_used = ("table-dense-fused" if table_kw
+                                           else "loop-dense-fused")
             (dist, nbr, nes32, log_sf32, nesbin8, counts_dev, mean, std) = \
                 _pipe.fused_hypergeom_pipeline(
                     d0, self._node2attribute_device(), lgt, M, radius,
@@ -1301,20 +1315,36 @@ class SAFE:
         key = jax.random.PRNGKey(seed)
         batch = _perm.default_batch_size(V, A, int(self.num_permutations))
 
-        (dist_band, s_ind, obs_dev, counts_neg, counts_pos, mean, std) = \
-            _pipe.fused_permutation_pipeline_band_euclid(
-                jnp.asarray(coords[order], jnp.float32),
-                jnp.asarray(vals_perm), jnp.asarray(vals_perm[valid_perm]),
-                jnp.asarray(valid_perm), jnp.asarray(starts, jnp.int32),
-                jnp.asarray(rank, jnp.int32), key, np.float32(nr),
-                n=num_nodes, band=band,
-                score_type=self.neighborhood_score_type,
-                num_permutations=int(self.num_permutations),
-                batch_size=batch, w_c=w_c, precision=self.matmul_precision)
+        euclid_args = (jnp.asarray(coords[order], jnp.float32),
+                       jnp.asarray(vals_perm),
+                       jnp.asarray(vals_perm[valid_perm]),
+                       jnp.asarray(valid_perm), jnp.asarray(starts, jnp.int32),
+                       jnp.asarray(rank, jnp.int32), key, np.float32(nr))
+        euclid_kw = dict(n=num_nodes, band=band,
+                         score_type=self.neighborhood_score_type,
+                         num_permutations=int(self.num_permutations),
+                         batch_size=batch, w_c=w_c,
+                         precision=self.matmul_precision)
+        if self.mesh is not None:
+            # row-sharded euclidean band pipeline over the 'data' axis —
+            # the scatter/UMAP workflow's multi-chip path
+            from safepy_tpu.parallel.band_sharded import (
+                fused_permutation_pipeline_band_euclid_sharded)
+            (dist_band, s_ind, obs_dev, counts_neg, counts_pos, mean, std) = \
+                fused_permutation_pipeline_band_euclid_sharded(
+                    *euclid_args, mesh=self.mesh, **euclid_kw)
+        else:
+            (dist_band, s_ind, obs_dev, counts_neg, counts_pos, mean, std) = \
+                _pipe.fused_permutation_pipeline_band_euclid(
+                    *euclid_args, **euclid_kw)
         obs = np.asarray(obs_dev)
         self.ns = obs
         self._finalize_randomization(counts_neg, counts_pos, obs)
 
+        g_rows = (-(-num_nodes // 128) + 2 * bt) * 128
+        if s_ind.shape[0] != g_rows:  # sharded outputs carry extra pad rows
+            s_ind = s_ind[:g_rows]
+            dist_band = dist_band[:g_rows]
         self._neighborhoods_dev = _BandedMatrix(s_ind, rank, num_nodes, band,
                                                 fill=0.0)
         self._neighborhoods_np = None
@@ -1369,8 +1399,10 @@ class SAFE:
             iters = _hyper.tail_iterations(M, min(k_max, M))
             attr_chunk = self._hypergeom_attr_chunk(num_nodes, n2a.shape[1])
             if table_out is not None:
+                self._hypergeom_engine_used = "table-band"
                 nes32, log_sf32, nesbin8, counts_dev = table_out
             elif self.mesh is None and attr_chunk is not None:
+                self._hypergeom_engine_used = "hostchunks-band"
                 lgt = jnp.asarray(_hyper.lgamma_table(M))
                 # host-driven K-sorted chunk dispatches: the emulated-f64
                 # survival tail dominates at this scale, and one fused
@@ -1389,25 +1421,42 @@ class SAFE:
                         bt=band // 128 + 1, rank_np=rank,
                         attr_chunk=attr_chunk)
             elif self.mesh is not None:
-                if attr_chunk is not None:
-                    logging.warning(
-                        "mesh + GO-scale attribute matrix: the sharded band "
-                        "tail runs as ONE fused dispatch per device (no "
-                        "attribute chunking); at 100k x thousands of "
-                        "attributes on few devices the emulated-f64 survival "
-                        "tail can run long enough to trip remote-worker "
-                        "watchdogs — prefer mesh=None (host-chunked driver) "
-                        "for that regime.")
-                from safepy_tpu.parallel.band_sharded import (
-                    fused_hypergeom_pipeline_band_sharded)
-                lgt = jnp.asarray(_hyper.lgamma_table(M))
-                (dist_band, s_ind, nes32, log_sf32, nesbin8, counts_dev, mean,
-                 std) = fused_hypergeom_pipeline_band_sharded(
-                    plan["u"], plan["v"], plan["w"], jnp.asarray(nan0_perm),
-                    jnp.asarray(nnn_perm), jnp.asarray(K), lgt, M, radius,
-                    np.float64(self.enrichment_threshold), rank_dev,
-                    mesh=self.mesh, n=num_nodes, band=band, iterations=iters)
+                table_out = None
+                if self.hypergeom_engine in ("auto", "table"):
+                    # sharded class-table engine: sharded band FW front, then
+                    # one short sharded census+table+lookup dispatch per
+                    # K-sorted column chunk — no per-device program runs near
+                    # remote-watchdog horizons even at GO scale
+                    from safepy_tpu.parallel.band_sharded import (
+                        band_neighborhoods_sharded,
+                        hypergeom_band_table_sharded)
+                    (dist_band, s_ind, _sizes, mean, std) = \
+                        band_neighborhoods_sharded(
+                            plan["u"], plan["v"], plan["w"], radius,
+                            mesh=self.mesh, n=num_nodes, band=band)
+                    table_out = hypergeom_band_table_sharded(
+                        s_ind, nan0_perm, nnn_perm, M,
+                        np.float64(self.enrichment_threshold),
+                        mesh=self.mesh, n=num_nodes, band=band,
+                        rank_np=rank, precision=self.matmul_precision)
+                if table_out is not None:
+                    self._hypergeom_engine_used = "table-band-sharded"
+                    nes32, log_sf32, nesbin8, counts_dev = table_out
+                else:
+                    self._hypergeom_engine_used = "loop-band-sharded"
+                    from safepy_tpu.parallel.band_sharded import (
+                        fused_hypergeom_pipeline_band_sharded)
+                    lgt = jnp.asarray(_hyper.lgamma_table(M))
+                    (dist_band, s_ind, nes32, log_sf32, nesbin8, counts_dev,
+                     mean, std) = fused_hypergeom_pipeline_band_sharded(
+                        plan["u"], plan["v"], plan["w"],
+                        jnp.asarray(nan0_perm), jnp.asarray(nnn_perm),
+                        jnp.asarray(K), lgt, M, radius,
+                        np.float64(self.enrichment_threshold), rank_dev,
+                        mesh=self.mesh, n=num_nodes, band=band,
+                        iterations=iters)
             else:
+                self._hypergeom_engine_used = "loop-band"
                 lgt = jnp.asarray(_hyper.lgamma_table(M))
                 (dist_band, s_ind, nes32, log_sf32, nesbin8, counts_dev, mean,
                  std) = _pipe.fused_hypergeom_pipeline_band(

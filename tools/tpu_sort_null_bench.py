@@ -1,0 +1,71 @@
+"""Sort-path vs gather-path permutation null at many attributes.
+
+The keyed-sort null engine originally capped at 4 attributes (one variadic
+sort carrying every column); the grouped re-sort (ops/permutation.py,
+SORT_GROUP_COLUMNS) lifts the cap to 256. This measures both engines on a
+20k-node x 64-attribute quantitative null — the regime that previously paid
+the serialized-gather path.
+
+Usage: tools/tpu_run.sh tools/tpu_sort_null_bench.py [nodes] [attrs] [perms]
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 19968
+    a = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+    perms = int(sys.argv[3]) if len(sys.argv) > 3 else 1000
+
+    import jax
+    import jax.numpy as jnp
+    print(f"# devices: {jax.devices()}", flush=True)
+
+    from safepy_tpu.ops import permutation as perm_mod
+    from safepy_tpu.ops.score import compute_neighborhood_score
+
+    rng = np.random.default_rng(0)
+    # random indicator at the flagship density (~125-node neighborhoods);
+    # the null engines only see the (N, N) 0/1 operand, not its geometry
+    density = 125.0 / n
+    nbr = jnp.asarray((rng.random((n, n)) < density).astype(np.float32))
+
+    vals = rng.normal(size=(n, a)).astype(np.float32)
+    vals[rng.random((n, a)) < 0.2] = np.nan
+    vals_dev = jnp.asarray(vals)
+    obs = compute_neighborhood_score(nbr, vals_dev, "sum", "highest")
+    key = jax.random.PRNGKey(1)
+
+    def run():
+        cn, cp = perm_mod.run_permutations(
+            nbr, vals_dev, None, obs, key, score_type="sum",
+            num_permutations=perms)
+        return float(np.asarray(cn[0, 0]))
+
+    results = {}
+    for name, cap in (("sort_grouped", 256), ("gather", 0)):
+        # the engine choice is a trace-time Python branch on the module
+        # global — clear the jit cache so the cap change recompiles
+        perm_mod.SORT_PATH_MAX_ATTRIBUTES = cap
+        perm_mod.run_permutations.clear_cache()
+        run()
+        t0 = time.time()
+        run()
+        results[name] = round(time.time() - t0, 3)
+        print(json.dumps({"check": "null_engine", "engine": name,
+                          "nodes": n, "attributes": a, "perms": perms,
+                          "steady_s": results[name]}), flush=True)
+    print(json.dumps({"check": "sort_vs_gather", "nodes": n, "attributes": a,
+                      "speedup": round(results["gather"]
+                                       / results["sort_grouped"], 2)}),
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,112 @@
+"""Profile the class-table hypergeometric engine vs the f64 tail loop.
+
+Usage: tools/tpu_run.sh tools/tpu_table_profile.py {densego | bandgo:<n>:<a>}
+One JSON line per measurement.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/tools")
+
+from tpu_bandstore_scale import build_graph, run_safe  # noqa: E402
+
+
+def go_attrs(n, a, seed=2):
+    import pandas as pd
+    rng = np.random.default_rng(seed)
+    sizes = np.exp(rng.uniform(np.log(5), np.log(0.03 * n), a))
+    vals = (rng.random((n, a)) < (sizes / n)[None, :]).astype(np.float32)
+    vals[rng.random((n, a)) < 0.05] = np.nan
+    return pd.DataFrame(vals, index=[f"n{i}" for i in range(n)],
+                        columns=[f"go{j}" for j in range(a)])
+
+
+def main():
+    import jax
+    import pandas as pd
+    from safepy_tpu import SAFE
+
+    spec = sys.argv[1]
+    print(f"# {spec} devices: {jax.devices()}", flush=True)
+
+    if spec == "densego":
+        from bench import build_network
+        n, a = 3971, 4373
+        g, _ = build_network(n=n, k=9, edge_budget=None, prefix="n")
+        rng = np.random.default_rng(0)
+        vals = (rng.random((n, a)) < 0.05).astype(float)
+        attrs = pd.DataFrame(vals, index=[f"n{i}" for i in range(n)],
+                             columns=[f"a{i}" for i in range(a)])
+        for engine in ("table", "loop"):
+            sf = SAFE(verbose=False)
+            sf.random_seed = 1885
+            sf.hypergeom_engine = engine
+            sf.load_network(network_file=g, node_key_attribute="key")
+            sf.load_attributes(attribute_file=attrs)
+            sf.run_pipeline()
+            t0 = time.time()
+            sf.run_pipeline()
+            steady = time.time() - t0
+            print(json.dumps({
+                "check": "densego", "engine": engine,
+                "engine_used": sf._hypergeom_engine_used,
+                "steady_s": round(steady, 3),
+                "enriched": int((sf.nes_binary > 0).sum())}), flush=True)
+        return
+
+    _, rest = spec.split(":", 1)
+    n, a = (int(x) for x in rest.split(":"))
+    t0 = time.time()
+    g = build_graph(n)
+    print(f"# graph built in {time.time() - t0:.1f} s", flush=True)
+    attrs = go_attrs(n, a)
+    radius = float(np.sqrt(125.0 / (np.pi * n)))
+    sf, first, steady = run_safe(g, attrs, "band", radius, min_nodes=10000)
+    out = {"check": "bandgo", "nodes": n, "attributes": a,
+           "engine_used": sf._hypergeom_engine_used,
+           "first_s": round(first, 2), "steady_s": round(steady, 3),
+           "attrs_with_gt10_enriched": int(
+               (sf.attributes["num_neighborhoods_enriched"] > 10).sum())}
+
+    # stage split: band FW alone, then the table driver alone
+    from safepy_tpu import pipeline as pipe
+    from safepy_tpu.ops.enrich_band import hypergeom_band_table
+    from safepy_tpu.ops.neighborhoods import inclusive_radius
+    coords, edges, lengths, _w = sf._graph_to_arrays_cached()
+    x = coords[:, 0]
+    nr = sf.neighborhood_radius * (np.max(x) - np.min(x))
+    plan = sf._band_storage_plan(coords, edges, lengths, n, nr)
+    if plan is not None:
+        rad = inclusive_radius(nr)
+        t0 = time.time()
+        dist_band, s_ind, mean, std = pipe.band_neighborhoods(
+            plan["u"], plan["v"], plan["w"], rad, n=n, band=plan["band"])
+        _ = float(np.asarray(mean))
+        out["fw_steady_s"] = round(time.time() - t0, 3)
+        order = np.argsort(plan["rank"])
+        nan0_perm, nnn_perm, K = SAFE._hypergeom_host_operands(
+            np.asarray(sf.node2attribute), order)
+        M = int(nnn_perm.sum())
+        res = hypergeom_band_table(
+            s_ind, nan0_perm, nnn_perm, M, np.float64(0.05),
+            bt=plan["band"] // 128 + 1, rank_np=plan["rank"])
+        if res is not None:
+            _ = float(np.asarray(res[0][0, 0]))
+            t0 = time.time()
+            res = hypergeom_band_table(
+                s_ind, nan0_perm, nnn_perm, M, np.float64(0.05),
+                bt=plan["band"] // 128 + 1, rank_np=plan["rank"])
+            _ = float(np.asarray(res[0][0, 0]))
+            out["table_driver_steady_s"] = round(time.time() - t0, 3)
+        else:
+            out["table_driver_steady_s"] = "plan-ineligible"
+    print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()
