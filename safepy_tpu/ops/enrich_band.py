@@ -291,10 +291,28 @@ def hypergeom_band_hostchunks(s_ind, nan0_np, nodes_not_nan_np, lgt, M,
     return nes, logsf, nbin, counts_np
 
 
+@jax.jit
+def band_hyper_operands_device(n2a_dev, order):
+    """(nan0_perm, nodes_not_nan_perm, K, binary_ok) built ON DEVICE.
+
+    The host equivalents (isnan / where / astype / row fancy-gather over the
+    (N, A) matrix) cost minutes per run at 100k x 4,373 in this runtime's
+    degraded host memory path — on device they are microseconds against the
+    facade's cached annotation upload. ``order`` maps permuted position ->
+    original row (argsort of rank)."""
+    finite = jnp.isfinite(n2a_dev)
+    nan0 = jnp.where(finite, n2a_dev, 0.0)
+    K = jnp.sum(nan0, axis=0)
+    nnn = jnp.any(finite, axis=1).astype(jnp.float32)
+    binary_ok = jnp.all((n2a_dev == 0.0) | (n2a_dev == 1.0) | ~finite)
+    return (jnp.take(nan0, order, axis=0), jnp.take(nnn, order), K,
+            binary_ok)
+
+
 def hypergeom_band_table(s_ind, nan0_np, nodes_not_nan_np, M,
                          enrichment_threshold, *, bt: int, block: int = 128,
                          rank_np, precision: str = "highest",
-                         chunk_cols: int = 1024, nsize_dev=None, plan=None):
+                         chunk_cols: int = 512, nsize_dev=None, plan=None):
     """GO-scale hypergeometric enrichment via the class-table engine
     (ops/hypergeom_table.py) — the production path for binary annotations.
 
@@ -326,42 +344,42 @@ def hypergeom_band_table(s_ind, nan0_np, nodes_not_nan_np, M,
         return None
 
     log_thr64 = float(np.log(enrichment_threshold))
-    # upload the K-sorted matrix ONCE; chunks slice it contiguously on device
-    nan0_sorted = jnp.asarray(nan0_np[:, plan["order"]])
+    nan0_dev = jnp.asarray(nan0_np)
     rank_dev = jnp.asarray(rank_np, jnp.int32)
     npad = s_ind.shape[0] - 2 * bt * block
+    n, n_attrs = len(rank_np), nan0_np.shape[1]
 
-    nes_pieces, logsf_pieces, bin_pieces, counts = [], [], [], []
-    start = 0
+    # chunks stream into preallocated outputs with DONATED buffers: the only
+    # (n, A)-sized device arrays alive are the three outputs plus the
+    # annotation matrix — at 100k x 4,373 any transient second copy tips the
+    # chip into allocator thrash
+    nes = jnp.zeros((n, n_attrs), jnp.float32)
+    logsf = jnp.zeros((n, n_attrs), jnp.float32)
+    nbin = jnp.zeros((n, n_attrs), jnp.int8)
+    counts = []
     for ch in plan["chunks"]:
-        width = len(ch["cols"])
-        cols = jax.lax.dynamic_slice_in_dim(nan0_sorted, start, width, 1)
-        start += width
+        start, width = ch["start"], ch["width"]
+        cols = jax.lax.dynamic_slice_in_dim(nan0_dev, start, width, 1)
         nes_c, logsf_c, bin_c = _band_table_chunk(
             s_ind, cols, nsize_dev, jnp.asarray(ch["K_dist"]),
             jnp.asarray(ch["colc"], jnp.int32), M, log_thr64, rank_dev,
             R=ch["R"], S_max=ch["S_max"], C=ch["C"], bt=bt, block=block,
             npad=npad, precision=precision)
-        nes_pieces.append(nes_c)
-        logsf_pieces.append(logsf_c)
-        bin_pieces.append(bin_c)
+        del cols
         counts.append(np.asarray(jnp.sum(bin_c, axis=0, dtype=jnp.int32)))
+        nes, logsf, nbin = _place_chunk(nes, logsf, nbin, nes_c, logsf_c,
+                                        bin_c, start)
+    return nes, logsf, nbin, np.concatenate(counts)
 
-    del nan0_sorted, cols
-    inv_dev = jnp.asarray(plan["inv"], jnp.int32)
 
-    def assemble(pieces):
-        sorted_cols = jnp.concatenate(pieces, axis=1)
-        pieces.clear()
-        # column un-sort via transpose + ROW gather + transpose (lane gathers
-        # serialize on TPU; row gathers ride the DMA engines)
-        return jnp.take(sorted_cols.T, inv_dev, axis=0).T
-
-    nes = assemble(nes_pieces)
-    logsf = assemble(logsf_pieces)
-    nbin = assemble(bin_pieces)
-    counts_np = np.concatenate(counts)[plan["inv"]]
-    return nes, logsf, nbin, counts_np
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+def _place_chunk(nes, logsf, nbin, nes_c, logsf_c, bin_c, start):
+    """Write one chunk's columns into the (donated) output buffers."""
+    z = jnp.int32(0)
+    s = jnp.asarray(start, jnp.int32)
+    return (jax.lax.dynamic_update_slice(nes, nes_c, (z, s)),
+            jax.lax.dynamic_update_slice(logsf, logsf_c, (z, s)),
+            jax.lax.dynamic_update_slice(nbin, bin_c, (z, s)))
 
 
 @functools.partial(jax.jit, static_argnames=("R", "S_max", "C", "bt", "block",

@@ -622,38 +622,31 @@ def hypergeom_band_table_sharded(ind_g, nan0_np,
         return None
 
     log_thr64 = float(np.log(enrichment_threshold))
-    nan0_sorted = jnp.asarray(nan0_np[:, plan["order"]])
+    nan0_dev = jnp.asarray(nan0_np)
     rank_dev = jnp.asarray(rank_np, jnp.int32)
+    n_attrs = nan0_np.shape[1]
 
-    nes_pieces, logsf_pieces, bin_pieces, counts = [], [], [], []
-    start = 0
+    # natural-order chunks stream into preallocated donated outputs (see
+    # ops/enrich_band.hypergeom_band_table: transient pieces+concat tripled
+    # the output footprint and thrashed the allocator at 100k x 4,373)
+    from safepy_tpu.ops.enrich_band import _place_chunk
+    nes = jnp.zeros((n, n_attrs), jnp.float32)
+    logsf = jnp.zeros((n, n_attrs), jnp.float32)
+    nbin = jnp.zeros((n, n_attrs), jnp.int8)
+    counts = []
     for ch in plan["chunks"]:
-        width_c = len(ch["cols"])
-        cols = jax.lax.dynamic_slice_in_dim(nan0_sorted, start, width_c, 1)
-        start += width_c
+        start, width_c = ch["start"], ch["width"]
+        cols = jax.lax.dynamic_slice_in_dim(nan0_dev, start, width_c, 1)
         nes_c, logsf_c, bin_c = _band_table_chunk_sharded(
             ind_g, cols, nsize_g, jnp.asarray(ch["K_dist"]),
             jnp.asarray(ch["colc"], jnp.int32), M, log_thr64, rank_dev,
             mesh=mesh, axis=axis, R=ch["R"], S_max=ch["S_max"], C=ch["C"],
             n=n, band=band, block=block, precision=precision)
-        nes_pieces.append(nes_c)
-        logsf_pieces.append(logsf_c)
-        bin_pieces.append(bin_c)
+        del cols
         counts.append(np.asarray(jnp.sum(bin_c, axis=0, dtype=jnp.int32)))
-
-    del nan0_sorted, cols
-    inv_dev = jnp.asarray(plan["inv"], jnp.int32)
-
-    def assemble(pieces):
-        sorted_cols = jnp.concatenate(pieces, axis=1)
-        pieces.clear()
-        return jnp.take(sorted_cols.T, inv_dev, axis=0).T
-
-    nes = assemble(nes_pieces)
-    logsf = assemble(logsf_pieces)
-    nbin = assemble(bin_pieces)
-    counts_np = np.concatenate(counts)[plan["inv"]]
-    return nes, logsf, nbin, counts_np
+        nes, logsf, nbin = _place_chunk(nes, logsf, nbin, nes_c, logsf_c,
+                                        bin_c, start)
+    return nes, logsf, nbin, np.concatenate(counts)
 
 
 @functools.partial(jax.jit, static_argnames=(

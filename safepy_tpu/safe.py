@@ -90,6 +90,7 @@ class SAFE:
         self.nodes = None
         self.node2attribute = None
         self._n2a_dev = None  # cached f32 device copy of node2attribute
+        self._num_other_cache = None  # cached non-binary-value census
         self.num_nodes_per_attribute = None
         self.attribute_sign = "both"
 
@@ -306,6 +307,7 @@ class SAFE:
             node_label_order=node_label_order,
             verbose=self.verbose, **kwargs)
         self._n2a_dev = None
+        self._num_other_cache = None
 
         from safepy_tpu import debug as _debug
         _debug.validate_attributes(self.node2attribute,
@@ -686,6 +688,18 @@ class SAFE:
                 np.asarray(self.node2attribute, dtype=np.float32))
         return self._n2a_dev
 
+    def _num_other_values(self):
+        """Count of finite non-0/1 annotation values (the reference's binary
+        detection, safe.py:454-456) — computed ON DEVICE from the cached
+        annotation upload and cached: the host isnan/isin pass costs tens of
+        seconds per call at 100k x 4,373 in this runtime."""
+        if self._num_other_cache is None:
+            v = self._node2attribute_device()
+            self._num_other_cache = int(np.asarray(jnp.sum(
+                jnp.isfinite(v) & (v != 0.0) & (v != 1.0),
+                dtype=jnp.int32)))
+        return self._num_other_cache
+
     def _neighborhoods_device(self):
         """(N, N) f32 device array of the indicator, uploading if necessary."""
         if isinstance(self._neighborhoods_dev, _BandedMatrix):
@@ -753,6 +767,7 @@ class SAFE:
                 self.node2attribute = self.node2attribute.copy()
             self.node2attribute[np.isnan(self.node2attribute)] = 0
             self._n2a_dev = None
+            self._num_other_cache = None
 
         num_vals = self.node2attribute.shape[0]
         num_nans = np.sum(np.isnan(self.node2attribute), axis=0)
@@ -762,8 +777,7 @@ class SAFE:
                 "will be ignored for calculating enrichment.\n"
                 "Consider setting sf.background = 'network'.")
 
-        num_other_values = np.sum(~np.isnan(self.node2attribute)
-                                  & ~np.isin(self.node2attribute, [0, 1]))
+        num_other_values = self._num_other_values()
 
         if (self.enrichment_type == "hypergeometric"
                 or (self.enrichment_type == "auto" and num_other_values == 0)):
@@ -883,11 +897,6 @@ class SAFE:
                     table_colc=jnp.asarray(colc, jnp.int32),
                     table_spec=(r, s_max, c))
 
-    def _binary_annotations(self, nan0) -> bool:
-        """True when every (NaN-zeroed) annotation value is 0/1 — the
-        integer-count precondition of the class-table survival engine."""
-        return bool(((nan0 == 0) | (nan0 == 1)).all())
-
     def _hypergeom_bandstore(self, bm, n2a):
         """Staged hypergeometric enrichment over band-stored neighborhoods
         (ops/enrich_band.py): census + survival tail against the skewed band,
@@ -897,18 +906,22 @@ class SAFE:
         from safepy_tpu.ops.enrich_band import hypergeom_core_band_jit
 
         order = np.argsort(bm.rank)  # permuted position -> original node
-        nan0_perm, nnn_perm, K = self._hypergeom_host_operands(n2a, order)
-        M = int(nnn_perm.sum())
 
         table_out = None
-        if (self.hypergeom_engine in ("auto", "table")
-                and self._binary_annotations(nan0_perm)):
-            from safepy_tpu.ops.enrich_band import hypergeom_band_table
-            table_out = hypergeom_band_table(
-                bm.data, nan0_perm, nnn_perm, M,
-                np.float64(self.enrichment_threshold), bt=bm.bt,
-                block=bm.block, rank_np=bm.rank,
-                precision=self.matmul_precision)
+        if self.hypergeom_engine in ("auto", "table"):
+            # operands built on device from the cached annotation upload
+            # (host isnan/where/fancy-gather cost minutes at GO scale here)
+            from safepy_tpu.ops.enrich_band import (
+                band_hyper_operands_device, hypergeom_band_table)
+            nan0_d, nnn_d, K_d, binary_ok = band_hyper_operands_device(
+                self._node2attribute_device(), jnp.asarray(order, jnp.int32))
+            if bool(np.asarray(binary_ok)):
+                M = int(np.asarray(jnp.sum(nnn_d)))
+                table_out = hypergeom_band_table(
+                    bm.data, nan0_d, nnn_d, M,
+                    np.float64(self.enrichment_threshold), bt=bm.bt,
+                    block=bm.block, rank_np=bm.rank,
+                    precision=self.matmul_precision)
         if table_out is not None:
             self._hypergeom_engine_used = "table-band-staged"
             nes32, log_sf32, nes_binary8, counts = table_out
@@ -919,6 +932,8 @@ class SAFE:
                 "hypergeom_engine='table' requires binary 0/1 annotations "
                 "with an in-budget class table")
 
+        nan0_perm, nnn_perm, K = self._hypergeom_host_operands(n2a, order)
+        M = int(nnn_perm.sum())
         k_max = int(max(1, K.max())) if K.size else 1
         iters = _hyper.tail_iterations(M, min(k_max, M))
         lgt = jnp.asarray(_hyper.lgamma_table(M))
@@ -942,6 +957,17 @@ class SAFE:
                 iterations=iters, bt=bm.bt, block=bm.block, rank=rank_dev)
             counts = np.asarray(jnp.sum(nes_binary8, axis=0, dtype=jnp.int32))
         self._store_hypergeom_results(nes32, log_sf32, nes_binary8, counts)
+
+    def _release_device_results(self):
+        """Drop the PREVIOUS run's device-resident matrices before computing
+        new ones. At band-storage scale the stale band (GBs) and the stale
+        (N, A) result triple would otherwise stay alive until reassignment at
+        the END of the new run — measured on v5e as the difference between a
+        clean steady rerun and allocator thrash past the 16 GB chip."""
+        self._neighborhoods_dev = self._node_distances_dev = None
+        self._neighborhoods_np = self._node_distances_np = None
+        self._nes_dev = self._logsf_dev = self._nes_binary_dev = None
+        self._nes_binary_pending = None
 
     def _store_hypergeom_results(self, nes32, log_sf32, nes_binary8, counts):
         """Shared hypergeometric result storage: FDR adjustment when asked,
@@ -1156,7 +1182,7 @@ class SAFE:
                     and self.background != "network"
                     and (self.mesh is None or data_mesh_1d)):
                 n2a = self.node2attribute
-                num_other = np.sum(~np.isnan(n2a) & ~np.isin(n2a, [0, 1]))
+                num_other = self._num_other_values()
                 binary = (self.enrichment_type == "hypergeometric"
                           or (self.enrichment_type == "auto"
                               and num_other == 0))
@@ -1210,7 +1236,7 @@ class SAFE:
         radius = _nbr.inclusive_radius(nr)
 
         n2a = self.node2attribute
-        num_other = np.sum(~np.isnan(n2a) & ~np.isin(n2a, [0, 1]))
+        num_other = self._num_other_values()
         binary = (self.enrichment_type == "hypergeometric"
                   or (self.enrichment_type == "auto" and num_other == 0))
 
@@ -1298,6 +1324,8 @@ class SAFE:
         from safepy_tpu import pipeline as _pipe
         from safepy_tpu.ops import apsp_bandstore as _bst
 
+        self._release_device_results()
+
         num_nodes = self.graph.number_of_nodes()
         rank, band = plan["rank"], plan["band"]
         order = np.argsort(rank)
@@ -1365,38 +1393,60 @@ class SAFE:
         from safepy_tpu import pipeline as _pipe
         from safepy_tpu.ops import apsp_bandstore as _bst
 
+        self._release_device_results()
+
         num_nodes = self.graph.number_of_nodes()
         radius = _nbr.inclusive_radius(nr)
         band, rank, rank_dev = plan["band"], plan["rank"], plan["rank_dev"]
         order = np.argsort(rank)  # permuted position -> original node
 
         n2a = self.node2attribute
-        num_other = np.sum(~np.isnan(n2a) & ~np.isin(n2a, [0, 1]))
+        num_other = self._num_other_values()
         binary = (self.enrichment_type == "hypergeometric"
                   or (self.enrichment_type == "auto" and num_other == 0))
 
         binary_pending = (None, None)
         if binary:
-            nan0_perm, nnn_perm, K = self._hypergeom_host_operands(n2a, order)
-            M = int(nnn_perm.sum())
             table_out = band_done = None
-            if (self.mesh is None
-                    and self.hypergeom_engine in ("auto", "table")):
-                # class-table survival engine (binary annotations): band FW
-                # in one dispatch, then the chunked census+table+lookup
-                # driver (ops/enrich_band.hypergeom_band_table)
-                from safepy_tpu.ops.enrich_band import hypergeom_band_table
-                band_done = _pipe.band_neighborhoods(
-                    plan["u"], plan["v"], plan["w"], radius, n=num_nodes,
-                    band=band)
-                dist_band, s_ind, mean, std = band_done
-                table_out = hypergeom_band_table(
-                    s_ind, nan0_perm, nnn_perm, M,
-                    np.float64(self.enrichment_threshold),
-                    bt=band // 128 + 1, rank_np=rank,
-                    precision=self.matmul_precision)
-            k_max = int(max(1, K.max())) if K.size else 1
-            iters = _hyper.tail_iterations(M, min(k_max, M))
+            nan0_perm = nnn_perm = K = M = None
+            if self.hypergeom_engine in ("auto", "table"):
+                # class-table survival engine (binary annotations): operands
+                # built ON DEVICE from the cached annotation upload — the
+                # host equivalents cost minutes per run at GO scale in this
+                # runtime's degraded host memory path
+                from safepy_tpu.ops.enrich_band import (
+                    band_hyper_operands_device)
+                nan0_perm, nnn_perm, K, binary_ok = \
+                    band_hyper_operands_device(
+                        self._node2attribute_device(),
+                        jnp.asarray(order, jnp.int32))
+                M = int(np.asarray(jnp.sum(nnn_perm)))
+                if not bool(np.asarray(binary_ok)):
+                    # forced hypergeometric on non-0/1 values: the table's
+                    # integer-count precondition fails; use the f64 loop
+                    nan0_perm = nnn_perm = K = M = None
+                elif self.mesh is None:
+                    from safepy_tpu.ops.enrich_band import (
+                        hypergeom_band_table)
+                    band_done = _pipe.band_neighborhoods(
+                        plan["u"], plan["v"], plan["w"], radius, n=num_nodes,
+                        band=band)
+                    dist_band, s_ind, mean, std = band_done
+                    table_out = hypergeom_band_table(
+                        s_ind, nan0_perm, nnn_perm, M,
+                        np.float64(self.enrichment_threshold),
+                        bt=band // 128 + 1, rank_np=rank,
+                        precision=self.matmul_precision)
+            if table_out is None and self.mesh is None:
+                # fallback engines take host operands (their column chunking
+                # and iteration bounds are host-driven)
+                nan0_perm, nnn_perm, K = self._hypergeom_host_operands(
+                    n2a, order)
+                M = int(nnn_perm.sum())
+            if K is not None:
+                K_host = np.asarray(K)
+                k_max = int(max(1, K_host.max())) if K_host.size else 1
+                iters = _hyper.tail_iterations(M, min(k_max, M))
             attr_chunk = self._hypergeom_attr_chunk(num_nodes, n2a.shape[1])
             if table_out is not None:
                 self._hypergeom_engine_used = "table-band"
@@ -1422,10 +1472,11 @@ class SAFE:
                         attr_chunk=attr_chunk)
             elif self.mesh is not None:
                 table_out = None
-                if self.hypergeom_engine in ("auto", "table"):
+                if nan0_perm is not None and self.hypergeom_engine in (
+                        "auto", "table"):
                     # sharded class-table engine: sharded band FW front, then
                     # one short sharded census+table+lookup dispatch per
-                    # K-sorted column chunk — no per-device program runs near
+                    # column chunk — no per-device program runs near
                     # remote-watchdog horizons even at GO scale
                     from safepy_tpu.parallel.band_sharded import (
                         band_neighborhoods_sharded,
@@ -1444,6 +1495,12 @@ class SAFE:
                     nes32, log_sf32, nesbin8, counts_dev = table_out
                 else:
                     self._hypergeom_engine_used = "loop-band-sharded"
+                    if nan0_perm is None:  # engine='loop': no operands yet
+                        nan0_perm, nnn_perm, K = \
+                            self._hypergeom_host_operands(n2a, order)
+                        M = int(nnn_perm.sum())
+                        k_max = int(max(1, K.max())) if K.size else 1
+                        iters = _hyper.tail_iterations(M, min(k_max, M))
                     from safepy_tpu.parallel.band_sharded import (
                         fused_hypergeom_pipeline_band_sharded)
                     lgt = jnp.asarray(_hyper.lgamma_table(M))

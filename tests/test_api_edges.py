@@ -97,3 +97,42 @@ def test_run_permutations_reference_signature():
         (nbr, n2a, "sum", 20, 7))
     assert counts_neg.shape == (n, 2)
     assert ((counts_neg + counts_pos) >= 20).all()  # ties on both sides
+
+
+def test_num_other_census_cached_and_invalidated():
+    """The device-side binary-detection census must invalidate when the
+    annotation matrix changes (load_attributes / background='network')."""
+    import networkx as nx
+    import numpy as np
+    import pandas as pd
+    from safepy_tpu import SAFE
+
+    n = 40
+    rng = np.random.default_rng(0)
+    g = nx.Graph()
+    g.add_nodes_from(range(n))
+    for i in range(n - 1):
+        g.add_edge(i, i + 1)
+    for i in range(n):
+        g.nodes[i]["label"] = g.nodes[i]["key"] = f"g{i}"
+        g.nodes[i]["x"] = float(i)
+        g.nodes[i]["y"] = 0.0
+    from safepy_tpu.io.layout import calculate_edge_lengths
+    calculate_edge_lengths(g, verbose=False)
+
+    sf = SAFE(verbose=False)
+    sf.load_network(network_file=g, node_key_attribute="key")
+
+    quant = pd.DataFrame(rng.normal(size=(n, 2)),
+                         index=[f"g{i}" for i in range(n)],
+                         columns=["a", "b"])
+    sf.load_attributes(attribute_file=quant)
+    assert sf._num_other_values() > 0
+    assert sf._num_other_cache is not None  # cached
+
+    binary = pd.DataFrame((rng.random((n, 2)) < 0.3).astype(float),
+                          index=[f"g{i}" for i in range(n)],
+                          columns=["a", "b"])
+    sf.load_attributes(attribute_file=binary)
+    assert sf._num_other_cache is None  # invalidated by the reload
+    assert sf._num_other_values() == 0

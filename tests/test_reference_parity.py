@@ -256,6 +256,36 @@ def test_other_metrics_neighborhoods_identical(planted_files, metric_kwargs):
                                   np.asarray(osf.neighborhoods))
 
 
+@pytest.mark.parametrize("metric_kwargs", [
+    {"node_distance_metric": "shortpath", "neighborhood_radius": 2},
+    {"node_distance_metric": "shortpath_weighted_layout"},
+])
+def test_band_engine_neighborhoods_match_reference(planted_files,
+                                                   metric_kwargs):
+    """The band-STORAGE engine — including the landmark (graph-derived)
+    certificate for the hop metric, which has no Euclidean contract — must
+    reproduce the reference's Dijkstra-cutoff neighborhoods binary-exactly
+    (reference safe.py:403-415)."""
+    from safepy_tpu import SAFE
+
+    rsf = ref.SAFE()
+    rsf.random_seed = SEED
+    rsf.load_network(network_file=planted_files["net"])
+    rsf.define_neighborhoods(**metric_kwargs)
+
+    osf = SAFE(verbose=False)
+    osf.random_seed = SEED
+    osf.apsp_mode = "band"
+    osf.load_network(network_file=planted_files["net"],
+                     node_key_attribute="key")
+    osf.define_neighborhoods(**metric_kwargs)
+
+    from safepy_tpu.ops.apsp_bandstore import BandedMatrix
+    assert isinstance(osf._neighborhoods_dev, BandedMatrix)
+    np.testing.assert_array_equal(np.asarray(rsf.neighborhoods),
+                                  np.asarray(osf.neighborhoods))
+
+
 def test_cys_loader_parity(tmp_path, monkeypatch):
     """The stream-from-zip CYS loader produces the same graph as the
     reference's extract-to-cwd loader (safe_io.py:154-268)."""

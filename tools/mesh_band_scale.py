@@ -77,6 +77,9 @@ def main():
 
     t0 = time.time()
     sf.run_pipeline(num_permutations=16)
+    first = time.time() - t0
+    t0 = time.time()
+    sf.run_pipeline(num_permutations=16)
     wall = time.time() - t0
 
     bm = sf._neighborhoods_dev
@@ -88,7 +91,7 @@ def main():
         "band_gb_total_f32_equiv": round(total_gb, 2),
         "band_gb_per_device": round(total_gb / len(devs), 3),
         "dense_gb": round(4.0 * n * n / 1e9, 1),
-        "wall_s": round(wall, 1),
+        "first_s": round(first, 1), "steady_s": round(wall, 2),
         "enriched": int((sf.nes_binary > 0).sum())}), flush=True)
 
     # sampled Dijkstra oracle: 40 random sources, exact within-radius sets

@@ -45,8 +45,12 @@ def main():
     t0 = time.time()
     coords = spring_layout_energy_tpu(n, edges, iterations=1000, seed=3)
     layout_s = time.time() - t0
+    t0 = time.time()
+    coords = spring_layout_energy_tpu(n, edges, iterations=1000, seed=3)
+    layout_steady_s = time.time() - t0
     print(json.dumps({"stage": "layout", "nodes": n, "edges": len(edges),
-                      "wall_s": round(layout_s, 2)}), flush=True)
+                      "first_s": round(layout_s, 2),
+                      "steady_s": round(layout_steady_s, 2)}), flush=True)
 
     g = nx.Graph()
     g.add_nodes_from(range(n))
@@ -68,8 +72,10 @@ def main():
     sf = SAFE(verbose=False)
     sf.random_seed = 17
     # radius holding the mean neighborhood size ~125 in the LAYOUT frame:
-    # layout extent ~1 (unit square), area ~1
-    sf.neighborhood_radius = float(np.sqrt(125.0 / (np.pi * n))) * 2.0
+    # the energy layout lands in ~a unit square (area ~1), and
+    # neighborhood_radius is a fraction of the x-extent (~1), so the
+    # fraction IS the absolute radius sqrt(125 * area / (pi * n))
+    sf.neighborhood_radius = float(np.sqrt(125.0 / (np.pi * n)))
     sf.load_network(network_file=g, node_key_attribute="key")
     sf.load_attributes(attribute_file=attrs)
     t0 = time.time()

@@ -31,14 +31,15 @@ def main():
     from safepy_tpu.ops.score import compute_neighborhood_score
 
     rng = np.random.default_rng(0)
-    # random indicator at the flagship density (~125-node neighborhoods);
-    # the null engines only see the (N, N) 0/1 operand, not its geometry
+    # random indicator at the flagship density (~125-node neighborhoods),
+    # generated ON DEVICE — this sandbox's host RNG/memory path runs ~2M
+    # values/s, so an (N, N) host draw alone would take minutes
     density = 125.0 / n
-    nbr = jnp.asarray((rng.random((n, n)) < density).astype(np.float32))
-
-    vals = rng.normal(size=(n, a)).astype(np.float32)
-    vals[rng.random((n, a)) < 0.2] = np.nan
-    vals_dev = jnp.asarray(vals)
+    kd = jax.random.PRNGKey(0)
+    nbr = jax.random.bernoulli(kd, density, (n, n)).astype(jnp.float32)
+    vals_dev = jax.random.normal(jax.random.PRNGKey(2), (n, a), jnp.float32)
+    nanmask = jax.random.bernoulli(jax.random.PRNGKey(3), 0.2, (n, a))
+    vals_dev = jnp.where(nanmask, jnp.nan, vals_dev)
     obs = compute_neighborhood_score(nbr, vals_dev, "sum", "highest")
     key = jax.random.PRNGKey(1)
 

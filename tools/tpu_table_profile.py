@@ -72,6 +72,16 @@ def main():
            "first_s": round(first, 2), "steady_s": round(steady, 3),
            "attrs_with_gt10_enriched": int(
                (sf.attributes["num_neighborhoods_enriched"] > 10).sum())}
+    # the headline number is safe the moment it exists — the stage split
+    # below re-runs pipeline pieces on top of the facade's live HBM state
+    # and can OOM at 100k (an OOM poisons the whole process backend)
+    print(json.dumps(out), flush=True)
+    if n * a > 2 * 10 ** 8:  # stage split doubles live HBM; skip at GO scale
+        return
+    # free the facade's device state before re-running stages
+    sf._neighborhoods_dev = sf._node_distances_dev = None
+    sf._nes_dev = sf._logsf_dev = sf._nes_binary_dev = None
+    sf._n2a_dev = None
 
     # stage split: band FW alone, then the table driver alone
     from safepy_tpu import pipeline as pipe
@@ -105,7 +115,10 @@ def main():
             out["table_driver_steady_s"] = round(time.time() - t0, 3)
         else:
             out["table_driver_steady_s"] = "plan-ineligible"
-    print(json.dumps(out), flush=True)
+        print(json.dumps({k: out[k] for k in
+                          ("check", "nodes", "fw_steady_s",
+                           "table_driver_steady_s") if k in out}),
+              flush=True)
 
 
 if __name__ == "__main__":
