@@ -11,12 +11,15 @@ multiprocessing pool); here the whole null is a batched GEMM stream on the MXU:
     in-place compounding permutation stream; each permuted state is still uniform,
     and the reference's own test asserts only a distributional tolerance
     (637 +/- 20 at 1000 permutations);
-  * for few attributes (the flagship quantitative workload) the permuted value
-    matrix comes from ONE ``lax.sort`` of random keys against the value columns —
-    a uniform random permutation applied directly to the data, with no index
-    materialization and no gather (TPU gathers serialize: measured 3.5x slower
-    than the sort at 20k nodes). Many-attribute inputs fall back to explicit
-    ``jax.random.permutation`` indices + gather;
+  * for single-attribute inputs (the flagship quantitative workload) the
+    permuted value matrix comes from ONE ``lax.sort`` of random keys against the
+    value column — a uniform random permutation applied directly to the data,
+    with no index materialization and no gather (a lone-column gather
+    serializes: measured 1.9x slower than the sort at 20k nodes). Wider inputs
+    use explicit ``jax.random.permutation`` indices + one row gather, whose
+    single (C, V) index set amortizes over all columns (measured faster than
+    the keyed sort for every A >= 2; crossover table at
+    SORT_PATH_MAX_ATTRIBUTES);
   * permuted attribute chunks are scored against the neighborhood indicator in one
     ``(N, V) x (C, V, A)`` contraction; count accumulation happens on-chip in
     int32; nothing leaves the device until the final (N, A) count matrices.
@@ -42,15 +45,17 @@ import jax.numpy as jnp
 
 from safepy_tpu.ops.score import dot_kwargs
 
-# the keyed sort re-runs per group of this many value columns — identical
-# uint32 keys + a stable sort give the identical permutation each time, so
-# cross-column row alignment is preserved while no single variadic sort
-# carries more than ~2*G operands (XLA variadic sorts degrade beyond that)
-SORT_GROUP_COLUMNS = 4
-# above this many attributes the repeated key sorts outweigh the gather
-# engine's serialized lane gathers (v5e measurement: the sort path wins by
-# ~3.5x at few columns and stays ahead through the low hundreds)
-SORT_PATH_MAX_ATTRIBUTES = 256
+# auto-engine crossover, NOT a capability cap (the sort engine serves any
+# width if forced). Measured on v5e, 19,968 nodes x 250 perms, steady
+# seconds sort vs gather: A=1 0.047/0.090 (sort 1.9x), A=2 0.092/0.076,
+# A=4 0.103/0.085, A=8 0.134/0.117, A=64 0.795/0.492 — one (C, V) index
+# set amortizes over all A columns of a row gather, so the gather engine
+# wins for every A >= 2 while the sort's per-column key traffic grows
+# linearly. The broadcast-key single-sort formulation keeps XLA program
+# size flat in A (an earlier per-group variadic-sort unroll compiled
+# >40 min at A=64 on the remote TPU toolchain; this one compiles in ~10 s
+# at any width).
+SORT_PATH_MAX_ATTRIBUTES = 1
 
 
 def default_batch_size(num_valid: int, num_attributes: int,
@@ -104,33 +109,28 @@ def permuted_operands_sorted(vals, mask, chunk_key, chunk_size: int,
                              with_mask: bool):
     """A chunk of row-permuted operands drawn by key-sorting the data itself.
 
-    Stable ``lax.sort`` calls permute the attribute columns (and their masks)
-    by independent uint32 keys — the permutation indices never exist. Columns
-    are processed in groups of ``SORT_GROUP_COLUMNS``: every group re-sorts
-    the SAME key array, and a stable sort of identical keys produces the
-    identical permutation, so rows stay aligned across groups (this is what
-    lifts the old 4-attribute cap — reference safe_extras.py:50-62 permutes
-    matrices of arbitrary width). Returns (Bp, NBp): (C, V, A) permuted
-    values and (when ``with_mask``) their finite masks, permuted identically.
+    ONE stable ``lax.sort`` call permutes every attribute column (and its
+    mask) by independent per-permutation uint32 keys — the permutation
+    indices never exist. The key row is broadcast across the column axis, so
+    each (chunk, column) lane sorts by the SAME keys, and a stable sort of
+    identical keys produces the identical permutation: rows stay aligned
+    across columns of any width (reference safe_extras.py:50-62 permutes
+    matrices of arbitrary width). A single 2-3-operand sort keeps the XLA
+    program size flat in A — an earlier formulation unrolled one variadic
+    sort per 4-column group and the remote TPU compile blew past 40 minutes
+    at A=64. Returns (Bp, NBp): (C, V, A) permuted values and (when
+    ``with_mask``) their finite masks, permuted identically.
     """
     V, A = vals.shape
     bits = jax.random.bits(chunk_key, (chunk_size, V), dtype=jnp.uint32)
-
-    vals_g, mask_g = [], []
-    for g in range(0, A, SORT_GROUP_COLUMNS):
-        cols = range(g, min(g + SORT_GROUP_COLUMNS, A))
-        ops = [jnp.broadcast_to(vals[:, a][None, :], (chunk_size, V))
-               for a in cols]
-        if with_mask:
-            ops += [jnp.broadcast_to(mask[:, a][None, :], (chunk_size, V))
-                    for a in cols]
-        sorted_ops = jax.lax.sort((bits, *ops), dimension=-1, num_keys=1,
-                                  is_stable=True)[1:]
-        vals_g.extend(sorted_ops[:len(cols)])
-        if with_mask:
-            mask_g.extend(sorted_ops[len(cols):])
-    Bp = jnp.stack(vals_g, axis=-1)                          # (C, V, A)
-    NBp = jnp.stack(mask_g, axis=-1) if with_mask else None
+    keys = jnp.broadcast_to(bits[:, None, :], (chunk_size, A, V))
+    ops = (keys, jnp.broadcast_to(vals.T[None], (chunk_size, A, V)))
+    if with_mask:
+        ops += (jnp.broadcast_to(mask.T[None], (chunk_size, A, V)),)
+    sorted_ops = jax.lax.sort(ops, dimension=-1, num_keys=1,
+                              is_stable=True)[1:]
+    Bp = jnp.swapaxes(sorted_ops[0], 1, 2)                   # (C, V, A)
+    NBp = jnp.swapaxes(sorted_ops[1], 1, 2) if with_mask else None
     return Bp, NBp
 
 

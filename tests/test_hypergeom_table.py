@@ -119,6 +119,41 @@ def test_lookup_end_to_end_matches_scipy():
     np.testing.assert_array_equal(nbin, (p_want < 0.05).astype(np.int8))
 
 
+def test_slot_loop_engine_identical_to_gather(monkeypatch):
+    """The slot-loop resolve (large-surface engine) must reproduce the
+    per-cell gather engine BIT-exactly: both select the same stored f32
+    table values, just via masked sweeps instead of serialized gathers."""
+    rng = np.random.default_rng(7)
+    N, A, M = 512, 33, 700
+    nsize = rng.integers(0, 300, N).astype(np.float64)
+    K = rng.integers(0, 250, A).astype(np.float64)
+    counts = np.floor(np.minimum(nsize[:, None], K[None, :])
+                      * rng.random((N, A))).astype(np.float64)
+
+    plan = htab.plan(K, float(nsize.max()), M)
+    ch = plan["chunks"][0]
+    table = htab.build_logsf_table(
+        jnp.asarray(ch["K_dist"]), M, float(np.log(0.05)),
+        R=ch["R"], S_max=ch["S_max"], C=ch["C"])
+    args = (table, jnp.asarray(counts, jnp.float32),
+            jnp.asarray(nsize, jnp.float32),
+            jnp.asarray(ch["colc"], jnp.int32), np.float32(np.log(0.05)))
+    kw = dict(S_max=ch["S_max"], R=ch["R"], C=ch["C"])
+
+    monkeypatch.setattr(htab, "LOOKUP_LOOP_MIN_CELLS", 10 ** 18)
+    nes_g, logsf_g, nbin_g = (np.asarray(x)
+                              for x in htab.table_lookup(*args, **kw))
+    monkeypatch.setattr(htab, "LOOKUP_LOOP_MIN_CELLS", 1)
+    nes_l, logsf_l, nbin_l = (np.asarray(x)
+                              for x in htab.table_lookup(*args, **kw))
+
+    np.testing.assert_array_equal(logsf_g, logsf_l)
+    np.testing.assert_array_equal(nes_g, nes_l)
+    np.testing.assert_array_equal(nbin_g, nbin_l)
+    p_want = scipy_hypergeom.sf(counts - 1, M, K[None, :], nsize[:, None])
+    assert np.max(np.abs(np.exp(logsf_l.astype(np.float64)) - p_want)) <= 1e-6
+
+
 def _geom_net(tmp_path, n=400, k=6, seed=11):
     rng = np.random.default_rng(seed)
     coords = rng.uniform(-1, 1, (n, 2))

@@ -73,8 +73,11 @@ def _replay_gather_perms(key, num_chunks, batch, V):
     return np.concatenate(perms)
 
 
-def test_counts_match_oracle_given_same_perms(rng):
-    nbr, n2a = _random_inputs(rng)  # a=3 -> sort path
+def test_counts_match_oracle_given_same_perms(rng, monkeypatch):
+    from safepy_tpu.ops import permutation as perm_mod
+
+    monkeypatch.setattr(perm_mod, "SORT_PATH_MAX_ATTRIBUTES", 16)
+    nbr, n2a = _random_inputs(rng)  # a=3, forced onto the sort path
     valid = np.flatnonzero(np.sum(~np.isnan(n2a), axis=1))
     V = len(valid)
     key = jax.random.PRNGKey(7)
@@ -93,7 +96,10 @@ def test_counts_match_oracle_given_same_perms(rng):
     np.testing.assert_array_equal(np.asarray(got_pos), want_pos)
 
 
-def test_zscore_counts_match_oracle(rng):
+def test_zscore_counts_match_oracle(rng, monkeypatch):
+    from safepy_tpu.ops import permutation as perm_mod
+
+    monkeypatch.setattr(perm_mod, "SORT_PATH_MAX_ATTRIBUTES", 16)
     nbr, n2a = _random_inputs(rng, n=40, a=2)
     valid = np.flatnonzero(np.sum(~np.isnan(n2a), axis=1))
     V = len(valid)
@@ -161,16 +167,17 @@ def test_counts_match_oracle_gather_path(rng, monkeypatch):
     np.testing.assert_array_equal(np.asarray(got_pos), want_pos)
 
 
-def test_counts_match_oracle_sort_path_many_columns(rng):
-    """A > SORT_GROUP_COLUMNS exercises the grouped key re-sort: identical
-    keys must yield the identical permutation for EVERY column group, so the
-    exact-count oracle (fed the replayed stable argsort) still matches
+def test_counts_match_oracle_sort_path_many_columns(rng, monkeypatch):
+    """Many columns exercise the broadcast-key sort (forced — auto-selection
+    prefers the row gather for A >= 2): the key row broadcast across the
+    column axis must yield the identical permutation for EVERY column, so
+    the exact-count oracle (fed the replayed stable argsort) still matches
     bit-for-bit across all columns."""
-    from safepy_tpu.ops.permutation import (SORT_GROUP_COLUMNS,
-                                            uses_sort_path)
+    from safepy_tpu.ops import permutation as perm_mod
 
-    nbr, n2a = _random_inputs(rng, n=40, a=3 * SORT_GROUP_COLUMNS + 2)
-    assert uses_sort_path(n2a.shape[1])
+    monkeypatch.setattr(perm_mod, "SORT_PATH_MAX_ATTRIBUTES", 256)
+    nbr, n2a = _random_inputs(rng, n=40, a=14)
+    assert perm_mod.uses_sort_path(n2a.shape[1])
     valid = np.flatnonzero(np.sum(~np.isnan(n2a), axis=1))
     V = len(valid)
     key = jax.random.PRNGKey(9)

@@ -73,6 +73,39 @@ def main():
             "first_s": round(first, 2), "steady_s": round(steady, 3),
             "enriched": int((sf.nes_binary > 0).sum())}), flush=True)
         return
+    if kind == "hop":
+        # non-geometric metric at band scale: hop-count ('shortpath')
+        # neighborhoods served by the LANDMARK certificate
+        # (ops/apsp_banded.graph_banded_order) — no Euclidean contract
+        n = int(rest)
+        t0 = time.time()
+        g = build_graph(n)
+        print(f"# graph built in {time.time() - t0:.1f} s", flush=True)
+        attrs = quant_attrs(n)
+        from safepy_tpu import SAFE
+        sf = SAFE(verbose=False)
+        sf.apsp_mode = "band"
+        sf.random_seed = 17
+        sf.load_network(network_file=g, node_key_attribute="key")
+        sf.load_attributes(attribute_file=attrs)
+        t0 = time.time()
+        sf.run_pipeline(node_distance_metric="shortpath",
+                        neighborhood_radius=2, num_permutations=1000)
+        first = time.time() - t0
+        t0 = time.time()
+        sf.run_pipeline(node_distance_metric="shortpath",
+                        neighborhood_radius=2, num_permutations=1000)
+        steady = time.time() - t0
+        from safepy_tpu.ops.apsp_bandstore import BandedMatrix, band_nbytes
+        assert isinstance(sf._neighborhoods_dev, BandedMatrix)
+        band = int(sf._neighborhoods_dev.band)
+        print(json.dumps({
+            "check": "hop_scale", "nodes": n, "band": band,
+            "band_gb": round(band_nbytes(n, band) / 1e9, 2),
+            "dense_gb": round(4 * n * n / 1e9, 1),
+            "first_s": round(first, 2), "steady_s": round(steady, 3),
+            "enriched": int((sf.nes_binary > 0).sum())}), flush=True)
+        return
     if kind == "quant":
         n = int(rest)
         t0 = time.time()

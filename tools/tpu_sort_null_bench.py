@@ -1,8 +1,9 @@
 """Sort-path vs gather-path permutation null at many attributes.
 
 The keyed-sort null engine originally capped at 4 attributes (one variadic
-sort carrying every column); the grouped re-sort (ops/permutation.py,
-SORT_GROUP_COLUMNS) lifts the cap to 256. This measures both engines on a
+sort carrying every column); the broadcast-key single-sort formulation
+(ops/permutation.permuted_operands_sorted) lifts the cap to 256 with an XLA
+program size flat in A. This measures both engines on a
 20k-node x 64-attribute quantitative null — the regime that previously paid
 the serialized-gather path.
 
@@ -50,12 +51,15 @@ def main():
         return float(np.asarray(cn[0, 0]))
 
     results = {}
-    for name, cap in (("sort_grouped", 256), ("gather", 0)):
+    for name, cap in (("gather", 0), ("sort_bcast", 256)):
         # the engine choice is a trace-time Python branch on the module
         # global — clear the jit cache so the cap change recompiles
         perm_mod.SORT_PATH_MAX_ATTRIBUTES = cap
         perm_mod.run_permutations.clear_cache()
+        t0 = time.time()
         run()
+        print(json.dumps({"engine": name,
+                          "first_s": round(time.time() - t0, 3)}), flush=True)
         t0 = time.time()
         run()
         results[name] = round(time.time() - t0, 3)
@@ -64,7 +68,7 @@ def main():
                           "steady_s": results[name]}), flush=True)
     print(json.dumps({"check": "sort_vs_gather", "nodes": n, "attributes": a,
                       "speedup": round(results["gather"]
-                                       / results["sort_grouped"], 2)}),
+                                       / results["sort_bcast"], 2)}),
           flush=True)
 
 
