@@ -1,11 +1,11 @@
 """Sort-path vs gather-path permutation null at many attributes.
 
-The keyed-sort null engine originally capped at 4 attributes (one variadic
-sort carrying every column); the broadcast-key single-sort formulation
-(ops/permutation.permuted_operands_sorted) lifts the cap to 256 with an XLA
-program size flat in A. This measures both engines on a
-20k-node x 64-attribute quantitative null — the regime that previously paid
-the serialized-gather path.
+The broadcast-key single-sort formulation
+(ops/permutation.permuted_operands_sorted) serves any attribute width with an
+XLA program size flat in A; the row-gather engine amortizes one (C, V) index
+set over all columns. This measures both engines on a 20k-node quantitative
+null at the requested width — the sweep behind the SORT_PATH_MAX_ATTRIBUTES
+crossover (sort wins only at A=1 on v5e).
 
 Usage: tools/tpu_run.sh tools/tpu_sort_null_bench.py [nodes] [attrs] [perms]
 """
