@@ -366,7 +366,11 @@ def hypergeom_band_table(s_ind, nan0_np, nodes_not_nan_np, M,
             R=ch["R"], S_max=ch["S_max"], C=ch["C"], bt=bt, block=block,
             npad=npad, precision=precision)
         del cols
-        counts.append(np.asarray(jnp.sum(bin_c, axis=0, dtype=jnp.int32)))
+        # a unified tail chunk re-windows backwards: its leading `overlap`
+        # columns recompute the previous chunk's values identically (the
+        # placement below just overwrites them) but must not double-count
+        counts.append(np.asarray(
+            jnp.sum(bin_c, axis=0, dtype=jnp.int32))[ch.get("overlap", 0):])
         nes, logsf, nbin = _place_chunk(nes, logsf, nbin, nes_c, logsf_c,
                                         bin_c, start)
     return nes, logsf, nbin, np.concatenate(counts)

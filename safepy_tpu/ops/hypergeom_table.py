@@ -269,6 +269,15 @@ def plan(K_np, n_max: int, M: int, *, chunk_cols: int = 512,
     at 100k x 4,373 the sorted-pieces assembly transiently tripled the
     output footprint and pushed peak HBM over the chip (measured as a 2x
     slowdown from allocator thrash, then OOM).
+
+    Chunk signatures are UNIFIED when budgets allow: every distinct
+    (R, S_max, C, width) tuple is a separately compiled program and remote
+    TPU compiles cost 1 s-10 min each, so the tail chunk is re-windowed to
+    end at ``n_attrs`` with full ``chunk_cols`` width (its leading
+    ``overlap`` columns recompute the previous chunk's values identically —
+    drivers overwrite in place and trim the overlap from per-chunk counts)
+    and every chunk's geometry is lifted to the plan maximum. One program
+    then serves the whole run.
     """
     K_np = np.asarray(K_np, np.float64)
     if K_np.size == 0 or not np.all(K_np == np.floor(K_np)):
@@ -293,8 +302,56 @@ def plan(K_np, n_max: int, M: int, *, chunk_cols: int = 512,
         if cells > chunk_budget_cells:
             return None
         total += cells
-        chunks.append(dict(start=s, width=len(kc), K_dist=k_dist_padded,
+        chunks.append(dict(start=s, width=len(kc), overlap=0,
+                           K_dist=k_dist_padded,
                            colc=colc.astype(np.int32), R=r, S_max=s_max, C=c))
     if total > budget_cells:
         return None
+    chunks, total = _unify_chunk_signatures(
+        chunks, total, K_np, n_max, M, chunk_cols,
+        budget_cells, chunk_budget_cells)
     return dict(chunks=chunks, total_cells=total, n_max=n_max, M=int(M))
+
+
+def _unify_chunk_signatures(chunks, total, K_np, n_max, M, chunk_cols,
+                            budget_cells, chunk_budget_cells):
+    """Collapse the plan to ONE (R, S_max, C, width) jit signature.
+
+    Returns the (possibly rewritten) chunk list and its total build cells;
+    leaves the plan untouched when unification would breach a budget (the
+    maxima of R/S_max/C can come from different chunks) or when there is
+    only one chunk.
+    """
+    if len(chunks) < 2:
+        return chunks, total
+    n_attrs = len(K_np)
+    last = chunks[-1]
+    if last["width"] < chunk_cols:
+        s = n_attrs - chunk_cols
+        kc = K_np[s:]
+        k_dist, colc = np.unique(kc, return_inverse=True)
+        r, s_max = table_geometry(k_dist, n_max, M)
+        c = 1
+        while c < len(k_dist):
+            c *= 2
+        k_dist_padded = np.zeros(c, np.float64)
+        k_dist_padded[:len(k_dist)] = k_dist
+        last = dict(start=s, width=chunk_cols, overlap=last["start"] - s,
+                    K_dist=k_dist_padded, colc=colc.astype(np.int32),
+                    R=r, S_max=s_max, C=c)
+    r_u = max(ch["R"] for ch in chunks[:-1] + [last])
+    s_u = max(ch["S_max"] for ch in chunks[:-1] + [last])
+    c_u = max(ch["C"] for ch in chunks[:-1] + [last])
+    cells_u = r_u * s_u * c_u
+    # chunk_budget_cells is the live-HBM bound — strict; the total is a
+    # WORK bound (~1 s per 1.2e9 cells), so allow the unified plan up to 2x
+    # the already-accepted work: one saved remote compile pays for minutes
+    if cells_u > chunk_budget_cells or cells_u * len(chunks) > 2 * total:
+        return chunks, total
+    unified = []
+    for ch in chunks[:-1] + [last]:
+        k_dist_padded = np.zeros(c_u, np.float64)
+        k_dist_padded[:len(ch["K_dist"])] = ch["K_dist"]
+        unified.append(dict(ch, K_dist=k_dist_padded,
+                            R=r_u, S_max=s_u, C=c_u))
+    return unified, cells_u * len(unified)

@@ -643,7 +643,10 @@ def hypergeom_band_table_sharded(ind_g, nan0_np,
             mesh=mesh, axis=axis, R=ch["R"], S_max=ch["S_max"], C=ch["C"],
             n=n, band=band, block=block, precision=precision)
         del cols
-        counts.append(np.asarray(jnp.sum(bin_c, axis=0, dtype=jnp.int32)))
+        # unified tail chunks re-window backwards; trim the recomputed
+        # overlap columns from the counts (placement overwrites in place)
+        counts.append(np.asarray(
+            jnp.sum(bin_c, axis=0, dtype=jnp.int32))[ch.get("overlap", 0):])
         nes, logsf, nbin = _place_chunk(nes, logsf, nbin, nes_c, logsf_c,
                                         bin_c, start)
     return nes, logsf, nbin, np.concatenate(counts)

@@ -235,3 +235,46 @@ def test_table_engine_rejects_non_binary(tmp_path):
 def test_plan_ineligible_on_fractional_K():
     assert htab.plan(np.array([2.5, 3.0]), 50, 100) is None
     assert htab.plan(np.array([]), 50, 100) is None
+
+
+def test_unified_multichunk_plan_matches_scipy():
+    """Multi-chunk plans collapse to ONE (R, S_max, C, width) jit signature
+    (remote compiles cost 1 s-10 min each): the tail chunk re-windows
+    backwards to full width and recomputes `overlap` columns identically —
+    driving the chunks exactly as ops/enrich_band.hypergeom_band_table does
+    (overwrite placement + count trim) must still match scipy everywhere."""
+    rng = np.random.default_rng(21)
+    N, A, M = 200, 21, 180
+    nsize = rng.integers(0, 150, N).astype(np.float64)
+    K = rng.integers(0, 100, A).astype(np.float64)
+    counts = np.floor(np.minimum(nsize[:, None], K[None, :])
+                      * rng.random((N, A))).astype(np.float64)
+
+    plan = htab.plan(K, float(nsize.max()), M, chunk_cols=8)
+    assert len(plan["chunks"]) == 3
+    sigs = {(c["R"], c["S_max"], c["C"], c["width"])
+            for c in plan["chunks"]}
+    assert len(sigs) == 1, sigs
+    last = plan["chunks"][-1]
+    assert last["start"] == A - 8 and last["overlap"] == 3
+    assert sum(c["width"] - c["overlap"] for c in plan["chunks"]) == A
+
+    logsf = np.full((N, A), np.nan, np.float32)
+    col_counts = []
+    for ch in plan["chunks"]:
+        s, w = ch["start"], ch["width"]
+        table = htab.build_logsf_table(
+            jnp.asarray(ch["K_dist"]), M, float(np.log(0.05)),
+            R=ch["R"], S_max=ch["S_max"], C=ch["C"])
+        _, logsf_c, nbin_c = htab.table_lookup(
+            table, jnp.asarray(counts[:, s:s + w], jnp.float32),
+            jnp.asarray(nsize, jnp.float32),
+            jnp.asarray(ch["colc"], jnp.int32), np.float32(np.log(0.05)),
+            S_max=ch["S_max"], R=ch["R"], C=ch["C"])
+        logsf[:, s:s + w] = np.asarray(logsf_c)  # overwrite placement
+        col_counts.append(np.asarray(nbin_c).sum(0)[ch["overlap"]:])
+
+    p_want = scipy_hypergeom.sf(counts - 1, M, K[None, :], nsize[:, None])
+    assert np.max(np.abs(np.exp(logsf.astype(np.float64)) - p_want)) <= 1e-6
+    col_counts = np.concatenate(col_counts)
+    np.testing.assert_array_equal(col_counts, (p_want < 0.05).sum(0))
