@@ -264,6 +264,91 @@ def _relax_skew_pallas(win, p_ext, *, bt: int, block: int):
     )(win, p_ext, win)
 
 
+def _relax_skew_sym_pallas(win, p_ext, *, bt: int, block: int):
+    """Symmetric window relax: compute the upper wedge, mirror the lower.
+
+    The band holds a SYMMETRIC distance matrix (undirected graphs —
+    reference safe.py:403-410), and min-plus relaxation preserves symmetry:
+    with D[J,K] = D[K,J]^T, the lower-triangle update
+    ``min(C[J,I], D[J,K] (x) D[K,I])`` equals the transpose of the upper
+    update ``min(C[I,J], D[I,K] (x) D[K,J])``. A window tile (o, j) sits at
+    diagonal offset ``j - bt`` (its mirror is (o + j - bt, 2*bt - j)), so:
+
+      * pass A computes only tiles j >= bt (upper wedge incl. the diagonal
+        line) — 477 vs 919 relaxed tiles at bt=17, a ~1.9x cut of the VPU
+        min-plus work that dominates the whole engine; tiles beyond the
+        pivot slab (o + j > 3*bt) pass through exactly as in
+        :func:`_relax_skew_pallas`;
+      * pass B fills j < bt: in-band tiles (o + j >= bt) as the TRANSPOSE of
+        their pass-A mirror, out-of-band tiles as the original passthrough.
+        Pass B aliases pass A's buffer (it writes only j < bt and reads only
+        j > bt mirrors — no read/write overlap).
+    """
+    nt = 2 * bt + 1
+
+    def kernel_a(a_ref, b_ref, c_ref, o_ref):
+        o = apsp_pallas.pl.program_id(0)
+        jj = apsp_pallas.pl.program_id(1)
+        compute = o + jj <= 2 * bt   # P tile beyond the pivot slab otherwise
+
+        @apsp_pallas.pl.when(compute)
+        def _():
+            o_ref[:] = apsp_pallas._tile_minplus(c_ref[:], a_ref[:], b_ref[:],
+                                                 block)
+
+        @apsp_pallas.pl.when(jnp.logical_not(compute))
+        def _():
+            o_ref[:] = c_ref[:]
+
+    upper = apsp_pallas.pl.pallas_call(
+        kernel_a,
+        grid=(nt, bt + 1),
+        in_specs=[
+            apsp_pallas.pl.BlockSpec((block, block),
+                                     lambda o, jj: (o, 2 * bt - o + jj * 0)),
+            apsp_pallas.pl.BlockSpec((block, block),
+                                     lambda o, jj: (o * 0, o + bt + jj)),
+            apsp_pallas.pl.BlockSpec((block, block),
+                                     lambda o, jj: (o, bt + jj)),
+        ],
+        out_specs=apsp_pallas.pl.BlockSpec((block, block),
+                                           lambda o, jj: (o, bt + jj)),
+        out_shape=jax.ShapeDtypeStruct(win.shape, jnp.float32),
+    )(win, p_ext, win)
+
+    def kernel_b(u_ref, v_ref, o_ref):
+        o = apsp_pallas.pl.program_id(0)
+        jj = apsp_pallas.pl.program_id(1)
+        in_band = o + jj >= bt
+
+        @apsp_pallas.pl.when(in_band)
+        def _():
+            o_ref[:] = u_ref[:].T
+
+        @apsp_pallas.pl.when(jnp.logical_not(in_band))
+        def _():
+            o_ref[:] = v_ref[:]
+
+    def _mirror_row(o, jj):
+        m = o + jj - bt
+        return jnp.maximum(m, 0)  # clamped for out-of-band cells (unused read)
+
+    return apsp_pallas.pl.pallas_call(
+        kernel_b,
+        grid=(nt, bt),
+        in_specs=[
+            apsp_pallas.pl.BlockSpec((block, block),
+                                     lambda o, jj: (_mirror_row(o, jj),
+                                                    2 * bt - jj)),
+            apsp_pallas.pl.BlockSpec((block, block), lambda o, jj: (o, jj)),
+        ],
+        out_specs=apsp_pallas.pl.BlockSpec((block, block),
+                                           lambda o, jj: (o, jj)),
+        out_shape=jax.ShapeDtypeStruct(win.shape, jnp.float32),
+        input_output_aliases={0: 0},
+    )(upper, win)
+
+
 def _relax_skew_jnp(win, p_ext, *, bt: int, block: int):
     """jnp fallback mirroring the Pallas tile maps (CPU tests / other backends)."""
     nt = 2 * bt + 1
@@ -284,17 +369,26 @@ def _relax_skew_jnp(win, p_ext, *, bt: int, block: int):
 # Band-storage blocked Floyd-Warshall
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("bt", "block", "use_pallas"))
-def apsp_band_fw(s, *, bt: int, block: int = 128, use_pallas: bool | None = None):
+@functools.partial(jax.jit, static_argnames=("bt", "block", "use_pallas",
+                                             "symmetric"))
+def apsp_band_fw(s, *, bt: int, block: int = 128,
+                 use_pallas: bool | None = None, symmetric: bool = False):
     """Blocked Floyd-Warshall over skewed band storage (see module docstring).
 
     ``s``: ((nb + 2*bt)*b, (2*bt+1)*b) f32 from :func:`band_init_from_edges` /
     :func:`pack_band`. Returns the same frame with in-band entries exact for
     every pair whose true distance is within the certified radius.
+    ``symmetric`` (Pallas path) computes only the window's upper wedge and
+    mirrors the lower — bit-identical for the symmetric matrices undirected
+    graphs produce (:func:`_relax_skew_sym_pallas`), ~1.9x less min-plus work.
     """
     if use_pallas is None:
         use_pallas = _on_tpu()
-    relax_skew = _relax_skew_pallas if use_pallas else _relax_skew_jnp
+    if use_pallas:
+        relax_skew = (_relax_skew_sym_pallas if symmetric
+                      else _relax_skew_pallas)
+    else:
+        relax_skew = _relax_skew_jnp
     relax_rows = (functools.partial(apsp_pallas._relax_rows, block=block)
                   if use_pallas
                   else (lambda diag, panel: min_plus_relax_jax(panel, diag,
@@ -319,6 +413,167 @@ def apsp_band_fw(s, *, bt: int, block: int = 128, use_pallas: bool | None = None
         return jax.lax.dynamic_update_slice(s, win, ((kg - bt) * block, 0))
 
     return jax.lax.fori_loop(0, nb, round_body, s)
+
+
+# ---------------------------------------------------------------------------
+# Sparse Bellman-Ford band relaxation (the low-hop alternative to FW)
+# ---------------------------------------------------------------------------
+
+def band_bf_slots(u, v, w, *, n: int, band: int, block: int = 128):
+    """Host-side per-node neighbor slots for :func:`apsp_band_bf`.
+
+    u, v: int node ranks in the banded order; w: edge lengths (one entry per
+    undirected edge — both directions are generated here). Out-of-band edges
+    are dropped exactly as in :func:`band_init_from_edges`. Returns
+    ``(nbr, dlt, wgt, S)``: ``nbr[i, s]`` the s-th neighbor of permuted row i
+    (0-padded), ``dlt[i, s] = i//block - nbr//block`` the block skew offset
+    (int8), ``wgt[i, s]`` the edge length (+inf padding), with ``S`` the max
+    directed degree. Returns None when the skew offset would overflow int8
+    (band >= ~16k elements — FW territory anyway).
+    """
+    bt, nb, width = band_params(n, band, block)
+    if bt + 1 > 127:
+        return None
+    u = np.asarray(u, np.int64)
+    v = np.asarray(v, np.int64)
+    w = np.asarray(w, np.float32)
+    uu = np.concatenate([u, v])
+    vv = np.concatenate([v, u])
+    ww = np.concatenate([w, w])
+    col = vv - (uu // block - bt) * block
+    keep = (col >= 0) & (col < width)
+    uu, vv, ww = uu[keep], vv[keep], ww[keep]
+
+    order = np.argsort(uu, kind="stable")
+    uu, vv, ww = uu[order], vv[order], ww[order]
+    idx = np.arange(len(uu), dtype=np.int64)
+    first = np.r_[True, uu[1:] != uu[:-1]] if len(uu) else np.zeros(0, bool)
+    group_start = np.maximum.accumulate(np.where(first, idx, 0))
+    slot = idx - group_start
+    S = int(slot.max()) + 1 if len(slot) else 1
+
+    npad = nb * block
+    nbr = np.zeros((npad, S), np.int32)
+    dlt = np.zeros((npad, S), np.int8)
+    wgt = np.full((npad, S), np.inf, np.float32)
+    nbr[uu, slot] = vv.astype(np.int32)
+    dlt[uu, slot] = (uu // block - vv // block).astype(np.int8)
+    wgt[uu, slot] = ww
+    return nbr, dlt, wgt, S
+
+
+@functools.partial(jax.jit, static_argnames=("bt", "block", "max_iters",
+                                             "group", "stripe"))
+def apsp_band_bf(s, nbr, dlt, wgt, clamp, *, bt: int, block: int = 128,
+                 max_iters: int = 512, group: int = 4, stripe: int = 1024):
+    """Sparse Bellman-Ford relaxation over the skewed band storage.
+
+    Floyd-Warshall does O(N*W^2) min-plus work regardless of the graph; for
+    the radius-bounded problem a <= r shortest path has only L edges (L ~ 10
+    on geometric kNN networks, L = r exactly on hop-metric networks,
+    safe.py:408-410), so L rounds of the classic edge relaxation
+
+        D[i, :] = min(D[i, :], w(i, m) + D[m, :])     for every neighbor m
+
+    reach the same fixpoint in O(L * S * N * W) HBM traffic — each neighbor
+    row is ONE contiguous slice of the flat band (a DMA-friendly slab
+    gather; the skew offset ``dlt`` realigns columns, straddled lanes are
+    masked +inf, which is EXACT: they are out-of-band for the neighbor row).
+    Entries that exceed ``clamp`` (the inclusive radius) reset to +inf each
+    round — sound because every prefix of a <= r shortest path is itself
+    <= r, and it bounds convergence by L rather than the graph diameter.
+
+    The round runs in column STRIPES written back in place (``stripe`` lanes
+    at a time, clamped starts — overlap lanes recompute identically under
+    min): peak HBM stays at the band + a few (npad, stripe) temps instead of
+    ``group`` full-width gather buffers, and later stripes relax against
+    already-updated earlier stripes (Gauss-Seidel — converges no slower,
+    same fixpoint).
+
+    Returns ``(s, converged, iters)``. ``converged`` False (max_iters hit)
+    means the band holds upper bounds, not final distances — callers MUST
+    fall back (e.g. finish with :func:`apsp_band_fw`, which is exact from any
+    admissible upper-bound state). Unlike FW, beyond-radius in-band entries
+    finish as +inf, matching the reference's Dijkstra-cutoff output shape
+    (safe.py:406-410) even before the pipeline's radius mask.
+    """
+    width = s.shape[1]
+    npad = s.shape[0] - 2 * bt * block
+    S = nbr.shape[1]
+    P = min(stripe, width)
+    nstripes = -(-width // P)
+    clamp = jnp.asarray(clamp, s.dtype)
+
+    base = ((bt * block + nbr.astype(jnp.int32)) * width
+            + dlt.astype(jnp.int32) * block)                  # (npad, S)
+    shift = dlt.astype(jnp.int32) * block
+    lane_lo = jnp.maximum(0, -shift)                          # (npad, S)
+    lane_hi = jnp.minimum(width, width - shift)
+    lane_p = jax.lax.broadcasted_iota(jnp.int32, (npad, P), 1)
+
+    nsteps = -(-S // group)
+
+    def body(carry):
+        s, it, _ = carry
+
+        def do_stripe(sp, carry):
+            s, changed = carry
+            c0 = jnp.minimum(sp * P, width - P)
+            flat = s.reshape(-1)
+            cur = jax.lax.dynamic_slice(s, (bt * block, c0), (npad, P))
+            lane = lane_p + c0
+
+            def step(k, acc):
+                for g_i in range(group):
+                    sl = jnp.minimum(k * group + g_i, S - 1)
+                    st = jax.lax.dynamic_index_in_dim(base, sl, 1,
+                                                      keepdims=False) + c0
+                    ww = jax.lax.dynamic_index_in_dim(wgt, sl, 1,
+                                                      keepdims=False)
+                    l0 = jax.lax.dynamic_index_in_dim(lane_lo, sl, 1,
+                                                      keepdims=False)
+                    l1 = jax.lax.dynamic_index_in_dim(lane_hi, sl, 1,
+                                                      keepdims=False)
+                    g = jax.vmap(lambda p: jax.lax.dynamic_slice(
+                        flat, (p,), (P,)))(st)
+                    ok = (lane >= l0[:, None]) & (lane < l1[:, None])
+                    acc = jnp.minimum(acc, jnp.where(ok, g, jnp.inf)
+                                      + ww[:, None])
+                return acc
+
+            acc = jax.lax.fori_loop(0, nsteps, step, cur)
+            acc = jnp.where(acc > clamp, jnp.inf, acc)
+            changed = jnp.logical_or(changed, jnp.any(acc < cur))
+            s = jax.lax.dynamic_update_slice(s, acc, (bt * block, c0))
+            return s, changed
+
+        s, changed = jax.lax.fori_loop(0, nstripes, do_stripe,
+                                       (s, jnp.bool_(False)))
+        return s, it + 1, changed
+
+    def cond(carry):
+        _, it, changed = carry
+        return jnp.logical_and(changed, it < max_iters)
+
+    s, iters, changed = jax.lax.while_loop(
+        cond, body, (s, jnp.int32(0), jnp.bool_(True)))
+    return s, jnp.logical_not(changed), iters
+
+
+def bf_max_iters(n: int, band: int, S: int, block: int = 128,
+                 floor: int = 16, cap: int = 512) -> int:
+    """Iteration budget at which BF has spent ~one FW's worth of time.
+
+    FW runs ~in-band (2bt+1)^2 tiles x 2*block^3 VPU ops per round at the
+    measured 0.76 T/s issue ceiling; one BF round moves ~2 reads + 1 write of
+    S gathered (npad, W) slabs at ~0.8 TB/s. Capping BF's rounds at their
+    ratio bounds the worst (non-converging, fall-back-to-FW) case at ~2x FW
+    while leaving geometric/hop networks (L ~ 10-20) far below the cap.
+    """
+    bt, nb, width = band_params(n, band, block)
+    fw_s = 0.75 * (2 * bt + 1) ** 2 * nb * 2 * block ** 3 / 0.76e12
+    iter_s = 3 * S * nb * block * width * 4 / 0.8e12
+    return int(np.clip(fw_s / max(iter_s, 1e-12), floor, cap))
 
 
 # ---------------------------------------------------------------------------

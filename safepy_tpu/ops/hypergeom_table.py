@@ -219,28 +219,32 @@ def table_lookup(table, counts, nsize, colc, log_thr32, *, S_max: int,
 
 
 def _lookup_slot_loop(table, k, n_i, colc, *, S_max: int, group: int = 8):
-    """Exact gather-free resolve: one masked sweep per count slot.
+    """Exact gather-free resolve: one masked sweep per OCCURRING count value.
 
-    For each slot ``s`` (count value ``S_max - 1 - s``) the class axis is
-    expanded to columns with a tiny row gather + transpose, the row axis with
-    ONE (N, A) row gather (row gathers ride the DMA engines — lane/element
-    gathers serialize), and cells matching the slot's count select the value:
+    For each count value ``kk`` (table slot ``s = S_max - 1 - kk``) the class
+    axis is expanded to columns with a tiny row gather + transpose, the row
+    axis with ONE (N, A) row gather (row gathers ride the DMA engines —
+    lane/element gathers serialize), and cells matching the count select the
+    value:
 
-        acc += where(k == S_max - 1 - s, table[s][colc].T[n_i], 0)
+        acc += where(k == kk, table[S_max - 1 - kk][colc].T[n_i], 0)
 
-    Exactly one slot matches each cell, and the k = 0 slot stores exactly
-    0.0 for every reachable class (sf(-1) = 1), so slots past the end clamp
-    there and contribute nothing — no tail special-casing. ``group`` slots
-    unroll per fori_loop step so the accumulator round-trips HBM once per
-    group rather than once per slot.
+    Exactly one sweep matches each cell. The loop runs ASCENDING in kk with a
+    DYNAMIC upper bound max(k): S_max is padded to a power of two for jit
+    signature reuse, but real counts are bounded by the largest neighborhood
+    — at GO band scale S_max = 256 vs max(k) ~ 150, so the dynamic bound
+    drops ~40% of the sweeps for free. ``group`` sweeps unroll per fori_loop
+    step so the accumulator round-trips HBM once per group rather than once
+    per sweep; sweeps past max(k) inside the last group match no cell (k is
+    pre-clipped to S_max - 1, the slot index clamps at 0) and add zeros.
     """
     colc = colc.astype(jnp.int32)
-    steps = (S_max + group - 1) // group
+    steps = (jnp.max(k) + group) // group          # dynamic: covers [0, max k]
 
     def body(step, acc):
         for g in range(group):
-            s = jnp.minimum(step * group + g, S_max - 1)
-            kk = S_max - 1 - s
+            kk = step * group + g
+            s = S_max - 1 - jnp.minimum(kk, S_max - 1)
             w = jnp.take(jax.lax.dynamic_index_in_dim(
                 table, s, axis=0, keepdims=False), colc, axis=0)  # (A, R)
             x = jnp.take(w.T, n_i, axis=0)                        # (N, A)

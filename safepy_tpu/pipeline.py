@@ -229,19 +229,35 @@ def fused_hypergeom_pipeline(d0, vals, lgt, M, radius, enrichment_threshold, *,
 # Band-STORAGE pipelines: O(N*W) memory end to end (huge networks)
 # ---------------------------------------------------------------------------
 
-def _band_front(u, v, w, radius, *, n, band, block):
-    """Shared front half: init -> band FW -> radius mask -> indicator + stats."""
+def _band_front(u, v, w, radius, *, n, band, block, bf_slots=None,
+                bf_max_iters=0):
+    """Shared front half: init -> band relax -> radius mask -> indicator/stats.
+
+    The relaxation engine is FW (ops/apsp_bandstore.apsp_band_fw) unless
+    ``bf_slots = (nbr, dlt, wgt)`` is given, in which case the sparse
+    Bellman-Ford engine runs with ``bf_max_iters`` as its budget. Returns an
+    extra ``converged`` scalar (constant True on the FW path); callers MUST
+    re-dispatch with FW when it comes back False — the band then holds upper
+    bounds, not final distances.
+    """
     from safepy_tpu.ops import apsp_bandstore as bst
 
     bt = band // block + 1
     s = bst.band_init_from_edges(u, v, w, n=n, band=band, block=block)
-    s = bst.apsp_band_fw(s, bt=bt, block=block)
+    if bf_slots is not None:
+        nbr, dlt, wgt = bf_slots
+        s, converged, _ = bst.apsp_band_bf(
+            s, nbr, dlt, wgt, jnp.asarray(radius, s.dtype), bt=bt,
+            block=block, max_iters=bf_max_iters)
+    else:
+        s = bst.apsp_band_fw(s, bt=bt, block=block)
+        converged = jnp.bool_(True)
     # beyond-radius entries are upper bounds, not exact — mask them to inf
     # exactly as the reference's Dijkstra cutoff never yields them (safe.py:406)
     dist_band = jnp.where(s <= jnp.asarray(radius, s.dtype), s, jnp.inf)
     s_ind = bst.band_threshold(s, radius)
     _, mean, std = bst.band_row_stats(s_ind, n=n, bt=bt, block=block)
-    return dist_band, s_ind, mean, std, bt
+    return dist_band, s_ind, mean, std, bt, converged
 
 
 @functools.partial(jax.jit, static_argnames=("n", "band", "block"))
@@ -262,11 +278,17 @@ def euclidean_band_neighborhoods(coords_perm, radius, *, n: int, band: int,
     return dist_band, s_ind, mean, std
 
 
-@functools.partial(jax.jit, static_argnames=("n", "band", "block"))
-def band_neighborhoods(u, v, w, radius, *, n: int, band: int, block: int = 128):
+@functools.partial(jax.jit, static_argnames=("n", "band", "block",
+                                             "bf_max_iters"))
+def band_neighborhoods(u, v, w, radius, *, n: int, band: int, block: int = 128,
+                       bf_slots=None, bf_max_iters: int = 0):
     """Band-storage neighborhoods alone (the staged define_neighborhoods path):
-    (dist_band, s_ind, mean_size, std_size) in the permuted frame."""
-    return _band_front(u, v, w, radius, n=n, band=band, block=block)[:4]
+    (dist_band, s_ind, mean_size, std_size, converged) in the permuted frame.
+    ``converged`` is constant True on the FW path (``bf_slots=None``); on the
+    BF path a False means the caller must re-dispatch with FW."""
+    out = _band_front(u, v, w, radius, n=n, band=band, block=block,
+                      bf_slots=bf_slots, bf_max_iters=bf_max_iters)
+    return out[:4] + (out[5],)
 
 
 def _band_perm_tail(s_ind, vals, vals_valid, valid, starts, rank, key, *,
@@ -293,13 +315,14 @@ def _band_perm_tail(s_ind, vals, vals_valid, valid, starts, rank, key, *,
 
 @functools.partial(jax.jit, static_argnames=(
     "n", "band", "block", "score_type", "num_permutations", "batch_size",
-    "w_c", "precision"))
+    "w_c", "precision", "bf_max_iters"))
 def fused_permutation_pipeline_band(u, v, w, vals, vals_valid, valid, starts,
                                     rank, key, radius, *, n: int, band: int,
                                     block: int = 128, score_type: str = "sum",
                                     num_permutations: int = 1000,
                                     batch_size: int = 1000, w_c: int,
-                                    precision: str = "highest"):
+                                    precision: str = "highest",
+                                    bf_slots=None, bf_max_iters: int = 0):
     """Band-storage APSP + threshold + scores + permutation null, one dispatch.
 
     All row inputs are in the PERMUTED (banded-order) frame: u/v/w the edge
@@ -308,15 +331,19 @@ def fused_permutation_pipeline_band(u, v, w, vals, vals_valid, valid, starts,
     ops/apsp_bandstore.compaction_plan. ``rank`` maps original node i to its
     permuted position, so the returned (n, A) matrices are already back in the
     ORIGINAL frame; the band matrices stay permuted (their frame is part of
-    the BandedMatrix wrapper).
+    the BandedMatrix wrapper). The trailing ``converged`` output is constant
+    True on the FW path (``bf_slots=None``); on the sparse-BF path a False
+    means every other output is garbage and the caller must re-dispatch FW.
     """
-    dist_band, s_ind, mean, std, bt = _band_front(
-        u, v, w, radius, n=n, band=band, block=block)
+    dist_band, s_ind, mean, std, bt, converged = _band_front(
+        u, v, w, radius, n=n, band=band, block=block, bf_slots=bf_slots,
+        bf_max_iters=bf_max_iters)
     obs, counts_neg, counts_pos = _band_perm_tail(
         s_ind, vals, vals_valid, valid, starts, rank, key, bt=bt, block=block,
         score_type=score_type, num_permutations=num_permutations,
         batch_size=batch_size, w_c=w_c, precision=precision)
-    return dist_band, s_ind, obs, counts_neg, counts_pos, mean, std
+    return (dist_band, s_ind, obs, counts_neg, counts_pos, mean, std,
+            converged)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -347,12 +374,14 @@ def fused_permutation_pipeline_band_euclid(
 
 
 @functools.partial(jax.jit, static_argnames=("n", "band", "block",
-                                             "iterations", "attr_chunk"))
+                                             "iterations", "attr_chunk",
+                                             "bf_max_iters"))
 def fused_hypergeom_pipeline_band(u, v, w, nan0, nodes_not_nan, K, lgt, M,
                                   radius, enrichment_threshold, rank, *,
                                   n: int, band: int, block: int = 128,
                                   iterations: int,
-                                  attr_chunk: int | None = None):
+                                  attr_chunk: int | None = None,
+                                  bf_slots=None, bf_max_iters: int = 0):
     """Band-storage APSP + hypergeometric enrichment, one dispatch.
 
     Operands are HOST-precomputed (nan0 = NaN->0 annotations, nodes_not_nan,
@@ -365,8 +394,9 @@ def fused_hypergeom_pipeline_band(u, v, w, nan0, nodes_not_nan, K, lgt, M,
     """
     from safepy_tpu.ops.enrich_band import hypergeom_core_band
 
-    dist_band, s_ind, mean, std, bt = _band_front(
-        u, v, w, radius, n=n, band=band, block=block)
+    dist_band, s_ind, mean, std, bt, converged = _band_front(
+        u, v, w, radius, n=n, band=band, block=block, bf_slots=bf_slots,
+        bf_max_iters=bf_max_iters)
 
     nes32, log_sf32, nes_binary = hypergeom_core_band(
         s_ind, nan0, nodes_not_nan, K, lgt, M, enrichment_threshold,
@@ -374,4 +404,4 @@ def fused_hypergeom_pipeline_band(u, v, w, nan0, nodes_not_nan, K, lgt, M,
         rank=rank)
     enriched_counts = jnp.sum(nes_binary, axis=0, dtype=jnp.int32)
     return (dist_band, s_ind, nes32, log_sf32, nes_binary,
-            enriched_counts, mean, std)
+            enriched_counts, mean, std, converged)

@@ -83,6 +83,12 @@ class SAFE:
         # dense matrices stop fitting one chip); apsp_mode='band' forces it.
         self.band_storage_min_nodes = 32768
         self._bandstore_cache = {}
+        # band relaxation engine: 'auto' (= FW on TPU: sparse Bellman-Ford
+        # converges in ~path-hop rounds but v5e XLA gathers run 0.10-0.26
+        # TB/s against the FW kernel's 0.76 T min-plus/s — measured, see
+        # docs/DESIGN.md), or force 'bf' / 'fw' explicitly
+        self.band_relax = "auto"
+        self._band_relax_used = None
         self._graph_arrays = None  # cached graph_to_arrays output
         self.node_key_attribute = "label_orf"
 
@@ -380,11 +386,8 @@ class SAFE:
             bs_plan = None if self.mesh is not None else \
                 self._band_storage_plan(coords, edges, weights, num_nodes, nr)
             if bs_plan is not None:
-                from safepy_tpu import pipeline as _pipe
-                dist_band, s_ind, mean, std = _pipe.band_neighborhoods(
-                    bs_plan["u"], bs_plan["v"], bs_plan["w"],
-                    _nbr.inclusive_radius(nr), n=num_nodes,
-                    band=bs_plan["band"])
+                dist_band, s_ind, mean, std = self._band_front_dispatch(
+                    bs_plan, _nbr.inclusive_radius(nr), num_nodes)
                 dist_dev = _BandedMatrix(dist_band, bs_plan["rank"], num_nodes,
                                          bs_plan["band"], fill=np.inf)
                 nbr_dev = _BandedMatrix(s_ind, bs_plan["rank"], num_nodes,
@@ -675,8 +678,65 @@ class SAFE:
                 rank=rank,
                 rank_dev=jnp.asarray(rank, jnp.int32),
                 band=int(band))
+            # host edge copies for the lazily-built sparse-BF relax slots
+            # (_band_bf_args; only materialized when band_relax='bf')
+            plan["edges_perm"] = permuted
+            plan["weights_np"] = np.asarray(weights, np.float32)
         self._bandstore_cache[key] = plan
         return plan
+
+    def _band_bf_args(self, plan):
+        """(bf_slots, bf_max_iters) kwargs for the band pipelines, honoring
+        ``band_relax``. Empty dict = FW, the production engine: sparse BF
+        converges in ~path-hop rounds (ops/apsp_bandstore.apsp_band_bf) but
+        on v5e XLA gathers move 0.10-0.26 TB/s against the FW kernel's 0.76 T
+        min-plus/s, so FW wins at every measured scale (docs/DESIGN.md) and
+        'auto' resolves to it. Slot operands build lazily on first 'bf' use;
+        the iteration budget caps BF's worst (non-converging, fall-back) case
+        at ~2x FW."""
+        if self.band_relax != "bf":
+            return {}
+        if "bf_nbr" not in plan:
+            from safepy_tpu.ops import apsp_bandstore as _bst
+            slots = _bst.band_bf_slots(
+                plan["edges_perm"][:, 0], plan["edges_perm"][:, 1],
+                plan["weights_np"], n=int(len(plan["rank"])),
+                band=int(plan["band"]))
+            if slots is None:
+                return {}
+            nbr, dlt, wgt, s_slots = slots
+            plan.update(bf_nbr=jnp.asarray(nbr), bf_dlt=jnp.asarray(dlt),
+                        bf_wgt=jnp.asarray(wgt),
+                        bf_max_iters=_bst.bf_max_iters(
+                            int(len(plan["rank"])), int(plan["band"]),
+                            s_slots))
+        return dict(bf_slots=(plan["bf_nbr"], plan["bf_dlt"],
+                              plan["bf_wgt"]),
+                    bf_max_iters=int(plan["bf_max_iters"]))
+
+    def _band_front_dispatch(self, plan, radius, num_nodes):
+        """band_neighborhoods with the selected relax engine; re-dispatches
+        with FW when sparse BF hits its iteration budget unconverged (the
+        band then holds upper bounds, not final distances). Records the
+        engine that actually ran in ``_band_relax_used``."""
+        from safepy_tpu import pipeline as _pipe
+
+        bf = self._band_bf_args(plan)
+        if bf:
+            out = _pipe.band_neighborhoods(
+                plan["u"], plan["v"], plan["w"], radius, n=num_nodes,
+                band=plan["band"], **bf)
+            if bool(np.asarray(out[4])):
+                self._band_relax_used = "bf"
+                return out[:4]
+            self._band_relax_used = "bf->fw"
+            logging.info("band BF relax hit its iteration budget; "
+                         "re-dispatching Floyd-Warshall")
+        else:
+            self._band_relax_used = "fw"
+        return _pipe.band_neighborhoods(
+            plan["u"], plan["v"], plan["w"], radius, n=num_nodes,
+            band=plan["band"])[:4]
 
     def _node2attribute_device(self):
         """(N, A) f32 device copy of node2attribute (NaNs preserved), uploaded
@@ -1428,9 +1488,8 @@ class SAFE:
                 elif self.mesh is None:
                     from safepy_tpu.ops.enrich_band import (
                         hypergeom_band_table)
-                    band_done = _pipe.band_neighborhoods(
-                        plan["u"], plan["v"], plan["w"], radius, n=num_nodes,
-                        band=band)
+                    band_done = self._band_front_dispatch(
+                        plan, radius, num_nodes)
                     dist_band, s_ind, mean, std = band_done
                     table_out = hypergeom_band_table(
                         s_ind, nan0_perm, nnn_perm, M,
@@ -1460,9 +1519,8 @@ class SAFE:
                 from safepy_tpu.ops.enrich_band import (
                     hypergeom_band_hostchunks)
                 if band_done is None:
-                    band_done = _pipe.band_neighborhoods(
-                        plan["u"], plan["v"], plan["w"], radius, n=num_nodes,
-                        band=band)
+                    band_done = self._band_front_dispatch(
+                        plan, radius, num_nodes)
                 dist_band, s_ind, mean, std = band_done
                 nes32, log_sf32, nesbin8, counts_dev = \
                     hypergeom_band_hostchunks(
@@ -1515,12 +1573,24 @@ class SAFE:
             else:
                 self._hypergeom_engine_used = "loop-band"
                 lgt = jnp.asarray(_hyper.lgamma_table(M))
+                hb_args = (plan["u"], plan["v"], plan["w"],
+                           jnp.asarray(nan0_perm), jnp.asarray(nnn_perm),
+                           jnp.asarray(K), lgt, M, radius,
+                           np.float64(self.enrichment_threshold), rank_dev)
+                hb_kw = dict(n=num_nodes, band=band, iterations=iters)
+                bf = self._band_bf_args(plan)
+                out = _pipe.fused_hypergeom_pipeline_band(
+                    *hb_args, **hb_kw, **bf)
+                if bf and not bool(np.asarray(out[8])):
+                    self._band_relax_used = "bf->fw"
+                    logging.info("band BF relax hit its iteration budget; "
+                                 "re-dispatching Floyd-Warshall")
+                    out = _pipe.fused_hypergeom_pipeline_band(
+                        *hb_args, **hb_kw)
+                else:
+                    self._band_relax_used = "bf" if bf else "fw"
                 (dist_band, s_ind, nes32, log_sf32, nesbin8, counts_dev, mean,
-                 std) = _pipe.fused_hypergeom_pipeline_band(
-                    plan["u"], plan["v"], plan["w"], jnp.asarray(nan0_perm),
-                    jnp.asarray(nnn_perm), jnp.asarray(K), lgt, M, radius,
-                    np.float64(self.enrichment_threshold), rank_dev,
-                    n=num_nodes, band=band, iterations=iters)
+                 std) = out[:8]
             if self.multiple_testing:
                 log_sf = np.asarray(log_sf32, dtype=np.float64)
                 with np.errstate(over="ignore"):
@@ -1561,10 +1631,21 @@ class SAFE:
                 (dist_band, s_ind, obs_dev, counts_neg, counts_pos, mean,
                  std) = fused_permutation_pipeline_band_sharded(
                     *band_args, mesh=self.mesh, **band_kw)
+                self._band_relax_used = "fw"  # sharded engine relaxes via FW
             else:
+                bf = self._band_bf_args(plan)
+                out = _pipe.fused_permutation_pipeline_band(
+                    *band_args, **band_kw, **bf)
+                if bf and not bool(np.asarray(out[7])):
+                    self._band_relax_used = "bf->fw"
+                    logging.info("band BF relax hit its iteration budget; "
+                                 "re-dispatching Floyd-Warshall")
+                    out = _pipe.fused_permutation_pipeline_band(
+                        *band_args, **band_kw)
+                else:
+                    self._band_relax_used = "bf" if bf else "fw"
                 (dist_band, s_ind, obs_dev, counts_neg, counts_pos, mean,
-                 std) = _pipe.fused_permutation_pipeline_band(
-                    *band_args, **band_kw)
+                 std) = out[:7]
             obs = np.asarray(obs_dev)
             self.ns = obs
             self._finalize_randomization(counts_neg, counts_pos, obs)

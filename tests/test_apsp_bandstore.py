@@ -179,3 +179,152 @@ def test_compact_band_and_batch_matmul():
     dense_valid = dense_ind[:, valid].astype(np.float32)  # (n, V)
     want = np.einsum("nv,cva->cna", dense_valid, vals)
     np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Sparse Bellman-Ford relaxation (apsp_band_bf)
+# ---------------------------------------------------------------------------
+
+def _bf_setup(n, k, seed, block, long_edges=0):
+    coords, edges, w, nr, rank, band = _banded_setup(n, k, seed, block,
+                                                     long_edges)
+    pe = rank[edges]
+    s0 = bs.band_init_from_edges(jnp.asarray(pe[:, 0], jnp.int32),
+                                 jnp.asarray(pe[:, 1], jnp.int32),
+                                 jnp.asarray(w, jnp.float32),
+                                 n=n, band=band, block=block)
+    bt, _, _ = bs.band_params(n, band, block)
+    nbr, dlt, wgt, s_slots = bs.band_bf_slots(pe[:, 0], pe[:, 1], w,
+                                              n=n, band=band, block=block)
+    r = inclusive_radius(nr)
+    return s0, (jnp.asarray(nbr), jnp.asarray(dlt), jnp.asarray(wgt)), \
+        s_slots, bt, band, r
+
+
+@pytest.mark.parametrize("seed,long_edges,stripe",
+                         [(0, 0, 1024), (1, 5, 192), (2, 0, 64)])
+def test_band_bf_matches_fw(seed, long_edges, stripe):
+    """Sparse BF relaxation reaches the FW fixpoint: thresholded indicator
+    bit-identical, within-radius distances equal to f32 association noise
+    (reference semantics: safe.py:406-410 Dijkstra cutoff)."""
+    n, block = 420, 64
+    s0, slots, s_slots, bt, band, r = _bf_setup(n, 6, seed, block, long_edges)
+    fw = bs.apsp_band_fw(s0, bt=bt, block=block, use_pallas=False)
+    bf, conv, iters = bs.apsp_band_bf(s0, *slots, np.float32(r), bt=bt,
+                                      block=block, max_iters=64,
+                                      stripe=stripe)
+    assert bool(conv)
+    assert int(iters) < 64
+    ind_fw = np.asarray(bs.band_threshold(fw, r))
+    ind_bf = np.asarray(bs.band_threshold(bf, r))
+    np.testing.assert_array_equal(ind_bf, ind_fw)
+    fw_d = np.asarray(fw)
+    bf_d = np.asarray(bf)
+    inside = (fw_d <= float(r)) & np.isfinite(fw_d)
+    np.testing.assert_allclose(bf_d[inside], fw_d[inside], rtol=1e-6,
+                               atol=1e-7)
+    # BF clamps beyond-radius entries to +inf (documented contract)
+    assert np.isinf(bf_d[~inside]).all()
+
+
+def test_band_bf_hop_metric():
+    """Hop-count networks (reference safe.py:408-410): BF converges in
+    ~radius rounds and matches FW bitwise."""
+    n, block = 300, 64
+    rng = np.random.default_rng(4)
+    coords, edges, w_geo = _geometric_graph(n, 5, 4)
+    w = np.ones(len(edges), np.float32)
+    r = 2.0
+    order, band = ab.graph_banded_order(n, edges, w, r * (1 + 1e-5))
+    rank = np.empty(n, dtype=np.int64)
+    rank[order] = np.arange(n)
+    pe = rank[edges]
+    s0 = bs.band_init_from_edges(jnp.asarray(pe[:, 0], jnp.int32),
+                                 jnp.asarray(pe[:, 1], jnp.int32),
+                                 jnp.asarray(w), n=n, band=band, block=block)
+    bt, _, _ = bs.band_params(n, band, block)
+    fw = bs.apsp_band_fw(s0, bt=bt, block=block, use_pallas=False)
+    nbr, dlt, wgt, _ = bs.band_bf_slots(pe[:, 0], pe[:, 1], w, n=n,
+                                        band=band, block=block)
+    clamp = np.float32(r * (1 + 1e-6))
+    bf, conv, iters = bs.apsp_band_bf(s0, jnp.asarray(nbr), jnp.asarray(dlt),
+                                      jnp.asarray(wgt), clamp, bt=bt,
+                                      block=block, max_iters=32)
+    assert bool(conv)
+    assert int(iters) <= int(r) + 1  # hop metric: exactly r relax rounds
+    np.testing.assert_array_equal(np.asarray(bs.band_threshold(bf, clamp)),
+                                  np.asarray(bs.band_threshold(fw, clamp)))
+
+
+def test_band_bf_unconverged_fw_finisher():
+    """max_iters too small -> converged False; FW from the partial BF state
+    (admissible upper bounds) still reaches the exact fixpoint — the facade's
+    fall-back contract."""
+    n, block = 420, 64
+    s0, slots, s_slots, bt, band, r = _bf_setup(n, 6, 3, block)
+    fw = bs.apsp_band_fw(s0, bt=bt, block=block, use_pallas=False)
+    bf, conv, _ = bs.apsp_band_bf(s0, *slots, np.float32(r), bt=bt,
+                                  block=block, max_iters=1)
+    assert not bool(conv)
+    finished = bs.apsp_band_fw(bf, bt=bt, block=block, use_pallas=False)
+    np.testing.assert_array_equal(np.asarray(bs.band_threshold(finished, r)),
+                                  np.asarray(bs.band_threshold(fw, r)))
+
+
+def test_bf_max_iters_budget():
+    """The budget scales with the FW/BF cost ratio and stays in [floor, cap]."""
+    small = bs.bf_max_iters(1000, 100, 12)
+    big = bs.bf_max_iters(100_000, 2000, 16)
+    assert 16 <= small <= 512
+    assert 16 <= big <= 512
+    assert big >= small  # wider bands make FW relatively more expensive
+
+
+@pytest.mark.parametrize("seed,radius_frac", [(1, 0.1), (2, 0.18)])
+def test_band_fw_symmetric_kernel_interpret(seed, radius_frac):
+    """The symmetric window relax (upper wedge + mirror transpose) reaches
+    the same fixpoint as the classic kernel: indicator bit-identical,
+    within-radius distances equal to f32 association noise (the mirror swaps
+    which operand saw the phase-2-relaxed pivot row, so bitwise equality is
+    not expected mid-matrix)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, block = 420, 32  # small block -> bt 2-4, exercises the wedge logic
+    rng = np.random.default_rng(seed)
+    coords = rng.uniform(-1, 1, (n, 2))
+    from scipy.spatial import cKDTree
+    _, nn = cKDTree(coords).query(coords, k=6)
+    pairs = {(min(i, int(j)), max(i, int(j)))
+             for i in range(n) for j in nn[i, 1:]}
+    edges = np.array(sorted(pairs))
+    w = np.hypot(*(coords[edges[:, 0]] - coords[edges[:, 1]]).T)
+    nr = radius_frac * (coords[:, 0].max() - coords[:, 0].min())
+    order, band = ab.banded_order(coords, nr * (1 + 1e-5))
+    rank = np.empty(n, np.int64)
+    rank[order] = np.arange(n)
+    pe = rank[edges]
+    s0 = bs.band_init_from_edges(jnp.asarray(pe[:, 0], jnp.int32),
+                                 jnp.asarray(pe[:, 1], jnp.int32),
+                                 jnp.asarray(w, jnp.float32),
+                                 n=n, band=band, block=block)
+    bt, _, _ = bs.band_params(n, band, block)
+    assert bt >= 2
+    r = inclusive_radius(nr)
+    want = np.asarray(bs.apsp_band_fw(s0, bt=bt, block=block,
+                                      use_pallas=False))
+    with pltpu.force_tpu_interpret_mode():
+        sym = np.asarray(bs.apsp_band_fw(s0, bt=bt, block=block,
+                                         use_pallas=True, symmetric=True))
+    np.testing.assert_array_equal(
+        np.asarray(bs.band_threshold(jnp.asarray(sym), r)),
+        np.asarray(bs.band_threshold(jnp.asarray(want), r)))
+    inside = (want <= float(r)) & np.isfinite(want)
+    np.testing.assert_allclose(sym[inside], want[inside], rtol=1e-6,
+                               atol=1e-7)
+    # within-radius entries are ulp-symmetric (beyond-radius upper bounds
+    # may differ across the diagonal — they are junk both ways)
+    dense = bs.unpack_band(sym, n, band, block)
+    ins = (dense <= float(r)) & np.isfinite(dense)
+    sym_pairs = ins & ins.T
+    np.testing.assert_allclose(dense[sym_pairs], dense.T[sym_pairs],
+                               rtol=1e-6, atol=1e-7)

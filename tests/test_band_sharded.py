@@ -264,7 +264,8 @@ def test_sharded_table_hypergeom_bit_identical():
     radius = inclusive_radius(nr)
 
     # single-device: band front + table driver (block 128 = driver default)
-    _, s_ind, _, _ = pipe.band_neighborhoods(u, v, w, radius, n=n, band=band)
+    _, s_ind, _, _, _ = pipe.band_neighborhoods(u, v, w, radius, n=n,
+                                                band=band)
     bt = band // 128 + 1
     single = hypergeom_band_table(s_ind, nan0, nnn, M, np.float64(0.05),
                                   bt=bt, rank_np=rank, chunk_cols=4)

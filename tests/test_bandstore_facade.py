@@ -28,10 +28,11 @@ def _write_net(tmp_path, n=500, k=6, seed=2):
 
 
 def _run(net, attrs, mode, *, seed=7, staged=False, hypergeom_engine="auto",
-         **kwargs):
+         band_relax="auto", **kwargs):
     sf = SAFE(verbose=False)
     sf.apsp_mode = mode
     sf.hypergeom_engine = hypergeom_engine
+    sf.band_relax = band_relax
     sf.random_seed = seed
     sf.load_network(network_file=net, node_key_attribute="key")
     sf.load_attributes(attribute_file=attrs)
@@ -357,3 +358,43 @@ def test_band_euclid_fused_matches_staged(net):
     np.testing.assert_array_equal(
         np.nan_to_num(fused.pvalues_pos, nan=-1),
         np.nan_to_num(staged.pvalues_pos, nan=-1))
+
+
+def test_band_relax_bf_matches_fw(net):
+    """The sparse Bellman-Ford relax engine (default at band scale) and the
+    forced FW engine produce identical facade results on both statistics
+    paths; the engine that ran is recorded in _band_relax_used."""
+    path, n = net
+    attrs = _binary_attrs(n, seed=11)
+    bf = _run(path, attrs, "band", band_relax="bf")
+    fw = _run(path, attrs, "band", band_relax="fw")
+    assert bf._band_relax_used == "bf"
+    assert fw._band_relax_used == "fw"
+    np.testing.assert_array_equal(bf.neighborhoods, fw.neighborhoods)
+    np.testing.assert_array_equal(bf.nes_binary, fw.nes_binary)
+    np.testing.assert_allclose(np.asarray(bf.nes), np.asarray(fw.nes),
+                               rtol=1e-6, atol=1e-6)
+
+    quant = _quant_attrs(n, seed=12)
+    bf_q = _run(path, quant, "band", band_relax="bf", num_permutations=100)
+    fw_q = _run(path, quant, "band", band_relax="fw", num_permutations=100)
+    assert bf_q._band_relax_used == "bf"
+    # same indicator + same keyed draws => bit-identical permutation counts
+    np.testing.assert_array_equal(bf_q.pvalues_pos, fw_q.pvalues_pos)
+    np.testing.assert_allclose(bf_q.ns, fw_q.ns, rtol=1e-6, atol=1e-6)
+
+
+def test_band_relax_unconverged_falls_back_to_fw(net, monkeypatch):
+    """A BF run that hits its iteration budget re-dispatches FW transparently:
+    results match the forced-FW run and the record says 'bf->fw'."""
+    from safepy_tpu.ops import apsp_bandstore as bst
+
+    monkeypatch.setattr(bst, "bf_max_iters",
+                        lambda *a, **k: 1)  # force non-convergence
+    path, n = net
+    attrs = _binary_attrs(n, seed=13)
+    fb = _run(path, attrs, "band", band_relax="bf")
+    assert fb._band_relax_used == "bf->fw"
+    fw = _run(path, attrs, "band", band_relax="fw")
+    np.testing.assert_array_equal(fb.neighborhoods, fw.neighborhoods)
+    np.testing.assert_array_equal(fb.nes_binary, fw.nes_binary)

@@ -62,7 +62,7 @@ def main():
         out = pipe.band_neighborhoods(plan_b["u"], plan_b["v"], plan_b["w"],
                                       radius, n=n, band=plan_b["band"])
         _ = sync(out[1])
-        return out, time.time() - t0
+        return out[:4], time.time() - t0
 
     (dist_band, s_ind, mean, std), fw_first = fw()
     del dist_band

@@ -94,7 +94,7 @@ def main():
     if plan is not None:
         rad = inclusive_radius(nr)
         t0 = time.time()
-        dist_band, s_ind, mean, std = pipe.band_neighborhoods(
+        dist_band, s_ind, mean, std, _conv = pipe.band_neighborhoods(
             plan["u"], plan["v"], plan["w"], rad, n=n, band=plan["band"])
         _ = float(np.asarray(mean))
         out["fw_steady_s"] = round(time.time() - t0, 3)
