@@ -191,7 +191,11 @@ def main(argv=None):
         half = (w - block) // 2
         band_tiles = half // block + 3
         kept = min(nt, 2 * band_tiles + 1)
-        tiles_per_round = 2 * nt + nt * kept
+        # symmetric window kernel (default): only the upper in-band triangle
+        # is relaxed (~(kept+1)/2 tiles per window row), the lower is a
+        # mirror transpose — count the tiles actually computed
+        kept_sym = (kept + 1) / 2
+        tiles_per_round = 2 * nt + nt * kept_sym
         ops = (npad // block) * tiles_per_round * block ** 3 * 2
         roofline["apsp_banded_minplus_tops"] = round(ops / apsp_s / 1e12, 3)
 

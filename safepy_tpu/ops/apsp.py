@@ -97,7 +97,8 @@ def min_plus_product(a, b, *, method: str = "auto", block: int = 128):
     return _min_plus_jax(jnp.asarray(a), jnp.asarray(b))
 
 
-def apsp(dist, *, method: str = "auto", block: int = 128, max_hops: int | None = None):
+def apsp(dist, *, method: str = "auto", block: int = 128,
+         max_hops: int | None = None, symmetric: bool = False):
     """All-pairs shortest path distances of a dense initialized distance matrix.
 
     Args:
@@ -109,6 +110,9 @@ def apsp(dist, *, method: str = "auto", block: int = 128, max_hops: int | None =
       block: Pallas tile size.
       max_hops: for the squaring method, an upper bound on the hop-diameter; default
         N (always safe). Squaring runs ceil(log2(max_hops)) products.
+      symmetric: the caller guarantees ``dist`` is symmetric (undirected
+        graph); the Pallas FW then computes only upper triangles and mirrors
+        (bit-identical, ~2x less VPU work).
 
     Returns:
       (N, N) shortest-path distances, inf where unreachable.
@@ -124,7 +128,8 @@ def apsp(dist, *, method: str = "auto", block: int = 128, max_hops: int | None =
     from safepy_tpu.ops import apsp_pallas
 
     if method == "pallas_fw":
-        return apsp_pallas.apsp_blocked_fw(dist, block=block)
+        return apsp_pallas.apsp_blocked_fw(dist, block=block,
+                                           symmetric=symmetric)
     if method == "pallas_squaring":
         hops = int(max_hops) if max_hops is not None else n
         n_sq = max(1, int(np.ceil(np.log2(max(2, hops)))))

@@ -176,15 +176,21 @@ def window_width(n: int, band: int, block: int = 128) -> int:
     return min(w, npad)
 
 
-@functools.partial(jax.jit, static_argnames=("block", "window", "use_pallas"))
+@functools.partial(jax.jit, static_argnames=("block", "window", "use_pallas",
+                                             "symmetric"))
 def apsp_banded_fw(dist, *, window: int, block: int = 128,
-                   use_pallas: bool | None = None):
+                   use_pallas: bool | None = None, symmetric: bool = True):
     """Blocked FW restricted to a `window`-wide band around each pivot block.
 
     `dist` must already be permuted into the banded order and padded to a block
     multiple (diagonal 0, inf elsewhere). Returns the same frame; entries are
     exact for all pairs with true distance inside the certified radius and
-    upper bounds everywhere else.
+    upper bounds everywhere else. ``symmetric`` (Pallas path, default)
+    computes only each window's upper triangle and mirrors the lower —
+    bit-identical for the symmetric matrices undirected graphs produce
+    (apsp_pallas._relax_full_banded_sym: both pivot panels are the raw panel
+    relaxed once against the bitwise-symmetric closed diagonal, so q == p.T
+    exactly), ~1.9x less VPU min-plus work.
     """
     if use_pallas is None:
         use_pallas = _on_tpu()
@@ -203,8 +209,10 @@ def apsp_banded_fw(dist, *, window: int, block: int = 128,
     if use_pallas:
         relax_rows = functools.partial(apsp_pallas._relax_rows, block=block)
         relax_cols = functools.partial(apsp_pallas._relax_cols, block=block)
-        relax_full = functools.partial(apsp_pallas._relax_full_banded,
-                                       block=block, band_tiles=band_tiles)
+        relax_full = functools.partial(
+            apsp_pallas._relax_full_banded_sym if symmetric
+            else apsp_pallas._relax_full_banded,
+            block=block, band_tiles=band_tiles)
     else:
         relax_rows = lambda diag, panel: _relax_jnp(panel, diag, panel)
         relax_cols = lambda panel, diag: _relax_jnp(panel, panel, diag)

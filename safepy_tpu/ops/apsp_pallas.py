@@ -190,6 +190,71 @@ def _relax_full_banded(q, p, d, *, block: int, band_tiles: int):
     )(q, p, d)
 
 
+def _relax_full_banded_sym(q, p, d, *, block: int, band_tiles: int):
+    """Symmetric :func:`_relax_full_banded`: compute the upper triangle,
+    mirror the lower.
+
+    For the symmetric matrices undirected graphs produce, the pivot panels
+    satisfy ``q == p.T`` bitwise (both are the raw panel relaxed once against
+    the bitwise-symmetric closed diagonal), so the lower-tile update
+    ``min(C[j,i], q[j] (x) p[i])`` is exactly the transpose of the upper
+    update — same f32 sums, same min multiset. Pass A relaxes tiles j >= i
+    (in-band) and passes the rest through (a tile copy costs ~6% of a
+    min-plus tile); pass B overwrites in-band lower tiles with the transpose
+    of their upper mirror. Bit-identical to :func:`_relax_full_banded`,
+    ~1.9x less VPU work.
+    """
+    def kernel_a(a_ref, b_ref, c_ref, o_ref):
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+        compute = (j >= i) & (j - i <= band_tiles)
+
+        @pl.when(compute)
+        def _():
+            o_ref[:] = _tile_minplus(c_ref[:], a_ref[:], b_ref[:], block)
+
+        @pl.when(jnp.logical_not(compute))
+        def _():
+            o_ref[:] = c_ref[:]
+
+    assert d.shape[0] == d.shape[1], "mirror needs a square window"
+    nb_i = d.shape[0] // block
+    nb_j = d.shape[1] // block
+    upper = pl.pallas_call(
+        kernel_a, grid=(nb_i, nb_j),
+        in_specs=[
+            pl.BlockSpec((block, block), lambda i, j: (i, j * 0)),
+            pl.BlockSpec((block, block), lambda i, j: (i * 0, j)),
+            pl.BlockSpec((block, block), lambda i, j: (i, j)),
+        ],
+        out_specs=pl.BlockSpec((block, block), lambda i, j: (i, j)),
+        out_shape=jax.ShapeDtypeStruct(d.shape, jnp.float32),
+    )(q, p, d)
+
+    def kernel_b(u_mirror_ref, u_pass_ref, o_ref):
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+        mirror = (i > j) & (i - j <= band_tiles)
+
+        @pl.when(mirror)
+        def _():
+            o_ref[:] = u_mirror_ref[:].T
+
+        @pl.when(jnp.logical_not(mirror))
+        def _():
+            o_ref[:] = u_pass_ref[:]
+
+    return pl.pallas_call(
+        kernel_b, grid=(nb_i, nb_j),
+        in_specs=[
+            pl.BlockSpec((block, block), lambda i, j: (j, i)),
+            pl.BlockSpec((block, block), lambda i, j: (i, j)),
+        ],
+        out_specs=pl.BlockSpec((block, block), lambda i, j: (i, j)),
+        out_shape=jax.ShapeDtypeStruct(d.shape, jnp.float32),
+    )(upper, upper)
+
+
 def _close_diag(tile, block: int):
     """In-tile Floyd-Warshall closure of a (block, block) tile (pure jnp)."""
 
@@ -201,9 +266,15 @@ def _close_diag(tile, block: int):
     return jax.lax.fori_loop(0, block, body, tile)
 
 
-@functools.partial(jax.jit, static_argnames=("block",))
-def apsp_blocked_fw(dist, *, block: int = 128):
-    """All-pairs shortest paths via panel-blocked Floyd-Warshall on TPU."""
+@functools.partial(jax.jit, static_argnames=("block", "symmetric"))
+def apsp_blocked_fw(dist, *, block: int = 128, symmetric: bool = False):
+    """All-pairs shortest paths via panel-blocked Floyd-Warshall on TPU.
+
+    ``symmetric=True`` (callers must guarantee a symmetric ``dist`` —
+    undirected graphs) computes only each round's upper triangle and mirrors
+    the lower (:func:`_relax_full_banded_sym` with the band covering the
+    whole matrix) — bit-identical to the classic kernel, ~2x less VPU work.
+    """
     from safepy_tpu.ops.apsp import pad_distances
 
     dist = jnp.asarray(dist, jnp.float32)
@@ -211,6 +282,8 @@ def apsp_blocked_fw(dist, *, block: int = 128):
     d = pad_distances(dist, block)
     npad = d.shape[0]
     nb = npad // block
+    relax_full = (functools.partial(_relax_full_banded_sym, band_tiles=nb)
+                  if symmetric else _relax_full)
 
     def round_body(kb, d):
         start = kb * block
@@ -220,7 +293,7 @@ def apsp_blocked_fw(dist, *, block: int = 128):
         p = _relax_rows(diag, p, block=block)
         q = jax.lax.dynamic_slice(d, (0, start), (npad, block))
         q = _relax_cols(q, diag, block=block)
-        return _relax_full(q, p, d, block=block)
+        return relax_full(q, p, d, block=block)
 
     d = jax.lax.fori_loop(0, nb, round_body, d)
     return d[:n, :n]

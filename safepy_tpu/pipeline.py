@@ -79,7 +79,8 @@ def _apsp_inline(d0, block, mesh=None, data_axis="data", window=None,
         return out[:n, :n]
     if _on_tpu():
         from safepy_tpu.ops.apsp_pallas import apsp_blocked_fw
-        return apsp_blocked_fw(d0, block=block)
+        # the facade only reaches here with undirected-graph distances
+        return apsp_blocked_fw(d0, block=block, symmetric=True)
     return _apsp_jax(d0)
 
 

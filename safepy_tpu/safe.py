@@ -423,7 +423,8 @@ class SAFE:
                     from safepy_tpu.parallel import apsp_sharded
                     dist_dev = apsp_sharded(d0_dev, self.mesh, axis="data")
                 else:
-                    dist_dev = _apsp_run(d0_dev)
+                    # undirected graph -> symmetric d0: mirror-halved FW
+                    dist_dev = _apsp_run(d0_dev, symmetric=True)
             nbr_dev, mean, std = _nbr.threshold_and_stats(
                 dist_dev, _nbr.inclusive_radius(nr), strict=False)
 

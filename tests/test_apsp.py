@@ -100,3 +100,22 @@ def test_min_plus_product_dispatch(rng):
     np.testing.assert_allclose(got, want, rtol=1e-6)
     with pytest.raises(ValueError):
         apsp(np.zeros((4, 4)), method="bogus")
+
+
+def test_apsp_blocked_fw_symmetric_bit_identical(rng):
+    """symmetric=True (upper triangle + mirror transpose) is bit-identical to
+    the classic kernel on symmetric inputs — both pivot panels are the raw
+    panel relaxed once against the bitwise-symmetric closed diagonal, so
+    q == p.T exactly (apsp_pallas._relax_full_banded_sym)."""
+    from jax.experimental.pallas import tpu as pltpu
+    from safepy_tpu.ops.apsp_pallas import apsp_blocked_fw
+
+    n = 150
+    edges, weights = _random_weighted_graph(rng, n, p=0.04)
+    d0 = dense_initial_distances(n, edges, weights)
+    with pltpu.force_tpu_interpret_mode():
+        classic = np.asarray(apsp_blocked_fw(jnp.asarray(d0), block=64,
+                                             symmetric=False))
+        sym = np.asarray(apsp_blocked_fw(jnp.asarray(d0), block=64,
+                                         symmetric=True))
+    np.testing.assert_array_equal(sym, classic)

@@ -125,3 +125,29 @@ def test_facade_banded_matches_full(tmp_path):
     banded_staged.define_neighborhoods()
     np.testing.assert_array_equal(banded_staged.neighborhoods,
                                   full.neighborhoods)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_banded_symmetric_kernel_bit_identical(seed):
+    """The symmetric window kernel (upper triangle + mirror transpose,
+    apsp_pallas._relax_full_banded_sym) is BIT-identical to the classic
+    kernel: both pivot panels are the raw panel relaxed once against the
+    bitwise-symmetric closed diagonal, so q == p.T exactly and the mirrored
+    products are the same f32 sums."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, block = 420, 32
+    coords, edges, w = _geometric_graph(n, 6, seed)
+    nr = 0.15 * (coords[:, 0].max() - coords[:, 0].min())
+    order, band = ab.banded_order(coords, nr * (1 + 1e-5))
+    inv = np.empty(n, dtype=np.int64)
+    inv[order] = np.arange(n)
+    d0 = dense_initial_distances(n, inv[edges], w, dtype=np.float32)
+    window = ab.window_width(n, band, block)
+    d = pad_distances(jnp.asarray(d0), block)
+    with pltpu.force_tpu_interpret_mode():
+        classic = np.asarray(ab.apsp_banded_fw(
+            d, window=window, block=block, use_pallas=True, symmetric=False))
+        sym = np.asarray(ab.apsp_banded_fw(
+            d, window=window, block=block, use_pallas=True, symmetric=True))
+    np.testing.assert_array_equal(sym, classic)

@@ -116,8 +116,11 @@ def test_bandstore_fw_pallas_interpret():
     want = np.asarray(bs.apsp_band_fw(s, bt=bt, block=block, use_pallas=False))
     with pltpu.force_tpu_interpret_mode():
         got = np.asarray(bs.apsp_band_fw(s, bt=bt, block=block,
-                                         use_pallas=True))
+                                         use_pallas=True, symmetric=False))
     np.testing.assert_array_equal(got, want)
+    # the symmetric default is pinned separately (tolerance-based — its
+    # mirror swaps which operand saw the phase-2-relaxed pivot row):
+    # test_band_fw_symmetric_kernel_interpret
 
 
 def _thresholded_band(n, k, seed, block):

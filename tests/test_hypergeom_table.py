@@ -278,3 +278,34 @@ def test_unified_multichunk_plan_matches_scipy():
     assert np.max(np.abs(np.exp(logsf.astype(np.float64)) - p_want)) <= 1e-6
     col_counts = np.concatenate(col_counts)
     np.testing.assert_array_equal(col_counts, (p_want < 0.05).sum(0))
+
+
+def test_table_engine_degenerate_columns():
+    """K = 0 (empty attribute), K = M (full column), and a constant-n_max
+    surface resolve exactly: sf(k-1; M, K, n) for k = 0 is 1 (log 0), a full
+    column has every annotated neighborhood significant iff the f64 decision
+    says so — compared against scipy on every cell."""
+    M = 60
+    K_dist = np.array([0.0, 1.0, 60.0])
+    n_max = 20
+    R, S_max = htab.table_geometry(K_dist, n_max, M)
+    table, C = _table_values(K_dist, M, R, S_max)
+    for ci, K in enumerate(K_dist):
+        for n in range(0, n_max + 1):
+            hi = min(int(K), n)
+            for k in range(0, hi + 1):
+                stored = np.float64(table[S_max - 1 - k, ci, n])
+                want = scipy_hypergeom.sf(k - 1, M, int(K), n)
+                assert abs(np.exp(stored) - want) <= 1e-6, (K, n, k)
+
+
+def test_plan_rejects_non_integer_inputs():
+    assert htab.plan(np.array([1.5, 2.0]), 10, 50) is None     # fractional K
+    assert htab.plan(np.array([1.0, 2.0]), 10.7, 50) is None   # fractional n
+    assert htab.plan(np.array([]), 10, 50) is None             # no columns
+
+
+def test_plan_single_chunk_not_rewindowed():
+    p = htab.plan(np.arange(1, 9, dtype=float), 16, 64, chunk_cols=512)
+    assert p is not None and len(p["chunks"]) == 1
+    assert p["chunks"][0]["overlap"] == 0
