@@ -56,9 +56,16 @@ def validate_attributes(node2attribute: np.ndarray, num_nodes: int,
         raise ValidationError(
             f"attribute matrix has {node2attribute.shape[0]} rows for "
             f"{num_nodes} network nodes — misaligned labels?")
-    if np.isinf(node2attribute).any():
-        raise ValidationError("attribute matrix contains +/-inf; use NaN for "
-                              "missing values")
+    # temp-free inf check: isinf().any() allocates an (N, A) bool temp that
+    # costs ~19 s at GO scale in this runtime's degraded allocator; two
+    # nan-reductions touch no scratch
+    if node2attribute.size:
+        with np.errstate(invalid="ignore"):
+            lo = np.nanmin(node2attribute)
+            hi = np.nanmax(node2attribute)
+        if np.isinf(lo) or np.isinf(hi):
+            raise ValidationError("attribute matrix contains +/-inf; use NaN "
+                                  "for missing values")
     if warn:
         all_nan = np.all(np.isnan(node2attribute), axis=0)
         if all_nan.any():

@@ -108,8 +108,18 @@ def read_attributes(attribute_file="", node_label_order=None, mask_duplicates=Fa
     # costs seconds of first-touch page faults in this runtime). Pandas 3
     # copy-on-write usually hands the view out READ-ONLY; the one mutating
     # consumer (compute_pvalues with background='network') makes its own
-    # writable copy on demand.
-    values = node2attribute.to_numpy(dtype=np.float64, copy=False)
+    # writable copy on demand. The SOURCE float dtype is preserved: the text
+    # loader's to_numeric(downcast='float') yields float32 frames, and
+    # forcing float64 here measured 109 s of conversion writes at GO scale
+    # (99,840 x 4,373) in this runtime — every compute consumer casts to its
+    # own precision anyway (the device pipeline runs the f32 copy, counts
+    # are exact in f32 below 2^24, and duplicate-label averaging already
+    # happened on the pandas frame above).
+    dt = node2attribute.dtypes.iloc[0] if len(node2attribute.columns) else None
+    keep = (dt is not None and (node2attribute.dtypes == dt).all()
+            and dt in (np.float32, np.float64))
+    values = node2attribute.to_numpy(dtype=dt if keep else np.float64,
+                                     copy=False)
 
     if verbose:
         logging.info("\nAttribute data provided: %d labels x %d attributes"

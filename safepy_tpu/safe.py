@@ -581,7 +581,10 @@ class SAFE:
         never occupies device HBM."""
         finite = ~np.isnan(n2a)
         nan0 = np.where(finite, n2a, 0.0).astype(np.float32)
-        K = nan0.sum(axis=0).astype(np.float32)
+        # f64 accumulation: exact for binary counts at any N, and safe for
+        # forced-hypergeometric non-binary values now that node2attribute
+        # may be stored f32 (io/attributes.py keeps the source float dtype)
+        K = nan0.sum(axis=0, dtype=np.float64).astype(np.float32)
         nnn = np.any(finite, axis=1).astype(np.float32)
         return nan0[order], nnn[order], K
 
@@ -903,7 +906,7 @@ class SAFE:
         nodes_not_nan = np.any(~np.isnan(n2a), axis=1)
         n = int(np.sum(nodes_not_nan))
 
-        N_in_group = np.nansum(n2a, axis=0)  # per-attribute totals (A,)
+        N_in_group = np.nansum(n2a, axis=0, dtype=np.float64)  # totals (A,)
 
         nbr = self._neighborhoods_device()
         kw = dict(precision=jax.lax.Precision.HIGHEST,
@@ -1305,7 +1308,7 @@ class SAFE:
         if binary:
             nodes_not_nan = np.any(~np.isnan(n2a), axis=1)
             M = int(nodes_not_nan.sum())
-            K_np = np.nansum(n2a, axis=0)
+            K_np = np.nansum(n2a, axis=0, dtype=np.float64)
             k_max = int(max(1, np.nanmax(K_np))) if K_np.size else 1
             iters = _hyper.tail_iterations(M, min(k_max, M))
             lgt = jnp.asarray(_hyper.lgamma_table(M))

@@ -159,6 +159,31 @@ def test_read_attributes_txt_and_dedup(tmp_path):
     assert np.isnan(values[2]).all()  # unmatched network node
 
 
+def test_read_attributes_preserves_source_float_dtype(tmp_path):
+    # The txt loader downcasts to float32; read_attributes must hand that
+    # dtype through (re-expanding to f64 measured 109 s of conversion writes
+    # at GO scale). Non-float sources (e.g. the .mat loader's unsigned ints)
+    # still promote to f64, and an explicitly-f64 DataFrame stays f64.
+    path = str(tmp_path / "attrs.txt")
+    with open(path, "w") as f:
+        f.write("gene\ta1\na\t1.5\nb\t2.5\n")
+    _, _, vals = read_attributes(attribute_file=path,
+                                 node_label_order=["a", "b"], verbose=False)
+    assert vals.dtype == np.float32
+    np.testing.assert_allclose(vals[:, 0], [1.5, 2.5])
+
+    df64 = pd.DataFrame({"a": [1.0, 2.0]}, index=["x", "y"])
+    _, _, vals64 = read_attributes(attribute_file=df64,
+                                   node_label_order=["x", "y"], verbose=False)
+    assert vals64.dtype == np.float64
+
+    dfint = pd.DataFrame({"a": np.array([1, 0], dtype=np.int64)},
+                         index=["x", "y"])
+    _, _, valsi = read_attributes(attribute_file=dfint,
+                                  node_label_order=["x", "y"], verbose=False)
+    assert valsi.dtype == np.float64
+
+
 def test_read_attributes_dataframe_and_mask(rng):
     df = pd.DataFrame({"a": [1.0, 2.0, 3.0]}, index=["x", "y", "y"])
     attrs, order, values = read_attributes(
