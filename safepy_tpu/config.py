@@ -185,3 +185,9 @@ def validate_config(obj, defaults) -> None:
             or obj.attribute_distance_threshold <= 0 or obj.attribute_distance_threshold >= 1):
         obj.attribute_distance_threshold = 0.75
         raise ValueError("attribute_distance_threshold must be a float number in the (0,1) range.")
+
+    if getattr(obj, "cluster_engine", "auto") not in ("auto", "gemm", "scipy"):
+        bad = obj.cluster_engine
+        obj.cluster_engine = "auto"
+        raise ValueError(f"{bad} is not a valid setting for cluster_engine. "
+                         "Valid options are: auto, gemm, scipy.")

@@ -61,9 +61,16 @@ def define_top_attributes(attributes, nes_binary, graph, graph_euclidean=None,
         adj = _sp.csr_matrix(
             (np.ones(2 * len(rows)), (rows + cols, cols + rows)), shape=(n, n))
 
+        # nes_binary may arrive as a scipy CSC matrix (the facade's sparse
+        # relay download at band scale, ops/domains_device.indicator_csc) —
+        # its per-column indices ARE the enriched node ids
+        sparse_input = _sp.issparse(nes_binary)
         for attribute in attributes.index.values[attributes["top"]]:
-            mask = nes_binary[:, attribute] > 0
-            idx = np.flatnonzero(mask)
+            if sparse_input:
+                idx = nes_binary.indices[
+                    nes_binary.indptr[attribute]:nes_binary.indptr[attribute + 1]]
+            else:
+                idx = np.flatnonzero(nes_binary[:, attribute] > 0)
             if len(idx) == 0:
                 attributes.loc[attribute, "num_connected_components"] = 0
                 attributes.at[attribute, "size_connected_components"] = np.array([])
@@ -83,22 +90,59 @@ def define_top_attributes(attributes, nes_binary, graph, graph_euclidean=None,
     return attributes
 
 
+#: engage the GEMM jaccard + device aggregates above this many top
+#: attributes ('auto'); below it the scipy pdist is microseconds and one
+#: device dispatch would dominate
+CLUSTER_ENGINE_MIN_TOP = 96
+
+
 def define_domains(attributes, nes, nes_binary,
                    *, distance_metric="jaccard", distance_threshold=0.75,
-                   verbose=True):
+                   verbose=True, cluster_engine="auto", intersections=None,
+                   nes_binary_dev=None, nes_dev=None):
     """Cluster top attributes into domains and assign every node a primary domain.
 
     Returns (attributes, node2domain): attributes gains a 'domain' column;
     node2domain has one column per domain id (count of enriched member attributes)
     plus 'primary_domain' and 'primary_nes'.
+
+    ``cluster_engine``: 'scipy' feeds the binary columns to scipy linkage
+    directly (which computes the jaccard pdist internally — measured ~4.9
+    HOURS at the 99,840 x 4,373 GO band scale, tools/domain_scale_profile.py);
+    'gemm' builds the identical condensed distances from one MXU
+    intersection-count GEMM + exact host f64 division (bit-identical linkage
+    input, see ops/domains_device.py) and computes the node->domain
+    aggregates on device too; 'auto' picks 'gemm' for the jaccard metric
+    above CLUSTER_ENGINE_MIN_TOP top attributes. ``intersections`` optionally
+    supplies a precomputed full (A, A) count matrix (the facade caches it
+    across re-clusterings at different thresholds); ``nes_binary_dev`` /
+    ``nes_dev`` optionally hand over device-resident copies so the (N, A)
+    matrices never cross the host relay.
     """
     top_mask = attributes["top"].values.astype(bool)
     if top_mask.sum() < 2:
         raise ValueError("define_domains requires at least 2 top attributes "
                          f"(got {int(top_mask.sum())}).")
 
-    m = nes_binary[:, top_mask].T
-    Z = linkage(m, method="average", metric=distance_metric)
+    use_gemm = (cluster_engine == "gemm"
+                or (cluster_engine == "auto" and distance_metric == "jaccard"
+                    and int(top_mask.sum()) >= CLUSTER_ENGINE_MIN_TOP))
+    if use_gemm and distance_metric != "jaccard":
+        raise ValueError("cluster_engine='gemm' serves the jaccard metric "
+                         f"only (got {distance_metric!r})")
+
+    if use_gemm:
+        from safepy_tpu.ops import domains_device as _dd
+        if intersections is None:
+            intersections = _dd.enrichment_intersections(
+                nes_binary if nes_binary_dev is None else nes_binary_dev)
+        top_idx = np.flatnonzero(top_mask)
+        condensed = _dd.jaccard_condensed_from_counts(
+            intersections[np.ix_(top_idx, top_idx)])
+        Z = linkage(condensed, method="average")
+    else:
+        m = nes_binary[:, top_mask].T
+        Z = linkage(m, method="average", metric=distance_metric)
     max_d = np.max(Z[:, 2] * distance_threshold)
     domains = fcluster(Z, max_d, criterion="distance")
 
@@ -108,9 +152,27 @@ def define_domains(attributes, nes, nes_binary,
     domain_of_attr = attributes["domain"].values
     unique_domains = np.sort(np.unique(domain_of_attr))
 
-    # counts[node, d] = number of domain-d attributes the node is enriched for
-    counts = np.stack([nes_binary[:, domain_of_attr == d].sum(axis=1)
-                       for d in unique_domains], axis=1)
+    if use_gemm:
+        from safepy_tpu.ops import domains_device as _dd
+        # map raw domain ids -> positions in unique_domains for the segment ops
+        dom_pos = np.searchsorted(unique_domains, domain_of_attr)
+        counts, max_nes_mat = _dd.domain_aggregates(
+            nes_binary if nes_binary_dev is None else nes_binary_dev,
+            nes if nes_dev is None else nes_dev,
+            dom_pos, len(unique_domains))
+        counts = counts.astype(np.float64)  # reference dtype (f64 groupby-sum)
+        max_nes = {d: max_nes_mat[:, i] for i, d in enumerate(unique_domains)}
+    else:
+        # counts[node, d] = number of domain-d attributes the node is enriched for
+        counts = np.stack([nes_binary[:, domain_of_attr == d].sum(axis=1)
+                           for d in unique_domains], axis=1).astype(np.float64)
+        # max NES within each domain per node, for the primary domain
+        with np.errstate(invalid="ignore"):
+            max_nes = {d: np.nanmax(np.where(np.isnan(nes[:, domain_of_attr == d]),
+                                             -np.inf,
+                                             nes[:, domain_of_attr == d]),
+                                    axis=1, initial=-np.inf)
+                       for d in unique_domains}
     node2domain = pd.DataFrame(counts, columns=unique_domains)
 
     nonzero = [d for d in unique_domains if d != 0]
@@ -119,12 +181,6 @@ def define_domains(attributes, nes, nes_binary,
     t_idxmax = t.idxmax(axis=1)
     t_idxmax[t_max == 0] = 0
 
-    # max NES within each domain per node, for the primary domain
-    with np.errstate(invalid="ignore"):
-        max_nes = {d: np.nanmax(np.where(np.isnan(nes[:, domain_of_attr == d]),
-                                         -np.inf, nes[:, domain_of_attr == d]),
-                                axis=1, initial=-np.inf)
-                   for d in unique_domains}
     # when every attribute clustered (no domain-0 attributes exist), nodes with
     # no significant enrichment still get primary_domain 0 with NES 0
     if 0 not in max_nes:

@@ -139,12 +139,19 @@ class SAFE:
         self.nes_threshold = None
         self._nes_binary_np = None
         self._nes_binary_dev = None
+        self._nes_binary_i8_np = None  # cached int8 download (see _nes_binary_small)
         # (indicator_dev, counts) decided on device, awaiting _update_binary_enrichment
         self._nes_binary_pending = None
 
         self.attribute_unimodality_metric = "connectivity"
         self.attribute_distance_metric = "jaccard"
         self.attribute_distance_threshold = 0.75
+        # 'auto' | 'gemm' | 'scipy' — how define_domains builds the jaccard
+        # linkage input (ops/domains_device.py; 'auto' = GEMM above
+        # domains.CLUSTER_ENGINE_MIN_TOP top attributes)
+        self.cluster_engine = "auto"
+        # full (A, A) intersection-count matrix, reused across re-clusterings
+        self._domains_inter_cache = None
 
         self.domains = None
         self.node2domain = None
@@ -529,6 +536,8 @@ class SAFE:
     def nes_binary(self, value):
         self._nes_binary_np = value
         self._nes_binary_dev = None
+        self._nes_binary_i8_np = None
+        self._domains_inter_cache = None
 
     def _graph_to_arrays_cached(self):
         """graph_to_arrays walks the whole NetworkX graph in Python (~0.25 s
@@ -799,12 +808,21 @@ class SAFE:
         state["_nes_binary_dev"] = None
         state["_n2a_dev"] = None
         state["_nes_binary_pending"] = None
+        state["_domains_inter_cache"] = None  # derived; up to 76 MB at GO scale
+        state["_nes_binary_i8_np"] = None
         state["_d0_cache"] = {}
         state["_banded_cache"] = {}
         state["_bandstore_cache"] = {}
         state["_graph_arrays"] = None
         state["mesh"] = None  # Mesh holds live Device objects; not picklable
         return state
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+        # attributes added after a session was saved default like __init__
+        self.__dict__.setdefault("cluster_engine", "auto")
+        self.__dict__.setdefault("_domains_inter_cache", None)
+        self.__dict__.setdefault("_nes_binary_i8_np", None)
 
     # ------------------------------------------------------------------ p-values
 
@@ -1032,6 +1050,8 @@ class SAFE:
         self._neighborhoods_np = self._node_distances_np = None
         self._nes_dev = self._logsf_dev = self._nes_binary_dev = None
         self._nes_binary_pending = None
+        self._nes_binary_i8_np = None
+        self._domains_inter_cache = None
 
     def _store_hypergeom_results(self, nes32, log_sf32, nes_binary8, counts):
         """Shared hypergeometric result storage: FDR adjustment when asked,
@@ -1139,6 +1159,7 @@ class SAFE:
         if nes_binary_dev is not None:
             self._nes_binary_dev = nes_binary_dev
             self._nes_binary_np = None
+            self._nes_binary_i8_np = None
         else:
             idx = ~np.isnan(self.nes)
             nes_binary = np.zeros(self.nes.shape)
@@ -1679,6 +1700,43 @@ class SAFE:
 
     # -------------------------------------------------------------------- domains
 
+    def _nes_binary_small(self):
+        """The binary indicator without the public property's f64
+        materialization (reference dtype, safe.py:469 — but 3.5 GB of host
+        writes at the 99,840 x 4,373 band scale). Domain/report consumers
+        only compare and sum, so the int8 download suffices."""
+        if self._nes_binary_np is not None:
+            return self._nes_binary_np
+        if self._nes_binary_pending is not None:
+            self._update_binary_enrichment()
+        if self._nes_binary_dev is not None:
+            if self._nes_binary_i8_np is None:
+                # one int8 relay download (437 MB at GO band scale), shared
+                # by the domain, report, and plotting consumers
+                self._nes_binary_i8_np = np.asarray(self._nes_binary_dev)
+            return self._nes_binary_i8_np
+        return self.nes_binary
+
+    def _nes_binary_for_top(self):
+        """Indicator view for define_top_attributes: when the indicator is
+        device-resident and large, hand over a sparse CSC built from a
+        nonzero-index download (~6 MB vs a 437 MB dense int8 relay transfer
+        at GO band scale, ops/domains_device.indicator_csc)."""
+        if self._nes_binary_pending is not None:
+            self._update_binary_enrichment()
+        if (self._nes_binary_np is None and self._nes_binary_i8_np is None
+                and self._nes_binary_dev is not None
+                and "num_neighborhoods_enriched" in self.attributes):
+            n, a = self._nes_binary_dev.shape
+            counts = np.asarray(
+                self.attributes["num_neighborhoods_enriched"], np.int64)
+            nnz = int(counts.sum())
+            if (n * a > 3e7 and 4 * nnz < n * a
+                    and n * a < np.iinfo(np.int32).max):
+                from safepy_tpu.ops import domains_device as _dd
+                return _dd.indicator_csc(self._nes_binary_dev, counts)
+        return self._nes_binary_small()
+
     def define_top_attributes(self, **kwargs):
         if "attribute_unimodality_metric" in kwargs:
             self.attribute_unimodality_metric = kwargs["attribute_unimodality_metric"]
@@ -1686,7 +1744,8 @@ class SAFE:
             self.attribute_enrichment_min_size = kwargs["attribute_enrichment_min_size"]
         self.validate_config()
         self.attributes = _domains.define_top_attributes(
-            self.attributes, self.nes_binary, self.graph, self.graph_euclidean,
+            self.attributes, self._nes_binary_for_top(), self.graph,
+            self.graph_euclidean,
             unimodality_metric=self.attribute_unimodality_metric,
             min_size=self.attribute_enrichment_min_size, verbose=self.verbose)
 
@@ -1694,11 +1753,25 @@ class SAFE:
         if "attribute_distance_threshold" in kwargs:
             self.attribute_distance_threshold = kwargs["attribute_distance_threshold"]
         self.validate_config()
+        # The intersection-count GEMM (ops/domains_device.py) is independent
+        # of the clustering threshold — cache it across re-clusterings, feed
+        # it the device-resident indicator when one exists (no (N, A)
+        # download), and clear it with the enrichment results.
+        if self._domains_inter_cache is None and self._nes_binary_dev is not None:
+            from safepy_tpu.ops import domains_device as _dd
+            ntop = int(np.sum(self.attributes["top"].values)) \
+                if "top" in self.attributes else 0
+            if (self.attribute_distance_metric == "jaccard"
+                    and ntop >= _domains.CLUSTER_ENGINE_MIN_TOP):
+                self._domains_inter_cache = _dd.enrichment_intersections(
+                    self._nes_binary_dev)
         self.attributes, self.node2domain = _domains.define_domains(
-            self.attributes, self.nes, self.nes_binary,
+            self.attributes, self.nes, self._nes_binary_small(),
             distance_metric=self.attribute_distance_metric,
             distance_threshold=self.attribute_distance_threshold,
-            verbose=self.verbose)
+            verbose=self.verbose, cluster_engine=self.cluster_engine,
+            intersections=self._domains_inter_cache,
+            nes_binary_dev=self._nes_binary_dev, nes_dev=self._nes_dev)
 
     def trim_domains(self, **kwargs):
         self.attributes, self.node2domain, self.domains = _domains.trim_domains(
