@@ -331,7 +331,8 @@ def _domain_mixture_colors(sf, domain2rgb):
     brightness normalized to mean 0.1 (safe.py:884-904)."""
     domain_of_attr = sf.attributes["domain"].values
     unique_domains = np.sort(np.unique(domain_of_attr))
-    counts = np.stack([sf.nes_binary[:, domain_of_attr == d].sum(axis=1)
+    nes_binary = sf._nes_binary_small()  # int8-backed; sums promote to int64
+    counts = np.stack([nes_binary[:, domain_of_attr == d].sum(axis=1)
                        for d in unique_domains], axis=1)
     total = counts.sum(axis=1, keepdims=True)
 
@@ -517,7 +518,7 @@ def plot_sample_attributes(sf, attributes=1, top_attributes_only=False,
             _plot_raw_data(sf, ax, attribute, node_xy, style)
 
         if show_significant_nodes:
-            significant = sf.nes_binary[:, attribute] > 0
+            significant = sf._nes_binary_small()[:, attribute] > 0
             mark_nodes(node_xy[significant, 0], node_xy[significant, 1],
                        kind=["mark"], ax=ax,
                        legend_label="p < %.2e" % sf.enrichment_threshold,

@@ -134,6 +134,7 @@ class SAFE:
         self.pvalues_neg = None
         self._pvalues_pos_np = None
         self._logsf_dev = None
+        self._logsf_np = None  # pickled f32 log-survival (see pvalues_pos)
         self._nes_np = None
         self._nes_dev = None
         self.nes_threshold = None
@@ -512,24 +513,36 @@ class SAFE:
 
     @property
     def pvalues_pos(self):
-        if self._pvalues_pos_np is None and self._logsf_dev is not None:
+        if self._pvalues_pos_np is None:
             # GO-scale fused path defers the log-survival download + host exp
             # until p-values are actually consumed (NES/domain workflows never
-            # touch them)
-            log_sf = np.asarray(self._logsf_dev, dtype=np.float64)
-            with np.errstate(over="ignore"):
-                self._pvalues_pos_np = np.exp(log_sf)
+            # touch them). _logsf_np is the pickled f32 form (f32->f64 is
+            # exact, so the exp is bit-identical either way).
+            log_sf = None
+            if self._logsf_np is not None:
+                log_sf = self._logsf_np.astype(np.float64)
+            elif self._logsf_dev is not None:
+                log_sf = np.asarray(self._logsf_dev, dtype=np.float64)
+            if log_sf is not None:
+                with np.errstate(over="ignore"):
+                    self._pvalues_pos_np = np.exp(log_sf)
         return self._pvalues_pos_np
 
     @pvalues_pos.setter
     def pvalues_pos(self, value):
         self._pvalues_pos_np = value
         self._logsf_dev = None
+        self._logsf_np = None
 
     @property
     def nes_binary(self):
-        if self._nes_binary_np is None and self._nes_binary_dev is not None:
-            self._nes_binary_np = np.asarray(self._nes_binary_dev).astype(float)
+        if self._nes_binary_np is None:
+            small = self._nes_binary_i8_np
+            if small is None and self._nes_binary_dev is not None:
+                small = np.asarray(self._nes_binary_dev)
+                self._nes_binary_i8_np = small
+            if small is not None:
+                self._nes_binary_np = small.astype(float)
         return self._nes_binary_np
 
     @nes_binary.setter
@@ -797,7 +810,16 @@ class SAFE:
         bm_dist = isinstance(self._node_distances_dev, _BandedMatrix)
         if not bm_nbr:
             _ = self.neighborhoods, self.node_distances  # force lazy downloads
-        _ = self.pvalues_pos, self.nes, self.nes_binary  # and the lazy statistics
+        # lazy statistics: pickle the COMPACT forms (f32 log-survival, int8
+        # indicator) and let the properties rematerialize f64 on demand — the
+        # f64 forms are 3.5 GB each at the 99,840 x 4,373 band scale
+        _ = self.nes
+        if self._pvalues_pos_np is None and self._logsf_dev is not None:
+            self._logsf_np = np.asarray(self._logsf_dev)
+        if self._nes_binary_pending is not None:
+            self._update_binary_enrichment()
+        if self._nes_binary_np is None and self._nes_binary_dev is not None:
+            self._nes_binary_i8_np = np.asarray(self._nes_binary_dev)
         state = dict(self.__dict__)
         state["_neighborhoods_dev"] = (
             self._neighborhoods_dev.to_host() if bm_nbr else None)
@@ -809,7 +831,6 @@ class SAFE:
         state["_n2a_dev"] = None
         state["_nes_binary_pending"] = None
         state["_domains_inter_cache"] = None  # derived; up to 76 MB at GO scale
-        state["_nes_binary_i8_np"] = None
         state["_d0_cache"] = {}
         state["_banded_cache"] = {}
         state["_bandstore_cache"] = {}
@@ -823,6 +844,7 @@ class SAFE:
         self.__dict__.setdefault("cluster_engine", "auto")
         self.__dict__.setdefault("_domains_inter_cache", None)
         self.__dict__.setdefault("_nes_binary_i8_np", None)
+        self.__dict__.setdefault("_logsf_np", None)
 
     # ------------------------------------------------------------------ p-values
 
@@ -1049,6 +1071,7 @@ class SAFE:
         self._neighborhoods_dev = self._node_distances_dev = None
         self._neighborhoods_np = self._node_distances_np = None
         self._nes_dev = self._logsf_dev = self._nes_binary_dev = None
+        self._logsf_np = None
         self._nes_binary_pending = None
         self._nes_binary_i8_np = None
         self._domains_inter_cache = None

@@ -53,6 +53,47 @@ def analyzed(tmp_path_factory):
     return sf
 
 
+def test_pickle_stores_compact_statistics(tmp_path):
+    """Fused-pipeline sessions keep statistics device-resident and pickle the
+    COMPACT forms (int8 indicator, f32 log-survival); the properties
+    rematerialize f64 identically after loading — the f64 forms are 3.5 GB
+    each at band-GO scale."""
+    import pickle
+
+    rng = np.random.default_rng(9)
+    n = 80
+    g = nx.connected_watts_strogatz_graph(n, 4, 0.2, seed=1)
+    path = tmp_path / "net.txt"
+    with open(path, "w") as f:
+        for u, v in g.edges():
+            f.write(f"g{u}\tg{v}\t1.0\n")
+    sf = SAFE(verbose=False)
+    sf.load_network(network_file=str(path), node_key_attribute="key")
+    labels = [sf.graph.nodes[i]["key"] for i in range(n)]
+    vals = (rng.random((n, 4)) < 0.3).astype(float)
+    sf.load_attributes(attribute_file=pd.DataFrame(vals, index=labels,
+                                                   columns=list("abcd")))
+    sf.run_pipeline()
+
+    blob = pickle.dumps(sf)  # BEFORE property access materializes f64
+    expect_p = sf.pvalues_pos.copy()
+    expect_b = sf.nes_binary.copy()
+    sf2 = pickle.loads(blob)
+    compact_p = sf2._pvalues_pos_np is None
+    compact_b = sf2._nes_binary_np is None
+    if compact_p:
+        assert sf2._logsf_np is not None and sf2._logsf_np.dtype == np.float32
+    if compact_b:
+        assert sf2._nes_binary_i8_np is not None
+        assert sf2._nes_binary_i8_np.dtype == np.int8
+    # the fused hypergeometric path keeps both statistics device-resident,
+    # so a freshly-analyzed session must pickle at least one compact form
+    assert compact_p or compact_b
+    np.testing.assert_array_equal(sf2.pvalues_pos, expect_p)
+    np.testing.assert_array_equal(sf2.nes_binary, expect_b)
+    assert sf2.nes_binary.dtype == np.float64  # public API dtype preserved
+
+
 def test_checkpoint_roundtrip(analyzed, tmp_path):
     sf = analyzed
     base = str(tmp_path / "session")
