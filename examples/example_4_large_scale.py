@@ -73,6 +73,17 @@ def main():
     sf.define_top_attributes(attribute_enrichment_min_size=5)
     print(f"top attributes: {int(sf.attributes['top'].sum())}")
 
+    # Domain clustering also scales: above ~96 top attributes the jaccard
+    # linkage input comes from one MXU intersection GEMM (bit-identical to
+    # scipy's pdist, which alone takes HOURS at 100k x 4,373 — see
+    # docs/DESIGN.md "The domain stage on the MXU"); force with
+    # sf.cluster_engine = 'gemm'. The full workflow driver at 99,840 nodes
+    # is tools/tpu_full_downstream_100k.py.
+    if int(sf.attributes["top"].sum()) >= 2:
+        sf.define_domains()
+        sf.trim_domains()
+        print(f"domains: {len(sf.domains) - 1}")
+
 
 if __name__ == "__main__":
     main()

@@ -117,8 +117,14 @@ def define_domains(attributes, nes, nes_binary,
     supplies a precomputed full (A, A) count matrix (the facade caches it
     across re-clusterings at different thresholds); ``nes_binary_dev`` /
     ``nes_dev`` optionally hand over device-resident copies so the (N, A)
-    matrices never cross the host relay.
+    matrices never cross the host relay. ``nes`` / ``nes_binary`` may also be
+    zero-arg CALLABLES returning the host matrix: the gemm path never touches
+    the host copies, so the facade hands lazy accessors over — at the
+    99,840 x 4,373 band scale the eager f64 NES download alone costs minutes
+    of relay transfer + host conversion that the device path never needs.
     """
+    get_nes = nes if callable(nes) else (lambda: nes)
+    get_binary = nes_binary if callable(nes_binary) else (lambda: nes_binary)
     top_mask = attributes["top"].values.astype(bool)
     if top_mask.sum() < 2:
         raise ValueError("define_domains requires at least 2 top attributes "
@@ -135,12 +141,14 @@ def define_domains(attributes, nes, nes_binary,
         from safepy_tpu.ops import domains_device as _dd
         if intersections is None:
             intersections = _dd.enrichment_intersections(
-                nes_binary if nes_binary_dev is None else nes_binary_dev)
+                get_binary() if nes_binary_dev is None else nes_binary_dev)
         top_idx = np.flatnonzero(top_mask)
         condensed = _dd.jaccard_condensed_from_counts(
             intersections[np.ix_(top_idx, top_idx)])
         Z = linkage(condensed, method="average")
     else:
+        nes = get_nes()
+        nes_binary = get_binary()
         m = nes_binary[:, top_mask].T
         Z = linkage(m, method="average", metric=distance_metric)
     max_d = np.max(Z[:, 2] * distance_threshold)
@@ -157,8 +165,8 @@ def define_domains(attributes, nes, nes_binary,
         # map raw domain ids -> positions in unique_domains for the segment ops
         dom_pos = np.searchsorted(unique_domains, domain_of_attr)
         counts, max_nes_mat = _dd.domain_aggregates(
-            nes_binary if nes_binary_dev is None else nes_binary_dev,
-            nes if nes_dev is None else nes_dev,
+            get_binary() if nes_binary_dev is None else nes_binary_dev,
+            get_nes() if nes_dev is None else nes_dev,
             dom_pos, len(unique_domains))
         counts = counts.astype(np.float64)  # reference dtype (f64 groupby-sum)
         max_nes = {d: max_nes_mat[:, i] for i, d in enumerate(unique_domains)}
@@ -184,7 +192,7 @@ def define_domains(attributes, nes, nes_binary,
     # when every attribute clustered (no domain-0 attributes exist), nodes with
     # no significant enrichment still get primary_domain 0 with NES 0
     if 0 not in max_nes:
-        max_nes[0] = np.zeros(nes.shape[0])
+        max_nes[0] = np.zeros(counts.shape[0])
     node2domain["primary_domain"] = t_idxmax
     node2domain["primary_nes"] = [max_nes[d][i] for i, d in enumerate(t_idxmax.values)]
 

@@ -106,19 +106,28 @@ def _domain_max_nes_device(nes, domain_of_attr, num_domains: int):
     return seg.T
 
 
-@functools.partial(jax.jit, static_argnames=("nnz",))
-def _nonzero_colmajor(b, nnz: int):
-    """Sorted flat indices of the nonzeros of b (N, A) in COLUMN-major
-    order (transpose-flatten), padded with 0 — `nnz` must be exact."""
-    return jnp.nonzero(b.T.reshape(-1) != 0, size=nnz, fill_value=0)[0]
+@jax.jit
+def _bitpack_colmajor(b):
+    """Little-endian uint8 bitmap of b's (N, A) nonzero mask in COLUMN-major
+    order. A device `jnp.nonzero` lowers to a full-length sort — measured
+    ~63 s at 437M cells on v5e — and its static size recompiles per dataset;
+    the bitmap is one bandwidth-bound reduce, ships 8x fewer relay bytes
+    than the int8 indicator, and the host unpacks + flatnonzeros in ~1 s."""
+    mask = b.T.reshape(-1) != 0
+    pad = (-mask.shape[0]) % 8
+    if pad:
+        mask = jnp.concatenate([mask, jnp.zeros(pad, bool)])
+    weights = jnp.array([1, 2, 4, 8, 16, 32, 64, 128], jnp.int32)
+    packed = jnp.sum(mask.reshape(-1, 8).astype(jnp.int32) * weights, axis=1)
+    return packed.astype(jnp.uint8)
 
 
 def indicator_csc(nes_binary_dev, column_counts: np.ndarray):
     """scipy CSC view of a device-resident 0/1 indicator WITHOUT the dense
-    download: only the nonzero indices cross the relay (~6 MB vs 437 MB at
-    the 99,840 x 4,373 GO band scale). ``column_counts`` = per-attribute
-    enriched counts (the facade's num_neighborhoods_enriched), whose sum is
-    the exact nonzero count the jit needs statically."""
+    download: only a 1-bit bitmap crosses the relay (N*A/8 = 55 MB vs the
+    437 MB int8 indicator at the 99,840 x 4,373 GO band scale).
+    ``column_counts`` = per-attribute enriched counts (the facade's
+    num_neighborhoods_enriched); their sum cross-checks the bitmap."""
     import scipy.sparse as sp
     n, a = nes_binary_dev.shape
     if n * a >= np.iinfo(np.int32).max:
@@ -127,8 +136,13 @@ def indicator_csc(nes_binary_dev, column_counts: np.ndarray):
     nnz = int(counts.sum())
     if nnz == 0:
         return sp.csc_matrix((n, a), dtype=np.int8)
-    flat = np.asarray(_nonzero_colmajor(nes_binary_dev, nnz),
-                      dtype=np.int64)
+    packed = np.asarray(_bitpack_colmajor(nes_binary_dev))
+    bits = np.unpackbits(packed, bitorder="little")[:n * a]
+    flat = np.flatnonzero(bits)
+    if len(flat) != nnz:
+        raise AssertionError(
+            f"indicator nonzero count {len(flat)} != enriched-count sum "
+            f"{nnz}; the facade's counts are stale")
     rows = (flat % n).astype(np.int32)
     indptr = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
     return sp.csc_matrix((np.ones(nnz, np.int8), rows, indptr),

@@ -331,9 +331,17 @@ def _domain_mixture_colors(sf, domain2rgb):
     brightness normalized to mean 0.1 (safe.py:884-904)."""
     domain_of_attr = sf.attributes["domain"].values
     unique_domains = np.sort(np.unique(domain_of_attr))
-    nes_binary = sf._nes_binary_small()  # int8-backed; sums promote to int64
-    counts = np.stack([nes_binary[:, domain_of_attr == d].sum(axis=1)
-                       for d in unique_domains], axis=1)
+    n2d = getattr(sf, "node2domain", None)
+    if n2d is not None and all(d in n2d.columns for d in unique_domains):
+        # node2domain's count columns ARE these sums (define_domains computes
+        # them on device at band scale; trim renumbers both sides in step) —
+        # reuse instead of re-reducing the (N, A) indicator on host, which
+        # costs an int8 relay download + ~N*A adds at the 99,840 x 4,373 scale
+        counts = n2d[list(unique_domains)].to_numpy()
+    else:
+        nes_binary = sf._nes_binary_small()  # int8; sums promote to int64
+        counts = np.stack([nes_binary[:, domain_of_attr == d].sum(axis=1)
+                           for d in unique_domains], axis=1)
     total = counts.sum(axis=1, keepdims=True)
 
     with np.errstate(divide="ignore", invalid="ignore"):

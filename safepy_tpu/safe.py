@@ -141,6 +141,7 @@ class SAFE:
         self._nes_binary_np = None
         self._nes_binary_dev = None
         self._nes_binary_i8_np = None  # cached int8 download (see _nes_binary_small)
+        self._nes_binary_csc = None  # cached sparse view (_nes_binary_for_top)
         # (indicator_dev, counts) decided on device, awaiting _update_binary_enrichment
         self._nes_binary_pending = None
 
@@ -550,6 +551,7 @@ class SAFE:
         self._nes_binary_np = value
         self._nes_binary_dev = None
         self._nes_binary_i8_np = None
+        self._nes_binary_csc = None
         self._domains_inter_cache = None
 
     def _graph_to_arrays_cached(self):
@@ -1074,6 +1076,7 @@ class SAFE:
         self._logsf_np = None
         self._nes_binary_pending = None
         self._nes_binary_i8_np = None
+        self._nes_binary_csc = None
         self._domains_inter_cache = None
 
     def _store_hypergeom_results(self, nes32, log_sf32, nes_binary8, counts):
@@ -1183,6 +1186,7 @@ class SAFE:
             self._nes_binary_dev = nes_binary_dev
             self._nes_binary_np = None
             self._nes_binary_i8_np = None
+            self._nes_binary_csc = None
         else:
             idx = ~np.isnan(self.nes)
             nes_binary = np.zeros(self.nes.shape)
@@ -1750,6 +1754,8 @@ class SAFE:
         if (self._nes_binary_np is None and self._nes_binary_i8_np is None
                 and self._nes_binary_dev is not None
                 and "num_neighborhoods_enriched" in self.attributes):
+            if self._nes_binary_csc is not None:
+                return self._nes_binary_csc
             n, a = self._nes_binary_dev.shape
             counts = np.asarray(
                 self.attributes["num_neighborhoods_enriched"], np.int64)
@@ -1757,7 +1763,9 @@ class SAFE:
             if (n * a > 3e7 and 4 * nnz < n * a
                     and n * a < np.iinfo(np.int32).max):
                 from safepy_tpu.ops import domains_device as _dd
-                return _dd.indicator_csc(self._nes_binary_dev, counts)
+                self._nes_binary_csc = _dd.indicator_csc(
+                    self._nes_binary_dev, counts)
+                return self._nes_binary_csc
         return self._nes_binary_small()
 
     def define_top_attributes(self, **kwargs):
@@ -1788,8 +1796,10 @@ class SAFE:
                     and ntop >= _domains.CLUSTER_ENGINE_MIN_TOP):
                 self._domains_inter_cache = _dd.enrichment_intersections(
                     self._nes_binary_dev)
+        # lazy host accessors: the gemm path works on the device copies and
+        # must not pay the (N, A) relay download + f64 host conversion
         self.attributes, self.node2domain = _domains.define_domains(
-            self.attributes, self.nes, self._nes_binary_small(),
+            self.attributes, (lambda: self.nes), self._nes_binary_small,
             distance_metric=self.attribute_distance_metric,
             distance_threshold=self.attribute_distance_threshold,
             verbose=self.verbose, cluster_engine=self.cluster_engine,

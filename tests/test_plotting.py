@@ -199,3 +199,20 @@ def test_fused_pipeline_requires_edge_lengths():
         sf.run_pipeline(num_permutations=10)
     with pytest.raises(ValueError, match="length"):
         sf.define_neighborhoods()
+
+
+def test_domain_mixture_counts_reuse_matches_indicator(analyzed):
+    """The node2domain count columns ARE the per-domain enriched-attribute
+    sums, so _domain_mixture_colors' reuse branch must color identically to
+    the (N, A)-indicator fallback it replaced (reference safe.py:884-904)."""
+    from safepy_tpu.plotting import _domain_colors, _domain_mixture_colors
+
+    domains, rgb = _domain_colors(analyzed, seed=0)
+    via_node2domain = _domain_mixture_colors(analyzed, rgb)
+    saved = analyzed.node2domain
+    try:
+        analyzed.node2domain = None  # force the indicator fallback
+        via_indicator = _domain_mixture_colors(analyzed, rgb)
+    finally:
+        analyzed.node2domain = saved
+    np.testing.assert_array_equal(via_node2domain, via_indicator)
