@@ -40,6 +40,20 @@ import jax as _jax
 if _os.environ.get("SAFEPY_TPU_X64", "1") != "0":
     _jax.config.update("jax_enable_x64", True)
 
+# Persistent XLA compilation cache: compiled executables are serialized to
+# disk and reloaded by later processes, skipping the (remote, 1 s-10 min per
+# signature) TPU compile entirely — measured on the tunneled v5e: a fresh
+# process re-running the 99,840 x 4,373 flagship workflow spends ~2/3 of its
+# wall time in compiles that a warm cache eliminates. Opt out or redirect
+# with SAFEPY_TPU_COMPILE_CACHE=0 / =<dir>; never overrides a cache dir the
+# user (or jax config/env) already set.
+_cache = _os.environ.get("SAFEPY_TPU_COMPILE_CACHE", "")
+if _cache != "0" and not _jax.config.jax_compilation_cache_dir \
+        and not _os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+    _jax.config.update(
+        "jax_compilation_cache_dir",
+        _cache or _os.path.expanduser("~/.cache/safepy_tpu/xla"))
+
 __version__ = "0.1.0"
 
 __all__ = ["SAFE", "ops", "safe_io", "__version__"]

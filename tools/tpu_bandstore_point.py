@@ -107,12 +107,18 @@ def main():
             "enriched": int((sf.nes_binary > 0).sum())}), flush=True)
         return
     if kind == "quant":
-        n = int(rest)
+        parts = rest.split(":")
+        n = int(parts[0])
+        # optional mean-neighborhood-size target (default 125, the battery
+        # convention): the band grows ~linearly with the radius, and the FW
+        # needs ~2x the band store in HBM — at 299,520 nodes the 125-target
+        # band (9.27 GB) OOMs one 16 GB v5e while ~60 fits
+        target = float(parts[1]) if len(parts) > 1 else 125.0
         t0 = time.time()
         g = build_graph(n)
         print(f"# graph built in {time.time() - t0:.1f} s", flush=True)
         attrs = quant_attrs(n)
-        radius = float(np.sqrt(125.0 / (np.pi * n)))
+        radius = float(np.sqrt(target / (np.pi * n)))
         sf, first, steady = run_safe(g, attrs, "auto", radius)
         plan = next(v for v in sf._bandstore_cache.values() if v)
         from safepy_tpu.ops.apsp_bandstore import band_nbytes
