@@ -48,7 +48,9 @@ if _os.environ.get("SAFEPY_TPU_X64", "1") != "0":
 # with SAFEPY_TPU_COMPILE_CACHE=0 / =<dir>; never overrides a cache dir the
 # user (or jax config/env) already set.
 _cache = _os.environ.get("SAFEPY_TPU_COMPILE_CACHE", "")
-if _cache != "0" and not _jax.config.jax_compilation_cache_dir \
+if _cache != "0" \
+        and _os.environ.get("JAX_PLATFORMS", "").strip().lower() != "cpu" \
+        and not _jax.config.jax_compilation_cache_dir \
         and not _os.environ.get("JAX_COMPILATION_CACHE_DIR"):
     _jax.config.update(
         "jax_compilation_cache_dir",

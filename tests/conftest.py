@@ -13,6 +13,10 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 # imported and env vars alone are too late. jax.config.update still wins as long as
 # no backend has been initialized yet.
 os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+# No persistent compilation cache under tests: CPU AOT entries reload with
+# XLA feature-list mismatch warnings (and the cache exists for the REMOTE
+# TPU compile path, which tests never touch).
+os.environ.setdefault("SAFEPY_TPU_COMPILE_CACHE", "0")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()

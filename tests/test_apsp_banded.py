@@ -151,3 +151,41 @@ def test_banded_symmetric_kernel_bit_identical(seed):
         sym = np.asarray(ab.apsp_banded_fw(
             d, window=window, block=block, use_pallas=True, symmetric=True))
     np.testing.assert_array_equal(sym, classic)
+
+
+def test_window_bound_path_certifies(seed=3):
+    """The O(n log n) window bound (banded_order's large-n fast path) is a
+    VALID certificate: >= the measured max rank separation of every actual
+    radius pair, and close to it on isotropic layouts."""
+    rng = np.random.default_rng(seed)
+    coords = rng.uniform(-1, 1, (3000, 2))
+    nr = 0.11
+    order, band = ab.banded_order(coords, nr, exact_below=0)  # force bound
+    rank = np.empty(len(order), dtype=np.int64)
+    rank[order] = np.arange(len(order))
+    from scipy.spatial import cKDTree
+    pairs = cKDTree(coords).query_pairs(nr, output_type="ndarray")
+    measured = int(np.abs(rank[pairs[:, 0]] - rank[pairs[:, 1]]).max())
+    assert band >= measured  # certificate holds
+    assert band <= int(1.25 * measured) + 8  # and is not uselessly loose
+    # exact path still returns the measured width on the same input
+    _, band_exact = ab.banded_order(coords, nr, exact_below=10**9)
+    assert band_exact <= band
+
+
+def test_window_bound_inconclusive_falls_back_to_exact():
+    """A cross (dense vertical + horizontal strips) defeats BOTH axis
+    windows (> n/8 each), so the fast path must fall back to the exact pair
+    measurement, where Hilbert/x/y compete on measured widths."""
+    rng = np.random.default_rng(0)
+    m = 1000
+    vert = np.stack([rng.normal(0, 1e-3, m), rng.uniform(-1, 1, m)], 1)
+    horz = np.stack([rng.uniform(-1, 1, m), rng.normal(0, 1e-3, m)], 1)
+    coords = np.concatenate([vert, horz])
+    nr = 0.05
+    order, band = ab.banded_order(coords, nr, exact_below=100)
+    rank = np.empty(len(order), dtype=np.int64)
+    rank[order] = np.arange(len(order))
+    from scipy.spatial import cKDTree
+    pairs = cKDTree(coords).query_pairs(nr, output_type="ndarray")
+    assert int(np.abs(rank[pairs[:, 0]] - rank[pairs[:, 1]]).max()) == band

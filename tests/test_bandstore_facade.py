@@ -398,3 +398,51 @@ def test_band_relax_unconverged_falls_back_to_fw(net, monkeypatch):
     fw = _run(path, attrs, "band", band_relax="fw")
     np.testing.assert_array_equal(fb.neighborhoods, fw.neighborhoods)
     np.testing.assert_array_equal(fb.nes_binary, fw.nes_binary)
+
+
+def test_band_gemm_downstream_matches_dense_scipy(net, tmp_path):
+    """The FLAGSHIP configuration (band APSP + class-table hypergeometric +
+    GEMM jaccard clustering + device aggregates) lands the same domains,
+    assignments, and TSV reports as the all-host reference formulation
+    (dense APSP + f64 loop + scipy linkage) on a shared run — the
+    small-scale pin of tools/tpu_full_downstream_100k.py's entire chain
+    (reference safe.py:1380-1425 example flow)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    path, n = net
+    attrs = _binary_attrs(n, a=10, seed=33)
+
+    ref = _run(path, attrs, "full", hypergeom_engine="loop")
+    ref.cluster_engine = "scipy"
+    ref.define_top_attributes(attribute_enrichment_min_size=3)
+    fast = _run(path, attrs, "band", hypergeom_engine="auto")
+    fast.cluster_engine = "gemm"
+    fast.define_top_attributes(attribute_enrichment_min_size=3)
+
+    np.testing.assert_array_equal(fast.attributes["top"].values,
+                                  ref.attributes["top"].values)
+    if int(ref.attributes["top"].sum()) < 2:
+        pytest.skip("fixture produced <2 top attributes")
+
+    ref.define_domains(attribute_distance_threshold=0.9)
+    ref.trim_domains(attribute_enrichment_min_size=2)
+    fast.define_domains(attribute_distance_threshold=0.9)
+    fast.trim_domains(attribute_enrichment_min_size=2)
+
+    np.testing.assert_array_equal(fast.attributes["domain"].values,
+                                  ref.attributes["domain"].values)
+    pd.testing.assert_frame_equal(fast.node2domain, ref.node2domain)
+    pd.testing.assert_frame_equal(fast.domains, ref.domains)
+
+    (tmp_path / "ref").mkdir()
+    (tmp_path / "fast").mkdir()
+    ref.print_output_files(output_dir=str(tmp_path / "ref") + "/")
+    fast.print_output_files(output_dir=str(tmp_path / "fast") + "/")
+    for stem in ("node_properties_annotation.txt",
+                 "attribute_properties_annotation.txt",
+                 "domain_properties_annotation.txt"):
+        t1 = pd.read_csv(tmp_path / "ref" / stem, sep="\t")
+        t2 = pd.read_csv(tmp_path / "fast" / stem, sep="\t")
+        # the class-table engine carries NES in f32 (within the 1e-6 parity
+        # budget of the f64 loop), so numeric columns compare with tolerance
+        pd.testing.assert_frame_equal(t2, t1, rtol=1e-5, atol=1e-6)
