@@ -117,9 +117,13 @@ def _bitpack_colmajor(b):
     pad = (-mask.shape[0]) % 8
     if pad:
         mask = jnp.concatenate([mask, jnp.zeros(pad, bool)])
-    weights = jnp.array([1, 2, 4, 8, 16, 32, 64, 128], jnp.int32)
-    packed = jnp.sum(mask.reshape(-1, 8).astype(jnp.int32) * weights, axis=1)
-    return packed.astype(jnp.uint8)
+    # uint8 arithmetic throughout: each product is <= 128 and a row's sum is
+    # exactly <= 255, so nothing wraps — and the temp stays 1 byte/cell
+    # (an int32 formulation would transiently hold 4x N*A bytes, 8.6 GB at
+    # the caller's 2^31-cell ceiling)
+    weights = jnp.array([1, 2, 4, 8, 16, 32, 64, 128], jnp.uint8)
+    return jnp.sum(mask.reshape(-1, 8).astype(jnp.uint8) * weights,
+                   axis=1, dtype=jnp.uint8)
 
 
 def indicator_csc(nes_binary_dev, column_counts: np.ndarray):

@@ -502,7 +502,8 @@ def plot_sample_attributes(sf, attributes=1, top_attributes_only=False,
         midrange = kwargs.get("midrange", [np.log10(0.05), 0, -np.log10(0.05)])
 
         if show_nes:
-            nes_column = sf.nes[:, attribute]
+            # device column slice — never materializes the (N, A) f64 NES
+            nes_column = sf._nes_column(attribute)
             vmin = kwargs.get("vmin", np.nanmin(
                 [np.log10(1 / sf.num_permutations),
                  np.nanmin(-np.abs(nes_column))]))
@@ -526,7 +527,7 @@ def plot_sample_attributes(sf, attributes=1, top_attributes_only=False,
             _plot_raw_data(sf, ax, attribute, node_xy, style)
 
         if show_significant_nodes:
-            significant = sf._nes_binary_small()[:, attribute] > 0
+            significant = sf._nes_binary_column(attribute) > 0
             mark_nodes(node_xy[significant, 0], node_xy[significant, 1],
                        kind=["mark"], ax=ax,
                        legend_label="p < %.2e" % sf.enrichment_threshold,

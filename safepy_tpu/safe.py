@@ -56,6 +56,14 @@ def _to_int8(x):
     return x.astype(jnp.int8)
 
 
+@jax.jit
+def _take_column(a, j):
+    """One column of a device matrix with the index TRACED: every column
+    shares one compiled program per matrix shape (a static `a[:, j]` slice
+    would trigger a remote compile per distinct j)."""
+    return jax.lax.dynamic_slice_in_dim(a, j, 1, axis=1)[:, 0]
+
+
 class SAFE:
     """An instance of SAFE analysis: all data, parameters, and pipeline methods."""
 
@@ -1743,6 +1751,33 @@ class SAFE:
                 self._nes_binary_i8_np = np.asarray(self._nes_binary_dev)
             return self._nes_binary_i8_np
         return self.nes_binary
+
+    def _nes_column(self, j):
+        """ONE NES column in f64 without materializing the (N, A) host
+        matrix: the f64 property download + conversion costs minutes at the
+        99,840 x 4,373 band scale, while a single device-sliced column ships
+        N floats over the relay. Per-attribute plot panels
+        (plotting.plot_sample_attributes) read through this."""
+        if self._nes_np is not None:
+            return np.asarray(self._nes_np[:, j], dtype=np.float64)
+        if self._nes_dev is not None:
+            return np.asarray(_take_column(self._nes_dev, int(j)),
+                              dtype=np.float64)
+        return np.asarray(self.nes[:, j], dtype=np.float64)
+
+    def _nes_binary_column(self, j):
+        """One significance-indicator column; device-sliced like
+        :meth:`_nes_column` (the dense int8 indicator download is 437 MB at
+        GO band scale)."""
+        if self._nes_binary_np is not None:
+            return np.asarray(self._nes_binary_np[:, j])
+        if self._nes_binary_i8_np is not None:
+            return np.asarray(self._nes_binary_i8_np[:, j])
+        if self._nes_binary_pending is not None:
+            self._update_binary_enrichment()
+        if self._nes_binary_dev is not None:
+            return np.asarray(_take_column(self._nes_binary_dev, int(j)))
+        return np.asarray(self.nes_binary[:, j])
 
     def _nes_binary_for_top(self):
         """Indicator view for define_top_attributes: when the indicator is

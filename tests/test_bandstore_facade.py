@@ -446,3 +446,20 @@ def test_band_gemm_downstream_matches_dense_scipy(net, tmp_path):
         # the class-table engine carries NES in f32 (within the 1e-6 parity
         # budget of the f64 loop), so numeric columns compare with tolerance
         pd.testing.assert_frame_equal(t2, t1, rtol=1e-5, atol=1e-6)
+
+
+def test_column_accessors_match_full_matrices(net):
+    """_nes_column / _nes_binary_column (the per-attribute plot panels' data
+    path) slice the device arrays: values must equal the materialized
+    matrices without having populated the host caches first."""
+    path, n = net
+    attrs = _binary_attrs(n, a=6, seed=11)
+    sf = _run(path, attrs, "band")
+    assert sf._nes_np is None and sf._nes_binary_i8_np is None
+    col2 = sf._nes_column(2)
+    bin2 = sf._nes_binary_column(2)
+    # accessors must not have forced the (N, A) host materialization
+    assert sf._nes_np is None and sf._nes_binary_i8_np is None
+    np.testing.assert_array_equal(col2, np.asarray(sf.nes)[:, 2])
+    np.testing.assert_array_equal(bin2, np.asarray(sf.nes_binary)[:, 2]
+                                  .astype(bin2.dtype))
