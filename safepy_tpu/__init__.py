@@ -55,6 +55,10 @@ if _cache != "0" \
     _jax.config.update(
         "jax_compilation_cache_dir",
         _cache or _os.path.expanduser("~/.cache/safepy_tpu/xla"))
+    # cache EVERY program: jax's default 1 s floor re-compiles the many
+    # small chunk-dispatch programs remotely (1-3 s each on the tunnel)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 __version__ = "0.1.0"
 

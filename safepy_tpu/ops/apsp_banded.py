@@ -194,8 +194,7 @@ def graph_banded_order(n: int, edges: np.ndarray, weights: np.ndarray,
     # searchsorted covers them all
     span = float(ds.max()) + float(radius) + 1.0
     keys = labels[order] * (2.0 * span) + ds[order]
-    j = np.searchsorted(keys, keys + float(radius), side="right")
-    band = int(max(1, (j - np.arange(n) - 1).max()))
+    band = window_halfwidth(keys, float(radius))
     return order, band
 
 

@@ -332,7 +332,11 @@ def _domain_mixture_colors(sf, domain2rgb):
     domain_of_attr = sf.attributes["domain"].values
     unique_domains = np.sort(np.unique(domain_of_attr))
     n2d = getattr(sf, "node2domain", None)
-    if n2d is not None and all(d in n2d.columns for d in unique_domains):
+    fresh = (getattr(sf, "_node2domain_serial", None) is not None
+             and sf._node2domain_serial == getattr(sf, "_enrichment_serial",
+                                                   None))
+    if n2d is not None and fresh \
+            and all(d in n2d.columns for d in unique_domains):
         # node2domain's count columns ARE these sums (define_domains computes
         # them on device at band scale; trim renumbers both sides in step) —
         # reuse instead of re-reducing the (N, A) indicator on host, which
@@ -469,7 +473,10 @@ def _select_attributes(sf, attributes, top_attributes_only, seed):
         if attributes < len(candidates):
             return np.random.default_rng(seed).choice(candidates, attributes,
                                                       replace=False)
-        return np.arange(len(candidates))
+        # all candidates: their IDS, not positions — with top_attributes_only
+        # the top ids are not 0..k-1, and np.arange would silently select the
+        # first k attributes of the whole table
+        return candidates
     names = list(sf.attributes["name"].values)
     if isinstance(attributes, str):
         return [names.index(attributes)]

@@ -150,6 +150,10 @@ class SAFE:
         self._nes_binary_dev = None
         self._nes_binary_i8_np = None  # cached int8 download (see _nes_binary_small)
         self._nes_binary_csc = None  # cached sparse view (_nes_binary_for_top)
+        # run stamps: node2domain is only reusable (e.g. by the composite
+        # plot's mixture counts) while it derives from the CURRENT indicator
+        self._enrichment_serial = 0
+        self._node2domain_serial = None
         # (indicator_dev, counts) decided on device, awaiting _update_binary_enrichment
         self._nes_binary_pending = None
 
@@ -561,6 +565,7 @@ class SAFE:
         self._nes_binary_i8_np = None
         self._nes_binary_csc = None
         self._domains_inter_cache = None
+        self._enrichment_serial = getattr(self, "_enrichment_serial", 0) + 1
 
     def _graph_to_arrays_cached(self):
         """graph_to_arrays walks the whole NetworkX graph in Python (~0.25 s
@@ -841,6 +846,7 @@ class SAFE:
         state["_n2a_dev"] = None
         state["_nes_binary_pending"] = None
         state["_domains_inter_cache"] = None  # derived; up to 76 MB at GO scale
+        state["_nes_binary_csc"] = None  # derived sparse view, rebuilds on demand
         state["_d0_cache"] = {}
         state["_banded_cache"] = {}
         state["_bandstore_cache"] = {}
@@ -854,7 +860,10 @@ class SAFE:
         self.__dict__.setdefault("cluster_engine", "auto")
         self.__dict__.setdefault("_domains_inter_cache", None)
         self.__dict__.setdefault("_nes_binary_i8_np", None)
+        self.__dict__.setdefault("_nes_binary_csc", None)
         self.__dict__.setdefault("_logsf_np", None)
+        self.__dict__.setdefault("_enrichment_serial", 0)
+        self.__dict__.setdefault("_node2domain_serial", None)
 
     # ------------------------------------------------------------------ p-values
 
@@ -1195,6 +1204,7 @@ class SAFE:
             self._nes_binary_np = None
             self._nes_binary_i8_np = None
             self._nes_binary_csc = None
+            self._enrichment_serial += 1
         else:
             idx = ~np.isnan(self.nes)
             nes_binary = np.zeros(self.nes.shape)
@@ -1761,7 +1771,12 @@ class SAFE:
         if self._nes_np is not None:
             return np.asarray(self._nes_np[:, j], dtype=np.float64)
         if self._nes_dev is not None:
-            return np.asarray(_take_column(self._nes_dev, int(j)),
+            j = int(j)
+            if not 0 <= j < self._nes_dev.shape[1]:
+                # dynamic_slice CLAMPS; match the host branch's IndexError
+                raise IndexError(f"attribute index {j} out of range "
+                                 f"[0, {self._nes_dev.shape[1]})")
+            return np.asarray(_take_column(self._nes_dev, j),
                               dtype=np.float64)
         return np.asarray(self.nes[:, j], dtype=np.float64)
 
@@ -1776,7 +1791,11 @@ class SAFE:
         if self._nes_binary_pending is not None:
             self._update_binary_enrichment()
         if self._nes_binary_dev is not None:
-            return np.asarray(_take_column(self._nes_binary_dev, int(j)))
+            j = int(j)
+            if not 0 <= j < self._nes_binary_dev.shape[1]:
+                raise IndexError(f"attribute index {j} out of range "
+                                 f"[0, {self._nes_binary_dev.shape[1]})")
+            return np.asarray(_take_column(self._nes_binary_dev, j))
         return np.asarray(self.nes_binary[:, j])
 
     def _nes_binary_for_top(self):
@@ -1840,6 +1859,9 @@ class SAFE:
             verbose=self.verbose, cluster_engine=self.cluster_engine,
             intersections=self._domains_inter_cache,
             nes_binary_dev=self._nes_binary_dev, nes_dev=self._nes_dev)
+        # stamp AFTER the call: resolving a pending device indicator inside
+        # bumps the serial, and node2domain derives from the resolved state
+        self._node2domain_serial = self._enrichment_serial
 
     def trim_domains(self, **kwargs):
         self.attributes, self.node2domain, self.domains = _domains.trim_domains(

@@ -216,3 +216,37 @@ def test_domain_mixture_counts_reuse_matches_indicator(analyzed):
     finally:
         analyzed.node2domain = saved
     np.testing.assert_array_equal(via_node2domain, via_indicator)
+
+
+def test_domain_mixture_stale_node2domain_falls_back(analyzed):
+    """After enrichment is recomputed (serial bump) the mixture colors must
+    NOT reuse the old node2domain counts — the fallback recomputes from the
+    current indicator (reference safe.py:884-904 semantics)."""
+    from safepy_tpu.plotting import _domain_colors, _domain_mixture_colors
+
+    domains, rgb = _domain_colors(analyzed, seed=0)
+    baseline = _domain_mixture_colors(analyzed, rgb)
+    saved_n2d = analyzed.node2domain
+    try:
+        poisoned = analyzed.node2domain.copy()
+        cols = [c for c in poisoned.columns
+                if c not in ("primary_domain", "primary_nes")]
+        poisoned[cols] = 999.0
+        analyzed.node2domain = poisoned
+        analyzed._enrichment_serial += 1  # simulate a fresh enrichment run
+        stale = _domain_mixture_colors(analyzed, rgb)
+    finally:
+        analyzed.node2domain = saved_n2d
+        analyzed._enrichment_serial -= 1
+    np.testing.assert_array_equal(stale, baseline)
+
+
+def test_select_attributes_top_ids_not_positions(analyzed):
+    """Requesting more attributes than exist with top_attributes_only must
+    return the top attribute IDS, not positions 0..k-1."""
+    from safepy_tpu.plotting import _select_attributes
+
+    tops = analyzed.attributes.index.values[
+        analyzed.attributes["top"].values.astype(bool)]
+    got = _select_attributes(analyzed, len(tops) + 5, True, seed=0)
+    np.testing.assert_array_equal(np.sort(np.asarray(got)), np.sort(tops))
