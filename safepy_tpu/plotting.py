@@ -473,9 +473,10 @@ def _select_attributes(sf, attributes, top_attributes_only, seed):
         if attributes < len(candidates):
             return np.random.default_rng(seed).choice(candidates, attributes,
                                                       replace=False)
-        # all candidates: their IDS, not positions — with top_attributes_only
-        # the top ids are not 0..k-1, and np.arange would silently select the
-        # first k attributes of the whole table
+        # all candidates: their IDS, not positions — the reference returns
+        # np.arange(len(all_attributes)) here (safe.py:1044), which with
+        # top_attributes_only silently plots the first k attributes of the
+        # whole table; latent defect fixed, divergence noted in PARITY.md
         return candidates
     names = list(sf.attributes["name"].values)
     if isinstance(attributes, str):

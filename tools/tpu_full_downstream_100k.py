@@ -137,6 +137,12 @@ def main():
     sf.print_output_files(output_dir=outdir + "/")
     t.lap("print_output_files (3 TSV reports)")
 
+    # one attribute landscape panel: NES + significance marks ride the
+    # device COLUMN slices (safe._nes_column) — never the (N, A) downloads
+    sf.plot_sample_attributes(attributes=1, show_significant_nodes=True,
+                              save_fig=outdir + "/attr.png", seed=0)
+    t.lap("plot_sample_attributes (device column slices)")
+
     total = sum(s for _, s in t.rows)
     compute = sum(s for lbl, s in t.rows if "synthesize" not in lbl)
     print(f"TOTAL {total:.1f}s; full SAFE workflow (excl. synthesis) "
