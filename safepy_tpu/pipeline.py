@@ -316,14 +316,15 @@ def _band_perm_tail(s_ind, vals, vals_valid, valid, starts, rank, key, *,
 
 @functools.partial(jax.jit, static_argnames=(
     "n", "band", "block", "score_type", "num_permutations", "batch_size",
-    "w_c", "precision", "bf_max_iters"))
+    "w_c", "precision", "bf_max_iters", "keep_distances"))
 def fused_permutation_pipeline_band(u, v, w, vals, vals_valid, valid, starts,
                                     rank, key, radius, *, n: int, band: int,
                                     block: int = 128, score_type: str = "sum",
                                     num_permutations: int = 1000,
                                     batch_size: int = 1000, w_c: int,
                                     precision: str = "highest",
-                                    bf_slots=None, bf_max_iters: int = 0):
+                                    bf_slots=None, bf_max_iters: int = 0,
+                                    keep_distances: bool = True):
     """Band-storage APSP + threshold + scores + permutation null, one dispatch.
 
     All row inputs are in the PERMUTED (banded-order) frame: u/v/w the edge
@@ -335,6 +336,14 @@ def fused_permutation_pipeline_band(u, v, w, vals, vals_valid, valid, starts,
     the BandedMatrix wrapper). The trailing ``converged`` output is constant
     True on the FW path (``bf_slots=None``); on the sparse-BF path a False
     means every other output is garbage and the caller must re-dispatch FW.
+
+    ``keep_distances=False`` replaces the returned f32 distance band with an
+    empty placeholder: XLA then dead-code-eliminates the masked distance
+    array and frees the relaxed band right after thresholding, cutting peak
+    HBM by the f32 band (9.3 GB at 299,520 nodes / 125-node neighborhoods —
+    the difference between fitting one 16 GB chip and not). The facade's
+    ``SAFE.keep_node_distances`` drives it; ``node_distances`` is then
+    unavailable for the run.
     """
     dist_band, s_ind, mean, std, bt, converged = _band_front(
         u, v, w, radius, n=n, band=band, block=block, bf_slots=bf_slots,
@@ -343,18 +352,20 @@ def fused_permutation_pipeline_band(u, v, w, vals, vals_valid, valid, starts,
         s_ind, vals, vals_valid, valid, starts, rank, key, bt=bt, block=block,
         score_type=score_type, num_permutations=num_permutations,
         batch_size=batch_size, w_c=w_c, precision=precision)
+    if not keep_distances:
+        dist_band = jnp.zeros((0, s_ind.shape[1]), jnp.float32)
     return (dist_band, s_ind, obs, counts_neg, counts_pos, mean, std,
             converged)
 
 
 @functools.partial(jax.jit, static_argnames=(
     "n", "band", "block", "score_type", "num_permutations", "batch_size",
-    "w_c", "precision"))
+    "w_c", "precision", "keep_distances"))
 def fused_permutation_pipeline_band_euclid(
         coords_perm, vals, vals_valid, valid, starts, rank, key, radius, *,
         n: int, band: int, block: int = 128, score_type: str = "sum",
         num_permutations: int = 1000, batch_size: int = 1000, w_c: int,
-        precision: str = "highest"):
+        precision: str = "highest", keep_distances: bool = True):
     """Euclidean band neighborhoods + permutation null, one dispatch — the
     scatter/UMAP flagship at band-storage scale (no graph algorithm at all;
     strict ``dist < r``, reference safe.py:389-399)."""
@@ -371,18 +382,22 @@ def fused_permutation_pipeline_band_euclid(
         s_ind, vals, vals_valid, valid, starts, rank, key, bt=bt, block=block,
         score_type=score_type, num_permutations=num_permutations,
         batch_size=batch_size, w_c=w_c, precision=precision)
+    if not keep_distances:  # see fused_permutation_pipeline_band
+        dist_band = jnp.zeros((0, s_ind.shape[1]), jnp.float32)
     return dist_band, s_ind, obs, counts_neg, counts_pos, mean, std
 
 
 @functools.partial(jax.jit, static_argnames=("n", "band", "block",
                                              "iterations", "attr_chunk",
-                                             "bf_max_iters"))
+                                             "bf_max_iters",
+                                             "keep_distances"))
 def fused_hypergeom_pipeline_band(u, v, w, nan0, nodes_not_nan, K, lgt, M,
                                   radius, enrichment_threshold, rank, *,
                                   n: int, band: int, block: int = 128,
                                   iterations: int,
                                   attr_chunk: int | None = None,
-                                  bf_slots=None, bf_max_iters: int = 0):
+                                  bf_slots=None, bf_max_iters: int = 0,
+                                  keep_distances: bool = True):
     """Band-storage APSP + hypergeometric enrichment, one dispatch.
 
     Operands are HOST-precomputed (nan0 = NaN->0 annotations, nodes_not_nan,
@@ -404,5 +419,7 @@ def fused_hypergeom_pipeline_band(u, v, w, nan0, nodes_not_nan, K, lgt, M,
         iterations=iterations, bt=bt, block=block, attr_chunk=attr_chunk,
         rank=rank)
     enriched_counts = jnp.sum(nes_binary, axis=0, dtype=jnp.int32)
+    if not keep_distances:  # see fused_permutation_pipeline_band
+        dist_band = jnp.zeros((0, s_ind.shape[1]), jnp.float32)
     return (dist_band, s_ind, nes32, log_sf32, nes_binary,
             enriched_counts, mean, std, converged)

@@ -97,6 +97,11 @@ class SAFE:
         # docs/DESIGN.md), or force 'bf' / 'fw' explicitly
         self.band_relax = "auto"
         self._band_relax_used = None
+        # False drops the f32 distance band from the fused band pipelines
+        # (node_distances then unavailable for the run): peak HBM falls by
+        # the full f32 band — 9.3 GB at 299,520 nodes / 125-neighborhoods,
+        # the difference between fitting one 16 GB chip and OOM
+        self.keep_node_distances = True
         self._graph_arrays = None  # cached graph_to_arrays output
         self.node_key_attribute = "label_orf"
 
@@ -1494,7 +1499,9 @@ class SAFE:
         else:
             (dist_band, s_ind, obs_dev, counts_neg, counts_pos, mean, std) = \
                 _pipe.fused_permutation_pipeline_band_euclid(
-                    *euclid_args, **euclid_kw)
+                    *euclid_args,
+                    keep_distances=bool(self.keep_node_distances),
+                    **euclid_kw)
         obs = np.asarray(obs_dev)
         self.ns = obs
         self._finalize_randomization(counts_neg, counts_pos, obs)
@@ -1502,12 +1509,14 @@ class SAFE:
         g_rows = (-(-num_nodes // 128) + 2 * bt) * 128
         if s_ind.shape[0] != g_rows:  # sharded outputs carry extra pad rows
             s_ind = s_ind[:g_rows]
-            dist_band = dist_band[:g_rows]
+            if dist_band.shape[0]:
+                dist_band = dist_band[:g_rows]
         self._neighborhoods_dev = _BandedMatrix(s_ind, rank, num_nodes, band,
                                                 fill=0.0)
         self._neighborhoods_np = None
-        self._node_distances_dev = _BandedMatrix(dist_band, rank, num_nodes,
-                                                 band, fill=np.inf)
+        self._node_distances_dev = (
+            _BandedMatrix(dist_band, rank, num_nodes, band, fill=np.inf)
+            if dist_band.shape[0] else None)  # keep_node_distances=False
         self._node_distances_np = None
 
         if self.verbose:
@@ -1647,7 +1656,8 @@ class SAFE:
                            jnp.asarray(nan0_perm), jnp.asarray(nnn_perm),
                            jnp.asarray(K), lgt, M, radius,
                            np.float64(self.enrichment_threshold), rank_dev)
-                hb_kw = dict(n=num_nodes, band=band, iterations=iters)
+                hb_kw = dict(n=num_nodes, band=band, iterations=iters,
+                             keep_distances=bool(self.keep_node_distances))
                 bf = self._band_bf_args(plan)
                 out = _pipe.fused_hypergeom_pipeline_band(
                     *hb_args, **hb_kw, **bf)
@@ -1695,6 +1705,8 @@ class SAFE:
                            num_permutations=int(self.num_permutations),
                            batch_size=batch, w_c=w_c,
                            precision=self.matmul_precision)
+            if self.mesh is None:
+                band_kw["keep_distances"] = bool(self.keep_node_distances)
             if self.mesh is not None:
                 from safepy_tpu.parallel.band_sharded import (
                     fused_permutation_pipeline_band_sharded)
@@ -1724,12 +1736,14 @@ class SAFE:
         g_rows = (-(-num_nodes // 128) + 2 * bt) * 128
         if s_ind.shape[0] != g_rows:  # sharded outputs carry extra pad rows
             s_ind = s_ind[:g_rows]
-            dist_band = dist_band[:g_rows]
+            if dist_band.shape[0]:
+                dist_band = dist_band[:g_rows]
         self._neighborhoods_dev = _BandedMatrix(s_ind, rank, num_nodes, band,
                                                 fill=0.0)
         self._neighborhoods_np = None
-        self._node_distances_dev = _BandedMatrix(dist_band, rank, num_nodes,
-                                                 band, fill=np.inf)
+        self._node_distances_dev = (
+            _BandedMatrix(dist_band, rank, num_nodes, band, fill=np.inf)
+            if dist_band.shape[0] else None)  # keep_node_distances=False
         self._node_distances_np = None
 
         if self.verbose:

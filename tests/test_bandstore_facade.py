@@ -463,3 +463,50 @@ def test_column_accessors_match_full_matrices(net):
     np.testing.assert_array_equal(col2, np.asarray(sf.nes)[:, 2])
     np.testing.assert_array_equal(bin2, np.asarray(sf.nes_binary)[:, 2]
                                   .astype(bin2.dtype))
+
+
+def test_keep_node_distances_false_drops_distances_only(net):
+    """keep_node_distances=False removes the f32 distance band from the
+    fused band pipelines (the single biggest HBM object at scale — 9.3 GB
+    at 299,520 nodes / 125-neighborhoods); every statistic is unchanged and
+    node_distances is None for the run."""
+    path, n = net
+    qattrs = _quant_attrs(n, seed=12)
+    ref = _run(path, qattrs, "band", num_permutations=150)
+
+    sf = SAFE(verbose=False)
+    sf.apsp_mode = "band"
+    sf.random_seed = 7
+    sf.keep_node_distances = False
+    sf.load_network(network_file=path, node_key_attribute="key")
+    sf.load_attributes(attribute_file=qattrs)
+    sf.run_pipeline(num_permutations=150)
+    assert sf._node_distances_dev is None and sf.node_distances is None
+    np.testing.assert_array_equal(sf.neighborhoods, ref.neighborhoods)
+    np.testing.assert_allclose(sf.ns, ref.ns, rtol=1e-6, atol=1e-6)
+    # same seed, same engine: the null and NES are bit-identical
+    np.testing.assert_array_equal(np.asarray(sf.nes), np.asarray(ref.nes))
+
+    # binary (hypergeometric) band path honors the knob too
+    battrs = _binary_attrs(n, seed=13)
+    bref = _run(path, battrs, "band", hypergeom_engine="loop")
+    sfb = SAFE(verbose=False)
+    sfb.apsp_mode = "band"
+    sfb.hypergeom_engine = "loop"
+    sfb.random_seed = 7
+    sfb.keep_node_distances = False
+    sfb.load_network(network_file=path, node_key_attribute="key")
+    sfb.load_attributes(attribute_file=battrs)
+    sfb.run_pipeline()
+    assert sfb._node_distances_dev is None and sfb.node_distances is None
+    np.testing.assert_array_equal(sfb.nes_binary, bref.nes_binary)
+
+    # euclidean band path
+    sfe = SAFE(verbose=False)
+    sfe.apsp_mode = "band"
+    sfe.random_seed = 7
+    sfe.keep_node_distances = False
+    sfe.load_network(network_file=path, node_key_attribute="key")
+    sfe.load_attributes(attribute_file=qattrs)
+    sfe.run_pipeline(node_distance_metric="euclidean", num_permutations=60)
+    assert sfe._node_distances_dev is None and sfe.node_distances is None

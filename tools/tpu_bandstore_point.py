@@ -114,16 +114,19 @@ def main():
         # needs ~2x the band store in HBM — at 299,520 nodes the 125-target
         # band (9.27 GB) OOMs one 16 GB v5e while ~60 fits
         target = float(parts[1]) if len(parts) > 1 else 125.0
+        nodist = "nodist" in parts[2:]
         t0 = time.time()
         g = build_graph(n)
         print(f"# graph built in {time.time() - t0:.1f} s", flush=True)
         attrs = quant_attrs(n)
         radius = float(np.sqrt(target / (np.pi * n)))
-        sf, first, steady = run_safe(g, attrs, "auto", radius)
+        sf, first, steady = run_safe(g, attrs, "auto", radius,
+                                     keep_node_distances=not nodist)
         plan = next(v for v in sf._bandstore_cache.values() if v)
         from safepy_tpu.ops.apsp_bandstore import band_nbytes
         print(json.dumps({
             "check": "scale", "nodes": n, "radius": radius,
+            "target_neighbors": target, "keep_distances": not nodist,
             "band": int(plan["band"]),
             "band_gb": round(band_nbytes(n, plan["band"]) / 1e9, 2),
             "dense_gb": round(4 * n * n / 1e9, 1),

@@ -46,12 +46,14 @@ def build_graph(n, k=9, seed=0):
     return g
 
 
-def run_safe(g, attrs, mode, radius, perms=1000, min_nodes=32768):
+def run_safe(g, attrs, mode, radius, perms=1000, min_nodes=32768,
+             keep_node_distances=True):
     from safepy_tpu import SAFE
 
     sf = SAFE(verbose=False)
     sf.apsp_mode = mode
     sf.band_storage_min_nodes = min_nodes
+    sf.keep_node_distances = keep_node_distances
     sf.neighborhood_radius = radius
     sf.random_seed = 17
     sf.load_network(network_file=g, node_key_attribute="key")
