@@ -292,6 +292,60 @@ def band_neighborhoods(u, v, w, radius, *, n: int, band: int, block: int = 128,
     return out[:4] + (out[5],)
 
 
+@functools.partial(jax.jit, static_argnames=("n", "band", "block"))
+def band_init(u, v, w, *, n: int, band: int, block: int = 128):
+    """Banded FW initialization alone — the first dispatch of the SPLIT band
+    front (see band_relax_threshold)."""
+    from safepy_tpu.ops import apsp_bandstore as bst
+
+    return bst.band_init_from_edges(u, v, w, n=n, band=band, block=block)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,),
+                   static_argnames=("n", "bt", "block"))
+def band_relax_threshold(s, radius, *, n: int, bt: int, block: int = 128):
+    """FW relax + radius mask + indicator/stats over a DONATED band.
+
+    The split front exists for HBM, not speed: inside the fused program XLA
+    assigns separate buffers to the FW while-loop's parameter and result
+    (compile-only memory_analysis measures temp ~= 2x the band store —
+    tools/tpu_band_memplan.py), which is exactly the 16 GB chip's OOM at
+    299,520 nodes / 125-node neighborhoods. At a jit boundary the donated
+    init band aliases the returned MASKED distance band (same shape/dtype —
+    donation only pairs buffers an output can reuse, so this function
+    ALWAYS returns the distances; a caller that doesn't want them drops the
+    reference after dispatch, which frees the device buffer before the tail
+    runs). Measured at the 3621-band shape: arguments 8.63 G shared with the
+    output, temp ~0.5 G — peak HBM during relaxation is ONE band plus the
+    int8 indicator. The facade gates the split on band size
+    (SAFE.band_split_min_bytes); the extra dispatches cost ~1 s against the
+    tens-of-GB regime they unlock."""
+    from safepy_tpu.ops import apsp_bandstore as bst
+
+    s = bst.apsp_band_fw(s, bt=bt, block=block)
+    s_ind = bst.band_threshold(s, radius)
+    _, mean, std = bst.band_row_stats(s_ind, n=n, bt=bt, block=block)
+    dist_band = jnp.where(s <= jnp.asarray(radius, s.dtype), s, jnp.inf)
+    return dist_band, s_ind, mean, std
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "bt", "block", "score_type", "num_permutations", "batch_size", "w_c",
+    "precision"))
+def band_perm_tail(s_ind, vals, vals_valid, valid, starts, rank, key, *,
+                   bt: int, block: int = 128, score_type: str = "sum",
+                   num_permutations: int = 1000, batch_size: int = 1000,
+                   w_c: int, precision: str = "highest"):
+    """Standalone jit of the banded permutation tail — the third dispatch of
+    the split front path (obs, counts_neg, counts_pos in the ORIGINAL
+    frame)."""
+    return _band_perm_tail(s_ind, vals, vals_valid, valid, starts, rank, key,
+                           bt=bt, block=block, score_type=score_type,
+                           num_permutations=num_permutations,
+                           batch_size=batch_size, w_c=w_c,
+                           precision=precision)
+
+
 def _band_perm_tail(s_ind, vals, vals_valid, valid, starts, rank, key, *,
                     bt, block, score_type, num_permutations, batch_size, w_c,
                     precision):

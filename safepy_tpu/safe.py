@@ -102,6 +102,12 @@ class SAFE:
         # the full f32 band — 9.3 GB at 299,520 nodes / 125-neighborhoods,
         # the difference between fitting one 16 GB chip and OOM
         self.keep_node_distances = True
+        # Above this band-store size the FW front runs SPLIT (init ->
+        # donated relax -> tail dispatches): inside one fused program XLA
+        # double-buffers the FW loop's band (pipeline.band_relax_threshold),
+        # so giant bands pay ~2x HBM fused but ~1x split. ~1 s of extra
+        # dispatch overhead, irrelevant at the scales the gate admits.
+        self.band_split_min_bytes = 3 * 10 ** 9
         self._graph_arrays = None  # cached graph_to_arrays output
         self.node_key_attribute = "label_orf"
 
@@ -414,8 +420,10 @@ class SAFE:
             if bs_plan is not None:
                 dist_band, s_ind, mean, std = self._band_front_dispatch(
                     bs_plan, _nbr.inclusive_radius(nr), num_nodes)
-                dist_dev = _BandedMatrix(dist_band, bs_plan["rank"], num_nodes,
-                                         bs_plan["band"], fill=np.inf)
+                dist_dev = (
+                    _BandedMatrix(dist_band, bs_plan["rank"], num_nodes,
+                                  bs_plan["band"], fill=np.inf)
+                    if dist_band.shape[0] else None)  # keep_node_distances
                 nbr_dev = _BandedMatrix(s_ind, bs_plan["rank"], num_nodes,
                                         bs_plan["band"], fill=0.0)
                 self._neighborhoods_dev = nbr_dev
@@ -774,15 +782,39 @@ class SAFE:
                 band=plan["band"], **bf)
             if bool(np.asarray(out[4])):
                 self._band_relax_used = "bf"
-                return out[:4]
+                dist_band, s_ind, mean, std = out[:4]
+                if not self.keep_node_distances:
+                    dist_band = jnp.zeros((0, 1), jnp.float32)
+                return dist_band, s_ind, mean, std
             self._band_relax_used = "bf->fw"
             logging.info("band BF relax hit its iteration budget; "
                          "re-dispatching Floyd-Warshall")
         else:
             self._band_relax_used = "fw"
-        return _pipe.band_neighborhoods(
-            plan["u"], plan["v"], plan["w"], radius, n=num_nodes,
-            band=plan["band"])[:4]
+        if self._band_split_selected(num_nodes, plan["band"]):
+            s = _pipe.band_init(plan["u"], plan["v"], plan["w"], n=num_nodes,
+                                band=plan["band"])
+            out = _pipe.band_relax_threshold(
+                s, radius, n=num_nodes, bt=plan["band"] // 128 + 1)
+            del s  # donated; aliased by the returned distance band
+        else:
+            out = _pipe.band_neighborhoods(
+                plan["u"], plan["v"], plan["w"], radius, n=num_nodes,
+                band=plan["band"])[:4]
+        dist_band, s_ind, mean, std = out
+        if not self.keep_node_distances:
+            # drop the only reference: the device frees the f32 band before
+            # any downstream dispatch runs
+            dist_band = jnp.zeros((0, 1), jnp.float32)
+        return dist_band, s_ind, mean, std
+
+    def _band_split_selected(self, num_nodes, band):
+        """Split the band front into init -> donated-relax (-> tail)
+        dispatches when the f32 band store crosses band_split_min_bytes —
+        the fused program double-buffers the FW loop's band (see
+        pipeline.band_relax_threshold)."""
+        from safepy_tpu.ops.apsp_bandstore import band_nbytes
+        return band_nbytes(num_nodes, band) >= float(self.band_split_min_bytes)
 
     def _node2attribute_device(self):
         """(N, A) f32 device copy of node2attribute (NaNs preserved), uploaded
@@ -1716,18 +1748,38 @@ class SAFE:
                 self._band_relax_used = "fw"  # sharded engine relaxes via FW
             else:
                 bf = self._band_bf_args(plan)
-                out = _pipe.fused_permutation_pipeline_band(
-                    *band_args, **band_kw, **bf)
-                if bf and not bool(np.asarray(out[7])):
-                    self._band_relax_used = "bf->fw"
-                    logging.info("band BF relax hit its iteration budget; "
-                                 "re-dispatching Floyd-Warshall")
-                    out = _pipe.fused_permutation_pipeline_band(
-                        *band_args, **band_kw)
+                if not bf and self._band_split_selected(num_nodes, band):
+                    # giant-band regime: init -> donated relax -> tail
+                    # dispatches hold ONE band instead of the fused
+                    # program's double-buffered two (band_relax_threshold)
+                    self._band_relax_used = "fw"
+                    s = _pipe.band_init(plan["u"], plan["v"], plan["w"],
+                                        n=num_nodes, band=band)
+                    dist_band, s_ind, mean, std = _pipe.band_relax_threshold(
+                        s, band_args[9], n=num_nodes, bt=band // 128 + 1)
+                    del s  # donated; aliased by dist_band
+                    if not self.keep_node_distances:
+                        # free the f32 band BEFORE the tail dispatch
+                        dist_band = jnp.zeros((0, 1), jnp.float32)
+                    obs_dev, counts_neg, counts_pos = _pipe.band_perm_tail(
+                        s_ind, *band_args[3:9], bt=band // 128 + 1,
+                        score_type=self.neighborhood_score_type,
+                        num_permutations=int(self.num_permutations),
+                        batch_size=batch, w_c=w_c,
+                        precision=self.matmul_precision)
                 else:
-                    self._band_relax_used = "bf" if bf else "fw"
-                (dist_band, s_ind, obs_dev, counts_neg, counts_pos, mean,
-                 std) = out[:7]
+                    out = _pipe.fused_permutation_pipeline_band(
+                        *band_args, **band_kw, **bf)
+                    if bf and not bool(np.asarray(out[7])):
+                        self._band_relax_used = "bf->fw"
+                        logging.info("band BF relax hit its iteration "
+                                     "budget; re-dispatching Floyd-Warshall")
+                        out = _pipe.fused_permutation_pipeline_band(
+                            *band_args, **band_kw)
+                    else:
+                        self._band_relax_used = "bf" if bf else "fw"
+                    (dist_band, s_ind, obs_dev, counts_neg, counts_pos, mean,
+                     std) = out[:7]
             obs = np.asarray(obs_dev)
             self.ns = obs
             self._finalize_randomization(counts_neg, counts_pos, obs)

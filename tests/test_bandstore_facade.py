@@ -510,3 +510,39 @@ def test_keep_node_distances_false_drops_distances_only(net):
     sfe.load_attributes(attribute_file=qattrs)
     sfe.run_pipeline(node_distance_metric="euclidean", num_permutations=60)
     assert sfe._node_distances_dev is None and sfe.node_distances is None
+
+
+def test_band_split_front_matches_fused(net):
+    """The giant-band SPLIT dispatch path (init -> donated relax -> tail,
+    gated by band_split_min_bytes — exists because the fused program
+    double-buffers the FW band, pipeline.band_relax_threshold) is
+    results-identical to the fused pipeline."""
+    path, n = net
+    qattrs = _quant_attrs(n, seed=14)
+    fused = _run(path, qattrs, "band", num_permutations=120)
+
+    sf = SAFE(verbose=False)
+    sf.apsp_mode = "band"
+    sf.random_seed = 7
+    sf.band_split_min_bytes = 0  # force the split at test scale
+    sf.load_network(network_file=path, node_key_attribute="key")
+    sf.load_attributes(attribute_file=qattrs)
+    sf.run_pipeline(num_permutations=120)
+    np.testing.assert_array_equal(sf.neighborhoods, fused.neighborhoods)
+    np.testing.assert_array_equal(np.asarray(sf.node_distances),
+                                  np.asarray(fused.node_distances))
+    np.testing.assert_allclose(sf.ns, fused.ns, rtol=1e-6, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(sf.nes), np.asarray(fused.nes))
+
+    # staged define_neighborhoods rides the same split front; with
+    # keep_node_distances=False it must leave node_distances None
+    sf2 = SAFE(verbose=False)
+    sf2.apsp_mode = "band"
+    sf2.random_seed = 7
+    sf2.band_split_min_bytes = 0
+    sf2.keep_node_distances = False
+    sf2.load_network(network_file=path, node_key_attribute="key")
+    sf2.load_attributes(attribute_file=qattrs)
+    sf2.define_neighborhoods()
+    assert sf2.node_distances is None
+    np.testing.assert_array_equal(sf2.neighborhoods, fused.neighborhoods)
