@@ -595,18 +595,32 @@ def euclidean_band_distances(coords_perm, *, n: int, band: int,
     certificate); ghost/pad cells are masked to +inf explicitly (see the
     inline comment — sentinel coordinates would put two pads at distance 0).
     """
+    cg, blk_d, bt, nb, width = _euclid_block_setup(coords_perm, n=n,
+                                                   band=band, block=block)
+    out = jnp.full(((nb + 2 * bt) * block, width), _INF, jnp.float32)
+    z = jnp.int32(0)
+
+    def blk(i, out):
+        i = jnp.asarray(i, jnp.int32)
+        return jax.lax.dynamic_update_slice(out, blk_d(i),
+                                            ((i + bt) * block, z))
+
+    return jax.lax.fori_loop(0, nb, blk, out)
+
+
+def _euclid_block_setup(coords_perm, *, n: int, band: int, block: int):
+    """Shared per-block-row distance computation for the euclidean band
+    variants: returns (ghosted coords, blk_d(i) -> (block, width) f32
+    distances with pad/diagonal handling, bt, nb, width)."""
     bt, nb, width = band_params(n, band, block)
     npad = nb * block
 
     coords_perm = jnp.asarray(coords_perm, jnp.float32)
     cg = jnp.zeros((npad + 2 * bt * block, 2), jnp.float32)
     cg = jax.lax.dynamic_update_slice(cg, coords_perm, (bt * block, 0))
-
-    out = jnp.full(((nb + 2 * bt) * block, width), _INF, jnp.float32)
     z = jnp.int32(0)
 
-    def blk(i, out):
-        i = jnp.asarray(i, jnp.int32)
+    def blk_d(i):
         rows = jax.lax.dynamic_slice(cg, ((i + bt) * block, z), (block, 2))
         slab = jax.lax.dynamic_slice(cg, (i * block, z), (width, 2))
         diff = rows[:, None, :] - slab[None, :, :]
@@ -617,12 +631,38 @@ def euclidean_band_distances(coords_perm, *, n: int, band: int,
         # (the diagonal cell of row r is slab position bt*block + r)
         row_g = i * block + jnp.arange(block, dtype=jnp.int32)
         col_g = (i - bt) * block + jnp.arange(width, dtype=jnp.int32)
-        pad = (row_g[:, None] >= n) | (col_g[None, :] < 0) | (col_g[None, :] >= n)
+        pad = ((row_g[:, None] >= n) | (col_g[None, :] < 0)
+               | (col_g[None, :] >= n))
         d = jnp.where(pad, jnp.inf, d)
         r_idx = jnp.arange(block)
-        d = d.at[r_idx, r_idx + bt * block].set(
+        return d.at[r_idx, r_idx + bt * block].set(
             jnp.where(row_g < n, 0.0, jnp.inf))
-        return jax.lax.dynamic_update_slice(out, d, ((i + bt) * block, z))
+
+    return cg, blk_d, bt, nb, width
+
+
+@functools.partial(jax.jit, static_argnames=("n", "band", "block"))
+def euclidean_band_indicator(coords_perm, radius, *, n: int, band: int,
+                             block: int = 128):
+    """Strict ``dist < radius`` int8 indicator band computed DIRECTLY.
+
+    Bit-identical to ``euclidean_band_distances(...) < radius`` (pinned in
+    tests), but the loop carry is the 1-byte indicator instead of the 4-byte
+    distance band — the f32 band never exists, so the euclidean pipelines
+    with ``keep_distances=False`` peak at ~1/4 the HBM (the scatter/UMAP
+    ceiling moves from ~300k to ~1M points on one 16 GB v5e; reference
+    safe.py:389-399 serves this metric from a dense host pdist).
+    """
+    cg, blk_d, bt, nb, width = _euclid_block_setup(coords_perm, n=n,
+                                                   band=band, block=block)
+    r = jnp.asarray(radius, jnp.float32)
+    out = jnp.zeros(((nb + 2 * bt) * block, width), jnp.int8)
+    z = jnp.int32(0)
+
+    def blk(i, out):
+        i = jnp.asarray(i, jnp.int32)
+        ind = (blk_d(i) < r).astype(jnp.int8)
+        return jax.lax.dynamic_update_slice(out, ind, ((i + bt) * block, z))
 
     return jax.lax.fori_loop(0, nb, blk, out)
 
@@ -739,10 +779,22 @@ def compaction_plan(valid, *, n: int, bt: int, block: int = 128):
     return np.asarray(starts, np.int64), w_c
 
 
-@functools.partial(jax.jit, static_argnames=("w_c", "bt", "block"))
+# Block-rows per compaction-sort chunk. TPU lowers the STABLE variadic sort
+# with an s32 iota tiebreaker operand the full size of the sorted array —
+# 4 bytes/cell against the 1-byte indicator, 10.7 GB at 349,440 nodes /
+# 125-node neighborhoods (measured, the band tail's OOM at that scale).
+# Chunking the row-independent sort over block-row slices shrinks the iota
+# and the key/masked temporaries to chunk size with bit-identical results;
+# bands at or under the chunk take the original single-sort path untouched.
+COMPACTION_CHUNK_BLOCKS = 256
+
+
+@functools.partial(jax.jit, static_argnames=("w_c", "bt", "block",
+                                             "chunk_blocks"))
 def apply_compaction(s_ind, valid, w_c: int, *, bt: int, block: int = 128,
-                     row_block_offset=0):
-    """Device half of the compaction: one stable lane-sort (jit-compatible).
+                     row_block_offset=0,
+                     chunk_blocks: int = COMPACTION_CHUNK_BLOCKS):
+    """Device half of the compaction: stable lane-sorts (jit-compatible).
 
     ``valid``: (n,) bool device/host array in the permuted order. The per-slab
     invalid-last sort keys are built ON DEVICE from it (an (N_ghost, W) key
@@ -754,6 +806,11 @@ def apply_compaction(s_ind, valid, w_c: int, *, bt: int, block: int = 128,
     ``row_block_offset`` (traced ok): global ghosted block-row index of
     s_ind's first row — the mesh-sharded workers pass their shard origin so
     each slab sees the right slice of the global validity staircase.
+
+    ``chunk_blocks``: sort at most this many block-rows per dispatch (see
+    COMPACTION_CHUNK_BLOCKS); 0 disables chunking. Each row's sort is
+    independent and the keys depend only on the row's block, so chunked and
+    single-shot results are bit-identical (pinned in test_bandstore).
     """
     width = s_ind.shape[1]
     nbg = s_ind.shape[0] // block  # ghosted block-rows in THIS shard
@@ -765,20 +822,45 @@ def apply_compaction(s_ind, valid, w_c: int, *, bt: int, block: int = 128,
     ext_len = valid.shape[0] + 2 * pad
     valid_ext = jnp.zeros(ext_len, bool).at[pad:pad + valid.shape[0]].set(valid)
     off = jnp.asarray(row_block_offset, jnp.int32)
-    cols = ((off + jnp.arange(nbg, dtype=jnp.int32)[:, None] - 2 * bt) * block
-            + jnp.arange(width, dtype=jnp.int32)[None, :]) + pad
-    cols = jnp.clip(cols, 0, ext_len - 1)
-    # int8 keys AND int8 sort values: both materialized arrays are band-sized,
-    # so dtype is a 4x lever on the compaction's peak HBM (the indicator is
-    # 0/1; only the final w_c-wide compacted slice returns to f32 for the MXU)
-    keys_blk = (~valid_ext[cols]).astype(jnp.int8)           # (nbg, W)
-    keys = jnp.broadcast_to(keys_blk[:, None, :],
-                            (nbg, block, width)).reshape(nbg * block, width)
 
-    masked = jnp.asarray(s_ind).astype(jnp.int8) * (1 - keys)
-    sorted_vals = jax.lax.sort((keys, masked), dimension=-1,
-                               num_keys=1, is_stable=True)[1]
-    return sorted_vals[:, :w_c]  # int8; consumers cast per block
+    def keys_for(blk0, nblk):
+        # int8 keys AND int8 sort values: the materialized arrays scale with
+        # the sorted slice, so dtype is a 4x lever on the compaction's peak
+        # HBM (the indicator is 0/1; only the final w_c-wide compacted slice
+        # returns to f32 for the MXU)
+        cols = ((off + blk0 + jnp.arange(nblk, dtype=jnp.int32)[:, None]
+                 - 2 * bt) * block
+                + jnp.arange(width, dtype=jnp.int32)[None, :]) + pad
+        cols = jnp.clip(cols, 0, ext_len - 1)
+        keys_blk = (~valid_ext[cols]).astype(jnp.int8)       # (nblk, W)
+        return jnp.broadcast_to(keys_blk[:, None, :],
+                                (nblk, block, width)).reshape(nblk * block,
+                                                              width)
+
+    def sort_rows(rows_i8, keys):
+        masked = rows_i8 * (1 - keys)
+        return jax.lax.sort((keys, masked), dimension=-1,
+                            num_keys=1, is_stable=True)[1][:, :w_c]
+
+    s_i8 = jnp.asarray(s_ind).astype(jnp.int8)
+    if not chunk_blocks or nbg <= chunk_blocks:
+        return sort_rows(s_i8, keys_for(0, nbg))  # int8; consumers cast
+
+    cb = int(chunk_blocks)
+    nsteps = -(-nbg // cb)
+
+    def body(i, out):
+        # the last chunk backs up to stay in range; overlapped rows re-sort
+        # to the identical result before the overwrite
+        blk0 = jnp.minimum(i * cb, nbg - cb)
+        rows = jax.lax.dynamic_slice(s_i8, (blk0 * block, 0),
+                                     (cb * block, width))
+        return jax.lax.dynamic_update_slice(out, sort_rows(rows,
+                                                           keys_for(blk0, cb)),
+                                            (blk0 * block, 0))
+
+    out = jnp.zeros((nbg * block, w_c), jnp.int8)
+    return jax.lax.fori_loop(0, nsteps, body, out)
 
 
 def compact_band_columns(s_ind, valid, *, bt: int, block: int = 128):

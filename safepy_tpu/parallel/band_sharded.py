@@ -301,17 +301,15 @@ def _scan_counts_local(compact, starts, vals, mask, obs_local, key, my, *,
                       batch_size=batch_size)
 
 
-def _euclid_band_local(coords_g, my, *, n: int, bt: int, nb: int,
-                       local_rows: int, width: int, block: int):
-    """Device-local slab of banded Euclidean distances — the shard's slice of
+def _euclid_blk_builder(coords_g, my, *, n: int, bt: int, nb: int,
+                        local_rows: int, width: int, block: int):
+    """blk_d(j) -> one (block, width) slab of device-local banded Euclidean
+    distances — the shard's slice of
     ops/apsp_bandstore.euclidean_band_distances (explicit +inf pad masking,
-    exact-0 diagonal)."""
-    lrows = local_rows * block
-    out = jnp.full((lrows, width), _INF, jnp.float32)
+    exact-0 diagonal; out-of-range slab rows of edge shards are +inf)."""
     z = jnp.int32(0)
 
-    def blk(j, out):
-        j = jnp.asarray(j, jnp.int32)
+    def blk_d(j):
         i = my * local_rows + j - bt      # real block index of this slab row
         valid = (i >= 0) & (i < nb)
         i_c = jnp.clip(i, 0, nb - 1)
@@ -328,8 +326,47 @@ def _euclid_band_local(coords_g, my, *, n: int, bt: int, nb: int,
         r_idx = jnp.arange(block)
         d = d.at[r_idx, r_idx + bt * block].set(
             jnp.where(row_g < n, 0.0, jnp.inf))
-        d = jnp.where(valid, d, jnp.inf)
-        return jax.lax.dynamic_update_slice(out, d, (j * block, z))
+        return jnp.where(valid, d, jnp.inf)
+
+    return blk_d
+
+
+def _euclid_band_local(coords_g, my, *, n: int, bt: int, nb: int,
+                       local_rows: int, width: int, block: int):
+    """Device-local slab of banded Euclidean distances — the shard's slice of
+    ops/apsp_bandstore.euclidean_band_distances (explicit +inf pad masking,
+    exact-0 diagonal)."""
+    blk_d = _euclid_blk_builder(coords_g, my, n=n, bt=bt, nb=nb,
+                                local_rows=local_rows, width=width,
+                                block=block)
+    lrows = local_rows * block
+    out = jnp.full((lrows, width), _INF, jnp.float32)
+    z = jnp.int32(0)
+
+    def blk(j, out):
+        j = jnp.asarray(j, jnp.int32)
+        return jax.lax.dynamic_update_slice(out, blk_d(j), (j * block, z))
+
+    return jax.lax.fori_loop(0, local_rows, blk, out)
+
+
+def _euclid_band_ind_local(coords_g, radius, my, *, n: int, bt: int, nb: int,
+                           local_rows: int, width: int, block: int):
+    """Device-local strict ``dist < radius`` int8 indicator computed DIRECTLY
+    (the shard's slice of ops/apsp_bandstore.euclidean_band_indicator): the
+    f32 distance slab never materializes — ~1/4 the per-device peak HBM."""
+    blk_d = _euclid_blk_builder(coords_g, my, n=n, bt=bt, nb=nb,
+                                local_rows=local_rows, width=width,
+                                block=block)
+    r = jnp.asarray(radius, jnp.float32)
+    lrows = local_rows * block
+    out = jnp.zeros((lrows, width), jnp.int8)
+    z = jnp.int32(0)
+
+    def blk(j, out):
+        j = jnp.asarray(j, jnp.int32)
+        ind = (blk_d(j) < r).astype(jnp.int8)
+        return jax.lax.dynamic_update_slice(out, ind, (j * block, z))
 
     return jax.lax.fori_loop(0, local_rows, blk, out)
 
@@ -346,19 +383,24 @@ def _ghost_pad_cols(x, bt: int, block: int, npad: int):
 
 @functools.partial(jax.jit, static_argnames=(
     "mesh", "axis", "n", "band", "block", "score_type", "num_permutations",
-    "batch_size", "w_c", "precision", "use_pallas"))
+    "batch_size", "w_c", "precision", "use_pallas", "keep_distances"))
 def fused_permutation_pipeline_band_sharded(
         u, v, w, vals, vals_valid, valid, starts, rank, key, radius, *,
         mesh: Mesh, axis: str = "data", n: int, band: int, block: int = 128,
         score_type: str = "sum", num_permutations: int = 1000,
         batch_size: int = 1000, w_c: int, precision: str = "highest",
-        use_pallas: bool | None = None):
+        use_pallas: bool | None = None, keep_distances: bool = True):
     """Row-sharded band pipeline: init, FW, threshold, scores, null — one
     dispatch, every band-shaped array partitioned over `axis`.
 
     Same frames as pipeline.fused_permutation_pipeline_band; the returned
     (n, A) matrices are in the ORIGINAL node frame, the band matrices stay in
-    the global ghost-padded permuted frame (sharded)."""
+    the global ghost-padded permuted frame (sharded).
+
+    ``keep_distances=False`` drops the masked f32 distance slab from the
+    worker outputs (the per-device analog of the single-chip knob — XLA then
+    frees each shard's relaxed FW slab right after thresholding); the first
+    return is a (0, width) placeholder."""
     from safepy_tpu.ops.apsp_bandstore import apply_compaction
 
     if use_pallas is None:
@@ -376,11 +418,13 @@ def fused_permutation_pipeline_band_sharded(
                                        0.0), bt, block, npad)
     xg_mask = _ghost_pad_cols(finite.astype(jnp.float32), bt, block, npad)
 
+    dist_spec = (P(axis, None),) if keep_distances else ()
+
     @functools.partial(
         jax.shard_map, mesh=mesh, check_vma=False,
         in_specs=(P(), P(), P(), P(), P(), P(), P(), P(), P()),
-        out_specs=(P(axis, None), P(axis, None), P(axis),
-                   P(axis, None), P(axis, None), P(axis, None)))
+        out_specs=dist_spec + (P(axis, None), P(axis),
+                               P(axis, None), P(axis, None), P(axis, None)))
     def worker(u, v, w, xg_val, xg_mask, valid, starts, vv_mask, key):
         vv_, mask_ = vv_mask
         my = jax.lax.axis_index(axis)
@@ -390,8 +434,6 @@ def fused_permutation_pipeline_band_sharded(
         slab = _band_fw_rounds(slab, my, axis, nb=nb, bt=bt,
                                local_rows=local_rows, block=block,
                                use_pallas=bool(use_pallas))
-        dist_local = jnp.where(slab <= jnp.asarray(radius, slab.dtype), slab,
-                               jnp.inf)
         ind = (slab <= jnp.asarray(radius, slab.dtype)).astype(jnp.int8)
         sizes_local = jnp.sum(ind, axis=1, dtype=jnp.float32)
         obs_local = _band_score_local(ind, xg_val, xg_mask, my, bt=bt,
@@ -405,11 +447,19 @@ def fused_permutation_pipeline_band_sharded(
             score_type=score_type, num_permutations=num_permutations,
             batch_size=batch_size, bt=bt, local_rows=local_rows, nb=nb,
             block=block, precision=precision)
+        if not keep_distances:
+            return ind, sizes_local, obs_local, cn, cp
+        dist_local = jnp.where(slab <= jnp.asarray(radius, slab.dtype), slab,
+                               jnp.inf)
         return dist_local, ind, sizes_local, obs_local, cn, cp
 
-    dist_g, ind_g, sizes_g, obs_g, cn_g, cp_g = worker(
-        u, v, w, xg_val, xg_mask, jnp.asarray(valid), starts,
-        (vv, mask_valid), key)
+    out = worker(u, v, w, xg_val, xg_mask, jnp.asarray(valid), starts,
+                 (vv, mask_valid), key)
+    if keep_distances:
+        dist_g, ind_g, sizes_g, obs_g, cn_g, cp_g = out
+    else:
+        ind_g, sizes_g, obs_g, cn_g, cp_g = out
+        dist_g = jnp.zeros((0, width), jnp.float32)
 
     sizes = jax.lax.dynamic_slice_in_dim(sizes_g, bt * block, npad, 0)[:n]
     mean, std = jnp.mean(sizes), jnp.std(sizes)
@@ -654,16 +704,21 @@ def hypergeom_band_table_sharded(ind_g, nan0_np,
 
 @functools.partial(jax.jit, static_argnames=(
     "mesh", "axis", "n", "band", "block", "score_type", "num_permutations",
-    "batch_size", "w_c", "precision"))
+    "batch_size", "w_c", "precision", "keep_distances"))
 def fused_permutation_pipeline_band_euclid_sharded(
         coords_perm, vals, vals_valid, valid, starts, rank, key, radius, *,
         mesh: Mesh, axis: str = "data", n: int, band: int, block: int = 128,
         score_type: str = "sum", num_permutations: int = 1000,
-        batch_size: int = 1000, w_c: int, precision: str = "highest"):
+        batch_size: int = 1000, w_c: int, precision: str = "highest",
+        keep_distances: bool = True):
     """Row-sharded euclidean band pipeline (scatter/UMAP flagship): banded
     direct coordinate distances per shard (strict ``dist < r``, reference
     safe.py:389-399) + the sharded permutation null — the euclidean metric's
-    mesh path (previously single-chip only)."""
+    mesh path (previously single-chip only).
+
+    ``keep_distances=False`` builds each shard's int8 indicator DIRECTLY
+    (_euclid_band_ind_local — the f32 slab never exists, ~1/4 the per-device
+    peak); the first return is a (0, width) placeholder."""
     from safepy_tpu.ops.apsp_bandstore import apply_compaction
 
     ndev = mesh.shape[axis]
@@ -682,20 +737,27 @@ def fused_permutation_pipeline_band_euclid_sharded(
                                        0.0), bt, block, npad)
     xg_mask = _ghost_pad_cols(finite.astype(jnp.float32), bt, block, npad)
 
+    dist_spec = (P(axis, None),) if keep_distances else ()
+
     @functools.partial(
         jax.shard_map, mesh=mesh, check_vma=False,
         in_specs=(P(), P(), P(), P(), P(), P(), P()),
-        out_specs=(P(axis, None), P(axis, None), P(axis),
-                   P(axis, None), P(axis, None), P(axis, None)))
+        out_specs=dist_spec + (P(axis, None), P(axis),
+                               P(axis, None), P(axis, None), P(axis, None)))
     def worker(coords_g, xg_val, xg_mask, valid, starts, vv_mask, key):
         vv_, mask_ = vv_mask
         my = jax.lax.axis_index(axis)
-        raw = _euclid_band_local(coords_g, my, n=n, bt=bt, nb=nb,
-                                 local_rows=local_rows, width=width,
-                                 block=block)
-        r = jnp.asarray(radius, raw.dtype)
-        dist_local = jnp.where(raw < r, raw, jnp.inf)
-        ind = (raw < r).astype(jnp.int8)
+        if keep_distances:
+            raw = _euclid_band_local(coords_g, my, n=n, bt=bt, nb=nb,
+                                     local_rows=local_rows, width=width,
+                                     block=block)
+            r = jnp.asarray(radius, raw.dtype)
+            dist_local = jnp.where(raw < r, raw, jnp.inf)
+            ind = (raw < r).astype(jnp.int8)
+        else:
+            ind = _euclid_band_ind_local(coords_g, radius, my, n=n, bt=bt,
+                                         nb=nb, local_rows=local_rows,
+                                         width=width, block=block)
         sizes_local = jnp.sum(ind, axis=1, dtype=jnp.float32)
         obs_local = _band_score_local(ind, xg_val, xg_mask, my, bt=bt,
                                       local_rows=local_rows, block=block,
@@ -708,11 +770,17 @@ def fused_permutation_pipeline_band_euclid_sharded(
             score_type=score_type, num_permutations=num_permutations,
             batch_size=batch_size, bt=bt, local_rows=local_rows, nb=nb,
             block=block, precision=precision)
+        if not keep_distances:
+            return ind, sizes_local, obs_local, cn, cp
         return dist_local, ind, sizes_local, obs_local, cn, cp
 
-    dist_g, ind_g, sizes_g, obs_g, cn_g, cp_g = worker(
-        coords_g, xg_val, xg_mask, jnp.asarray(valid), starts,
-        (vv, mask_valid), key)
+    out = worker(coords_g, xg_val, xg_mask, jnp.asarray(valid), starts,
+                 (vv, mask_valid), key)
+    if keep_distances:
+        dist_g, ind_g, sizes_g, obs_g, cn_g, cp_g = out
+    else:
+        ind_g, sizes_g, obs_g, cn_g, cp_g = out
+        dist_g = jnp.zeros((0, width), jnp.float32)
 
     sizes = jax.lax.dynamic_slice_in_dim(sizes_g, bt * block, npad, 0)[:n]
     mean, std = jnp.mean(sizes), jnp.std(sizes)

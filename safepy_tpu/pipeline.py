@@ -261,20 +261,31 @@ def _band_front(u, v, w, radius, *, n, band, block, bf_slots=None,
     return dist_band, s_ind, mean, std, bt, converged
 
 
-@functools.partial(jax.jit, static_argnames=("n", "band", "block"))
+@functools.partial(jax.jit, static_argnames=("n", "band", "block",
+                                             "keep_distances"))
 def euclidean_band_neighborhoods(coords_perm, radius, *, n: int, band: int,
-                                 block: int = 128):
+                                 block: int = 128, keep_distances: bool = True):
     """Banded euclidean neighborhoods (strict ``dist < r``, reference
     safe.py:389-399) for scatter/UMAP inputs at band-storage scale:
-    (dist_band, s_ind, mean_size, std_size) in the permuted frame."""
+    (dist_band, s_ind, mean_size, std_size) in the permuted frame.
+
+    ``keep_distances=False`` computes the int8 indicator DIRECTLY
+    (ops/apsp_bandstore.euclidean_band_indicator): the f32 distance band
+    never materializes, so peak HBM is ~1/4 of the keep path — the lever
+    that takes the scatter workflow to ~1M points on one 16 GB chip."""
     from safepy_tpu.ops import apsp_bandstore as bst
 
     bt = band // block + 1
-    raw = bst.euclidean_band_distances(coords_perm, n=n, band=band,
-                                       block=block)
-    r = jnp.asarray(radius, raw.dtype)
-    dist_band = jnp.where(raw < r, raw, jnp.inf)
-    s_ind = (raw < r).astype(jnp.int8)
+    if keep_distances:
+        raw = bst.euclidean_band_distances(coords_perm, n=n, band=band,
+                                           block=block)
+        r = jnp.asarray(radius, raw.dtype)
+        dist_band = jnp.where(raw < r, raw, jnp.inf)
+        s_ind = (raw < r).astype(jnp.int8)
+    else:
+        s_ind = bst.euclidean_band_indicator(coords_perm, radius, n=n,
+                                             band=band, block=block)
+        dist_band = jnp.zeros((0, s_ind.shape[1]), jnp.float32)
     _, mean, std = bst.band_row_stats(s_ind, n=n, bt=bt, block=block)
     return dist_band, s_ind, mean, std
 
@@ -426,18 +437,23 @@ def fused_permutation_pipeline_band_euclid(
     from safepy_tpu.ops import apsp_bandstore as bst
 
     bt = band // block + 1
-    raw = bst.euclidean_band_distances(coords_perm, n=n, band=band,
-                                       block=block)
-    r = jnp.asarray(radius, raw.dtype)
-    dist_band = jnp.where(raw < r, raw, jnp.inf)
-    s_ind = (raw < r).astype(jnp.int8)
+    if keep_distances:
+        raw = bst.euclidean_band_distances(coords_perm, n=n, band=band,
+                                           block=block)
+        r = jnp.asarray(radius, raw.dtype)
+        dist_band = jnp.where(raw < r, raw, jnp.inf)
+        s_ind = (raw < r).astype(jnp.int8)
+    else:
+        # the f32 band never materializes — the int8 indicator is built
+        # directly, ~1/4 the peak HBM (see euclidean_band_neighborhoods)
+        s_ind = bst.euclidean_band_indicator(coords_perm, radius, n=n,
+                                             band=band, block=block)
+        dist_band = jnp.zeros((0, s_ind.shape[1]), jnp.float32)
     _, mean, std = bst.band_row_stats(s_ind, n=n, bt=bt, block=block)
     obs, counts_neg, counts_pos = _band_perm_tail(
         s_ind, vals, vals_valid, valid, starts, rank, key, bt=bt, block=block,
         score_type=score_type, num_permutations=num_permutations,
         batch_size=batch_size, w_c=w_c, precision=precision)
-    if not keep_distances:  # see fused_permutation_pipeline_band
-        dist_band = jnp.zeros((0, s_ind.shape[1]), jnp.float32)
     return dist_band, s_ind, obs, counts_neg, counts_pos, mean, std
 
 

@@ -386,9 +386,12 @@ class SAFE:
                 dist_band, s_ind, mean, std = \
                     _pipe.euclidean_band_neighborhoods(
                         jnp.asarray(coords[np.argsort(rank)], jnp.float32),
-                        np.float32(nr), n=num_nodes, band=band)
-                dist_dev = _BandedMatrix(dist_band, rank, num_nodes, band,
-                                         fill=np.inf)
+                        np.float32(nr), n=num_nodes, band=band,
+                        keep_distances=bool(self.keep_node_distances))
+                dist_dev = (
+                    _BandedMatrix(dist_band, rank, num_nodes, band,
+                                  fill=np.inf)
+                    if dist_band.shape[0] else None)  # keep_node_distances
                 nbr_dev = _BandedMatrix(s_ind, rank, num_nodes, band,
                                         fill=0.0)
             else:
@@ -1527,7 +1530,9 @@ class SAFE:
                 fused_permutation_pipeline_band_euclid_sharded)
             (dist_band, s_ind, obs_dev, counts_neg, counts_pos, mean, std) = \
                 fused_permutation_pipeline_band_euclid_sharded(
-                    *euclid_args, mesh=self.mesh, **euclid_kw)
+                    *euclid_args, mesh=self.mesh,
+                    keep_distances=bool(self.keep_node_distances),
+                    **euclid_kw)
         else:
             (dist_band, s_ind, obs_dev, counts_neg, counts_pos, mean, std) = \
                 _pipe.fused_permutation_pipeline_band_euclid(
@@ -1744,7 +1749,8 @@ class SAFE:
                     fused_permutation_pipeline_band_sharded)
                 (dist_band, s_ind, obs_dev, counts_neg, counts_pos, mean,
                  std) = fused_permutation_pipeline_band_sharded(
-                    *band_args, mesh=self.mesh, **band_kw)
+                    *band_args, mesh=self.mesh,
+                    keep_distances=bool(self.keep_node_distances), **band_kw)
                 self._band_relax_used = "fw"  # sharded engine relaxes via FW
             else:
                 bf = self._band_bf_args(plan)

@@ -184,6 +184,41 @@ def test_compact_band_and_batch_matmul():
     np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-5)
 
 
+def test_euclidean_band_indicator_matches_distances():
+    """The int8-direct euclidean indicator (the f32 band never materializes —
+    the ~1M-point scatter ceiling lever) == thresholding the distance band,
+    bitwise, including pad rows/cols and the exact-zero diagonal."""
+    n, block = 450, 64
+    rng = np.random.default_rng(3)
+    coords = rng.uniform(-1, 1, (n, 2)).astype(np.float32)
+    rank = np.argsort(coords[:, 0], kind="stable").argsort()
+    cp = jnp.asarray(coords[np.argsort(rank)])
+    for band, r in ((96, 0.11), (160, 0.2)):
+        raw = bs.euclidean_band_distances(cp, n=n, band=band, block=block)
+        want = np.asarray(raw < np.float32(r)).astype(np.int8)
+        got = np.asarray(bs.euclidean_band_indicator(
+            cp, np.float32(r), n=n, band=band, block=block))
+        np.testing.assert_array_equal(got, want)
+
+
+def test_apply_compaction_chunked_bit_identical():
+    """Chunked compaction sorts (the giant-band HBM lever — the stable sort's
+    s32 iota tiebreaker is full-array-sized on TPU) == single-shot, bitwise,
+    including the backed-up overlapping last chunk."""
+    n, block = 500, 64
+    s_ind, dense_ind, rank, band, bt = _thresholded_band(n, 6, 5, block)
+    rng = np.random.default_rng(2)
+    valid = rng.random(n) < 0.6
+    _, w_c = bs.compaction_plan(valid, n=n, bt=bt, block=block)
+    one = bs.apply_compaction(s_ind, valid, w_c, bt=bt, block=block,
+                              chunk_blocks=0)
+    nbg = s_ind.shape[0] // block
+    for cb in (1, 3, nbg, nbg + 7):  # 3 does not divide nbg -> overlap path
+        got = bs.apply_compaction(s_ind, valid, w_c, bt=bt, block=block,
+                                  chunk_blocks=cb)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(one))
+
+
 # ---------------------------------------------------------------------------
 # Sparse Bellman-Ford relaxation (apsp_band_bf)
 # ---------------------------------------------------------------------------

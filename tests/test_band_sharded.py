@@ -100,6 +100,17 @@ def test_sharded_permutation_pipeline_bit_identical():
     assert np.isclose(float(sharded[5]), float(single[5]))  # mean size
     assert np.isclose(float(sharded[6]), float(single[6]))  # std
 
+    # keep_distances=False: per-device analog of the single-chip HBM knob —
+    # every non-distance output stays bit-identical, dist is a placeholder
+    nodist = bsh.fused_permutation_pipeline_band_sharded(
+        *args, mesh=_mesh(ndev), keep_distances=False, **kw)
+    assert nodist[0].shape[0] == 0
+    np.testing.assert_array_equal(np.asarray(nodist[1]),
+                                  np.asarray(sharded[1]))
+    for i in (2, 3, 4):
+        np.testing.assert_array_equal(np.asarray(nodist[i]),
+                                      np.asarray(sharded[i]))
+
 
 def test_sharded_hypergeom_pipeline_matches_single():
     from safepy_tpu import pipeline as pipe
@@ -369,6 +380,17 @@ def test_sharded_euclid_band_bit_identical():
     g_rows = single[1].shape[0]
     np.testing.assert_array_equal(np.asarray(sharded[1])[:g_rows],
                                   np.asarray(single[1]))
+
+    # keep_distances=False rides the int8-DIRECT per-shard indicator
+    # (_euclid_band_ind_local): bit-identical statistics, placeholder dist
+    nodist = bsh.fused_permutation_pipeline_band_euclid_sharded(
+        *args, mesh=_mesh(ndev), keep_distances=False, **kw)
+    assert nodist[0].shape[0] == 0
+    np.testing.assert_array_equal(np.asarray(nodist[1]),
+                                  np.asarray(sharded[1]))
+    for i in (2, 3, 4):
+        np.testing.assert_array_equal(np.asarray(nodist[i]),
+                                      np.asarray(sharded[i]))
 
 
 def test_facade_euclid_band_mesh(tmp_path):

@@ -501,7 +501,15 @@ def test_keep_node_distances_false_drops_distances_only(net):
     assert sfb._node_distances_dev is None and sfb.node_distances is None
     np.testing.assert_array_equal(sfb.nes_binary, bref.nes_binary)
 
-    # euclidean band path
+    # euclidean band path: keep=False rides the int8-DIRECT indicator
+    # (ops/apsp_bandstore.euclidean_band_indicator — the f32 band never
+    # materializes); every statistic must match the keep=True run
+    eref = SAFE(verbose=False)
+    eref.apsp_mode = "band"
+    eref.random_seed = 7
+    eref.load_network(network_file=path, node_key_attribute="key")
+    eref.load_attributes(attribute_file=qattrs)
+    eref.run_pipeline(node_distance_metric="euclidean", num_permutations=60)
     sfe = SAFE(verbose=False)
     sfe.apsp_mode = "band"
     sfe.random_seed = 7
@@ -510,6 +518,18 @@ def test_keep_node_distances_false_drops_distances_only(net):
     sfe.load_attributes(attribute_file=qattrs)
     sfe.run_pipeline(node_distance_metric="euclidean", num_permutations=60)
     assert sfe._node_distances_dev is None and sfe.node_distances is None
+    np.testing.assert_array_equal(sfe.neighborhoods, eref.neighborhoods)
+    np.testing.assert_array_equal(np.asarray(sfe.nes), np.asarray(eref.nes))
+
+    # staged define_neighborhoods honors the knob on the euclid band path too
+    sfs = SAFE(verbose=False)
+    sfs.apsp_mode = "band"
+    sfs.random_seed = 7  # same seed -> same layout -> same band plan
+    sfs.keep_node_distances = False
+    sfs.load_network(network_file=path, node_key_attribute="key")
+    sfs.define_neighborhoods(node_distance_metric="euclidean")
+    assert sfs._node_distances_dev is None and sfs.node_distances is None
+    np.testing.assert_array_equal(sfs.neighborhoods, eref.neighborhoods)
 
 
 def test_band_split_front_matches_fused(net):

@@ -33,8 +33,13 @@ def main():
 
     kind, rest = spec.split(":", 1)
     if kind == "euclid":
-        # scatter/UMAP-style euclidean neighborhoods at band-storage scale
-        n = int(rest)
+        # scatter/UMAP-style euclidean neighborhoods at band-storage scale;
+        # euclid:<n>[:<target>][:nodist] — nodist rides the int8-direct
+        # indicator band (euclidean_band_indicator; no f32 band at all)
+        parts = rest.split(":")
+        n = int(parts[0])
+        target = float(parts[1]) if len(parts) > 1 else 125.0
+        nodist = "nodist" in parts[2:]
         rng = np.random.default_rng(5)
         coords = rng.uniform(-1, 1, (n, 2))
         import networkx as nx
@@ -54,7 +59,8 @@ def main():
         # auto-selected at real scale; FORCED below it so the CPU smoke still
         # exercises the band path even where it would not pay
         sf.apsp_mode = "auto" if n >= 32768 else "band"
-        sf.neighborhood_radius = float(np.sqrt(125.0 / (np.pi * n)))
+        sf.keep_node_distances = not nodist
+        sf.neighborhood_radius = float(np.sqrt(target / (np.pi * n)))
         sf.load_network(network_file=g, node_key_attribute="key")
         sf.load_attributes(attribute_file=attrs)
         t0 = time.time()
@@ -65,11 +71,15 @@ def main():
         sf.run_pipeline(node_distance_metric="euclidean",
                         num_permutations=1000)
         steady = time.time() - t0
-        from safepy_tpu.ops.apsp_bandstore import BandedMatrix
+        from safepy_tpu.ops.apsp_bandstore import BandedMatrix, band_nbytes
         assert isinstance(sf._neighborhoods_dev, BandedMatrix)
+        band = int(sf._neighborhoods_dev.band)
         print(json.dumps({
             "check": "euclid_scale", "nodes": n,
-            "radius": sf.neighborhood_radius,
+            "target_neighbors": target, "keep_distances": not nodist,
+            "radius": sf.neighborhood_radius, "band": band,
+            "band_i8_gb": round(band_nbytes(n, band) / 4e9, 2),
+            "dense_gb": round(4 * n * n / 1e9, 1),
             "first_s": round(first, 2), "steady_s": round(steady, 3),
             "enriched": int((sf.nes_binary > 0).sum())}), flush=True)
         return

@@ -1,0 +1,66 @@
+"""Compile-only HBM accounting for the euclidean band pipeline at giant N.
+
+AOT-lowers fused_permutation_pipeline_band_euclid with
+keep_distances=False (the int8-direct indicator path) at candidate
+scatter/UMAP scale points and prints XLA's memory_analysis — no execution,
+no OOM risk. Run via tools/tpu_run.sh.
+"""
+
+import json
+import sys
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from safepy_tpu import pipeline as pipe
+    from safepy_tpu.ops import apsp_bandstore as bst
+
+    sds = jax.ShapeDtypeStruct
+    i32, f32 = jnp.int32, jnp.float32
+    rng = np.random.default_rng(0)
+
+    # (n multiple of 128, ~125-target band estimate sqrt(125 n / pi))
+    for n in (499968, 599936, 749952):
+        band = int(np.sqrt(125.0 * n / np.pi))
+        bt = band // 128 + 1
+        valid = rng.random(n) < 0.7  # the euclid tool's NaN fraction
+        starts, w_c = bst.compaction_plan(valid, n=n, bt=bt, block=128)
+        v_pad = int(valid.sum()) + w_c
+        args = (sds((n, 2), f32),                         # coords_perm
+                sds((n, 1), f32),                          # vals
+                sds((v_pad, 1), f32),                      # vals_valid
+                sds((n,), jnp.bool_),                      # valid
+                sds(np.asarray(starts).shape, i32),        # starts
+                sds((n,), i32),                            # rank
+                sds((2,), jnp.uint32),                     # key
+                sds((), f32))                              # radius
+        try:
+            comp = pipe.fused_permutation_pipeline_band_euclid.lower(
+                *args, n=n, band=band, score_type="sum",
+                num_permutations=1000, batch_size=250, w_c=w_c,
+                precision="highest", keep_distances=False).compile()
+        except Exception as exc:
+            head = [ln for ln in str(exc).splitlines()
+                    if "Ran out of memory" in ln]
+            print(json.dumps({"n": n, "band": band,
+                              "compile_oom": head[:1] or str(exc)[:200]}),
+                  flush=True)
+            continue
+        m = comp.memory_analysis()
+        print(json.dumps({
+            "n": n, "band": band, "w_c": w_c,
+            "band_i8_gb": round(bst.band_nbytes(n, band, itemsize=1) / 1e9, 2),
+            "temp_gb": round(m.temp_size_in_bytes / 1e9, 2),
+            "output_gb": round(m.output_size_in_bytes / 1e9, 2),
+            "argument_gb": round(m.argument_size_in_bytes / 1e9, 2)}),
+            flush=True)
+
+
+if __name__ == "__main__":
+    main()
