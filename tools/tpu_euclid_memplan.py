@@ -25,9 +25,16 @@ def main():
     i32, f32 = jnp.int32, jnp.float32
     rng = np.random.default_rng(0)
 
-    # (n multiple of 128, ~125-target band estimate sqrt(125 n / pi))
-    for n in (499968, 599936, 749952):
-        band = int(np.sqrt(125.0 * n / np.pi))
+    # (n multiple of 128, ~target-neighbor band estimate sqrt(target n / pi));
+    # override the sweep with n:target args, e.g. 999936:40 999936:125
+    points = [(499968, 125.0), (599936, 125.0), (749952, 125.0)]
+    if len(sys.argv) > 1:
+        points = []
+        for spec in sys.argv[1:]:
+            a, b = spec.split(":")
+            points.append((int(a), float(b)))
+    for n, target in points:
+        band = int(np.sqrt(target * n / np.pi))
         bt = band // 128 + 1
         valid = rng.random(n) < 0.7  # the euclid tool's NaN fraction
         starts, w_c = bst.compaction_plan(valid, n=n, bt=bt, block=128)
@@ -48,13 +55,13 @@ def main():
         except Exception as exc:
             head = [ln for ln in str(exc).splitlines()
                     if "Ran out of memory" in ln]
-            print(json.dumps({"n": n, "band": band,
+            print(json.dumps({"n": n, "target": target, "band": band,
                               "compile_oom": head[:1] or str(exc)[:200]}),
                   flush=True)
             continue
         m = comp.memory_analysis()
         print(json.dumps({
-            "n": n, "band": band, "w_c": w_c,
+            "n": n, "target": target, "band": band, "w_c": w_c,
             "band_i8_gb": round(bst.band_nbytes(n, band, itemsize=1) / 1e9, 2),
             "temp_gb": round(m.temp_size_in_bytes / 1e9, 2),
             "output_gb": round(m.output_size_in_bytes / 1e9, 2),
