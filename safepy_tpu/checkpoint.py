@@ -45,8 +45,12 @@ def save_session(sf, path: str) -> None:
     arrays = {}
     nbr_dev = getattr(sf, "_neighborhoods_dev", None)
     if isinstance(nbr_dev, BandedMatrix) and not nbr_dev.dense_ok():
-        arrays["neighborhoods_band"] = np.asarray(nbr_dev.data,
-                                                  dtype=np.int8)
+        # keep the band's own dtype: int8 plain, uint8 = BIT-packed (8
+        # cells/byte, ops/apsp_bandstore.is_packed_bits — dtype IS the format)
+        band_np = np.asarray(nbr_dev.data)
+        arrays["neighborhoods_band"] = (
+            band_np if band_np.dtype == np.uint8
+            else band_np.astype(np.int8, copy=False))
         arrays["band_rank"] = np.asarray(nbr_dev.rank, dtype=np.int64)
         arrays["band_meta"] = np.asarray(
             [nbr_dev.n, nbr_dev.band, nbr_dev.block], dtype=np.int64)

@@ -99,9 +99,63 @@ def pack_band(dense, band: int, block: int = 128):
     return jnp.asarray(s)
 
 
+# ---------------------------------------------------------------------------
+# Bit-packed indicator storage (round 3e)
+#
+# A 0/1 indicator band stores 8 columns per byte: uint8, LSB-first (bit j of
+# byte c is column 8*c + j — numpy's bitorder='little'). Packedness is keyed
+# on DTYPE: uint8 means packed bits, int8 means plain 0/1 — every banded
+# consumer (band_matmul*, band_row_stats, apply_compaction, BandedMatrix)
+# branches on it, so no caller threads an extra flag. The pack is an 8x lever
+# on the two largest tail buffers (the indicator band and its valid-column
+# compaction) AND on relay downloads; consumers unpack per (block, W) tile
+# inside their contraction loops, where the transient is tile-sized.
+# ---------------------------------------------------------------------------
+
+def is_packed_bits(x) -> bool:
+    """True when ``x`` is a bit-packed indicator band (dtype-keyed)."""
+    return x.dtype == jnp.uint8
+
+
+def unpack_bits_tile(packed):
+    """(r, w8) uint8 -> (r, 8*w8) bool, LSB-first. Tile-sized transient."""
+    weights = jnp.asarray([1, 2, 4, 8, 16, 32, 64, 128], jnp.uint8)
+    bits = (packed[:, :, None] & weights) != 0
+    return bits.reshape(packed.shape[0], packed.shape[1] * 8)
+
+
+def pack_bits_tile(ind):
+    """(r, w) 0/1 values -> (r, w//8) uint8, LSB-first (w divisible by 8)."""
+    r, w = ind.shape
+    weights = jnp.asarray([1, 2, 4, 8, 16, 32, 64, 128], jnp.int32)
+    bits = (ind.reshape(r, w // 8, 8) != 0).astype(jnp.int32)
+    return jnp.sum(bits * weights, axis=-1).astype(jnp.uint8)
+
+
+@jax.jit
+def pack_band_bits(s_ind):
+    """Whole-band pack (transient ~4 B/cell — fine at test scale; giant-band
+    producers pack per block inside their loops instead)."""
+    return pack_bits_tile(jnp.asarray(s_ind))
+
+
+@jax.jit
+def unpack_band_bits(packed):
+    """Whole-band unpack to int8 (for small-scale consumers and tests)."""
+    return unpack_bits_tile(jnp.asarray(packed)).astype(jnp.int8)
+
+
+def unpack_band_bits_host(packed):
+    """NumPy unpack (LSB-first) — the host side after a packed download."""
+    packed = np.asarray(packed)
+    return np.unpackbits(packed, axis=1, bitorder="little")
+
+
 def unpack_band(s, n: int, band: int, block: int = 128, fill=_INF):
     """Skewed storage -> dense (n, n) with ``fill`` outside the stored band."""
     s = np.asarray(s)
+    if s.dtype == np.uint8:  # bit-packed indicator (see is_packed_bits)
+        s = unpack_band_bits_host(s)
     bt, nb, w = band_params(n, band, block)
     dense = np.full((n, n), fill, dtype=s.dtype)
     for i_blk in range(nb):
@@ -161,10 +215,13 @@ class BandedMatrix:
 
     def to_sparse(self):
         """scipy.sparse.csr_matrix of the finite / nonzero entries, original
-        frame. O(nnz) host memory; the band crosses the relay once."""
+        frame. O(nnz) host memory; the band crosses the relay once (a
+        bit-packed indicator band crosses at 1 bit/cell)."""
         from scipy.sparse import coo_matrix
 
         s = np.asarray(self.data)
+        if s.dtype == np.uint8:  # bit-packed indicator
+            s = unpack_band_bits_host(s)
         bt, nb, w = band_params(self.n, self.band, self.block)
         real = s[bt * self.block:(bt + nb) * self.block]
         gi, c = np.nonzero(np.isfinite(real) if np.isinf(self.fill)
@@ -641,9 +698,9 @@ def _euclid_block_setup(coords_perm, *, n: int, band: int, block: int):
     return cg, blk_d, bt, nb, width
 
 
-@functools.partial(jax.jit, static_argnames=("n", "band", "block"))
+@functools.partial(jax.jit, static_argnames=("n", "band", "block", "packed"))
 def euclidean_band_indicator(coords_perm, radius, *, n: int, band: int,
-                             block: int = 128):
+                             block: int = 128, packed: bool = False):
     """Strict ``dist < radius`` int8 indicator band computed DIRECTLY.
 
     Bit-identical to ``euclidean_band_distances(...) < radius`` (pinned in
@@ -652,23 +709,32 @@ def euclidean_band_indicator(coords_perm, radius, *, n: int, band: int,
     with ``keep_distances=False`` peak at ~1/4 the HBM (the scatter/UMAP
     ceiling moves from ~300k to ~1M points on one 16 GB v5e; reference
     safe.py:389-399 serves this metric from a dense host pdist).
+
+    ``packed=True`` packs each block-row's indicator to uint8 bits as it is
+    built (LSB-first; see is_packed_bits) — 1 bit/cell instead of 1 byte, the
+    8x lever past the ~1M-point int8 ceiling.
     """
     cg, blk_d, bt, nb, width = _euclid_block_setup(coords_perm, n=n,
                                                    band=band, block=block)
     r = jnp.asarray(radius, jnp.float32)
-    out = jnp.zeros(((nb + 2 * bt) * block, width), jnp.int8)
+    out = jnp.zeros(((nb + 2 * bt) * block, width // 8 if packed else width),
+                    jnp.uint8 if packed else jnp.int8)
     z = jnp.int32(0)
 
     def blk(i, out):
         i = jnp.asarray(i, jnp.int32)
         ind = (blk_d(i) < r).astype(jnp.int8)
+        if packed:
+            ind = pack_bits_tile(ind)
         return jax.lax.dynamic_update_slice(out, ind, ((i + bt) * block, z))
 
     return jax.lax.fori_loop(0, nb, blk, out)
 
 
-@jax.jit
-def band_threshold(s, radius):
+@functools.partial(jax.jit, static_argnames=("packed", "chunk_blocks",
+                                             "block"))
+def band_threshold(s, radius, *, packed: bool = False,
+                   chunk_blocks: int = 256, block: int = 128):
     """<= radius indicator in the same skewed frame (int8 0/1 — the band is
     the dominant HBM object at scale, and every consumer casts per-block
     inside its contraction loop).
@@ -676,8 +742,32 @@ def band_threshold(s, radius):
     Exact: in-band entries for true-distance <= radius pairs are exact, other
     entries are genuine-path upper bounds (> radius), and out-of-band pairs are
     beyond the radius by the certificate.
+
+    ``packed=True`` emits the BIT-packed uint8 band (is_packed_bits) in
+    row chunks of ``chunk_blocks`` blocks, so the transient is chunk-sized
+    and the stored indicator is 1/32 of the f32 distance band.
     """
-    return (s <= jnp.asarray(radius, s.dtype)).astype(jnp.int8)
+    if not packed:
+        return (s <= jnp.asarray(radius, s.dtype)).astype(jnp.int8)
+
+    r = jnp.asarray(radius, s.dtype)
+    rows, width = s.shape
+    nbg = rows // block
+    cb = min(int(chunk_blocks), nbg)
+    nsteps = -(-nbg // cb)
+    out = jnp.zeros((rows, width // 8), jnp.uint8)
+
+    def body(i, out):
+        # the last chunk backs up to stay in range; overlapped rows repack
+        # to the identical bytes before the overwrite
+        blk0 = jnp.asarray(jnp.minimum(i * cb, nbg - cb) * block, jnp.int32)
+        chunk = jax.lax.dynamic_slice(s, (blk0, jnp.int32(0)),
+                                      (cb * block, width))
+        return jax.lax.dynamic_update_slice(
+            out, pack_bits_tile((chunk <= r).astype(jnp.int8)),
+            (blk0, jnp.int32(0)))
+
+    return jax.lax.fori_loop(0, nsteps, body, out)
 
 
 def band_row_stats(s_ind, *, n: int, bt: int, block: int = 128):
@@ -688,7 +778,14 @@ def band_row_stats(s_ind, *, n: int, bt: int, block: int = 128):
     values; the mean/std are order-invariant)."""
     real = jax.lax.dynamic_slice_in_dim(s_ind, bt * block,
                                         s_ind.shape[0] - 2 * bt * block, 0)
-    sizes = jnp.sum(real, axis=1, dtype=jnp.float32)[:n]
+    if is_packed_bits(real):
+        # per-bit popcount over the packed bytes: 8 masked reductions read
+        # the same total bytes as one unpacked pass but never materialize
+        # the 8x unpacked band
+        sizes = sum(jnp.sum((real & jnp.uint8(1 << k)) != 0, axis=1,
+                            dtype=jnp.float32) for k in range(8))[:n]
+    else:
+        sizes = jnp.sum(real, axis=1, dtype=jnp.float32)[:n]
     return sizes, jnp.mean(sizes), jnp.std(sizes)
 
 
@@ -711,13 +808,17 @@ def band_matmul(s_ind, x, *, bt: int, block: int = 128,
     """
     from safepy_tpu.ops.score import dot_kwargs
     kw = dot_kwargs(precision)
-    width = s_ind.shape[1]
+    packed = is_packed_bits(s_ind)
+    width = s_ind.shape[1] * (8 if packed else 1)
     nb = s_ind.shape[0] // block - 2 * bt
     xg = _ghost_pad_rows(jnp.asarray(x, jnp.float32), bt * block)
 
     def blk(i, out):
         rows = jax.lax.dynamic_slice(s_ind, ((i + bt) * block, 0),
-                                     (block, width)).astype(jnp.float32)
+                                     (block, s_ind.shape[1]))
+        if packed:
+            rows = unpack_bits_tile(rows)
+        rows = rows.astype(jnp.float32)
         slab = jax.lax.dynamic_slice(xg, (i * block, 0), (width, x.shape[1]))
         return jax.lax.dynamic_update_slice(out, jnp.dot(rows, slab, **kw),
                                             (i * block, 0))
@@ -739,7 +840,8 @@ def band_matmul_batch(s_rows, x_batch, starts, *, bt: int, block: int = 128,
     """
     from safepy_tpu.ops.score import dot_kwargs
     kw = dot_kwargs(precision)
-    width = s_rows.shape[1]
+    packed = is_packed_bits(s_rows)
+    width = s_rows.shape[1] * (8 if packed else 1)
     nb = s_rows.shape[0] // block - 2 * bt
     c_dim, v_pad, a_dim = x_batch.shape
 
@@ -747,7 +849,10 @@ def band_matmul_batch(s_rows, x_batch, starts, *, bt: int, block: int = 128,
         i = jnp.asarray(i, jnp.int32)
         z = jnp.int32(0)
         rows = jax.lax.dynamic_slice(s_rows, ((i + bt) * block, z),
-                                     (block, width)).astype(jnp.float32)
+                                     (block, s_rows.shape[1]))
+        if packed:
+            rows = unpack_bits_tile(rows)
+        rows = rows.astype(jnp.float32)
         slab = jax.lax.dynamic_slice(x_batch, (z, starts[i], z),
                                      (c_dim, width, a_dim))
         prod = jnp.einsum("nv,cva->cna", rows, slab, **kw)
@@ -812,7 +917,8 @@ def apply_compaction(s_ind, valid, w_c: int, *, bt: int, block: int = 128,
     independent and the keys depend only on the row's block, so chunked and
     single-shot results are bit-identical (pinned in test_bandstore).
     """
-    width = s_ind.shape[1]
+    packed = is_packed_bits(s_ind)  # packed in => packed out (dtype-keyed)
+    width = s_ind.shape[1] * (8 if packed else 1)
     nbg = s_ind.shape[0] // block  # ghosted block-rows in THIS shard
     valid = jnp.asarray(valid)
 
@@ -839,12 +945,25 @@ def apply_compaction(s_ind, valid, w_c: int, *, bt: int, block: int = 128,
 
     def sort_rows(rows_i8, keys):
         masked = rows_i8 * (1 - keys)
-        return jax.lax.sort((keys, masked), dimension=-1,
+        comp = jax.lax.sort((keys, masked), dimension=-1,
                             num_keys=1, is_stable=True)[1][:, :w_c]
+        # packed input => packed output: the sort itself runs on the
+        # tile/chunk-sized int8 transient, but the stored compaction keeps
+        # the 1-bit density (w_c is block-padded, hence divisible by 8)
+        return pack_bits_tile(comp) if packed else comp
 
-    s_i8 = jnp.asarray(s_ind).astype(jnp.int8)
+    s_i8 = jnp.asarray(s_ind) if packed else jnp.asarray(s_ind).astype(jnp.int8)
+
+    def chunk_rows(blk0, nblk):
+        rows = jax.lax.dynamic_slice(
+            s_i8, (jnp.asarray(blk0 * block, jnp.int32), jnp.int32(0)),
+            (nblk * block, s_i8.shape[1]))
+        if packed:
+            rows = unpack_bits_tile(rows).astype(jnp.int8)
+        return rows
+
     if not chunk_blocks or nbg <= chunk_blocks:
-        return sort_rows(s_i8, keys_for(0, nbg))  # int8; consumers cast
+        return sort_rows(chunk_rows(jnp.int32(0), nbg), keys_for(0, nbg))
 
     cb = int(chunk_blocks)
     nsteps = -(-nbg // cb)
@@ -853,13 +972,12 @@ def apply_compaction(s_ind, valid, w_c: int, *, bt: int, block: int = 128,
         # the last chunk backs up to stay in range; overlapped rows re-sort
         # to the identical result before the overwrite
         blk0 = jnp.minimum(i * cb, nbg - cb)
-        rows = jax.lax.dynamic_slice(s_i8, (blk0 * block, 0),
-                                     (cb * block, width))
-        return jax.lax.dynamic_update_slice(out, sort_rows(rows,
-                                                           keys_for(blk0, cb)),
-                                            (blk0 * block, 0))
+        return jax.lax.dynamic_update_slice(
+            out, sort_rows(chunk_rows(blk0, cb), keys_for(blk0, cb)),
+            (blk0 * block, 0))
 
-    out = jnp.zeros((nbg * block, w_c), jnp.int8)
+    out = jnp.zeros((nbg * block, w_c // 8 if packed else w_c),
+                    jnp.uint8 if packed else jnp.int8)
     return jax.lax.fori_loop(0, nsteps, body, out)
 
 

@@ -79,8 +79,10 @@ def scan_counts_band(compact, starts, vals, mask, obs, key, *,
 
     Returns int32 (npad, A) counts_neg / counts_pos.
     """
+    from safepy_tpu.ops.apsp_bandstore import is_packed_bits
+
     V, A = vals.shape
-    w_c = compact.shape[1]
+    w_c = compact.shape[1] * (8 if is_packed_bits(compact) else 1)
     v_pad = V + w_c  # slack so starts[i] + w_c never overruns
     sort_path = uses_sort_path(A)
     zscore = score_type == "z-score"

@@ -231,7 +231,7 @@ def fused_hypergeom_pipeline(d0, vals, lgt, M, radius, enrichment_threshold, *,
 # ---------------------------------------------------------------------------
 
 def _band_front(u, v, w, radius, *, n, band, block, bf_slots=None,
-                bf_max_iters=0):
+                bf_max_iters=0, packed=False):
     """Shared front half: init -> band relax -> radius mask -> indicator/stats.
 
     The relaxation engine is FW (ops/apsp_bandstore.apsp_band_fw) unless
@@ -239,7 +239,8 @@ def _band_front(u, v, w, radius, *, n, band, block, bf_slots=None,
     Bellman-Ford engine runs with ``bf_max_iters`` as its budget. Returns an
     extra ``converged`` scalar (constant True on the FW path); callers MUST
     re-dispatch with FW when it comes back False — the band then holds upper
-    bounds, not final distances.
+    bounds, not final distances. ``packed=True`` emits the BIT-packed uint8
+    indicator (ops/apsp_bandstore.is_packed_bits).
     """
     from safepy_tpu.ops import apsp_bandstore as bst
 
@@ -256,15 +257,16 @@ def _band_front(u, v, w, radius, *, n, band, block, bf_slots=None,
     # beyond-radius entries are upper bounds, not exact — mask them to inf
     # exactly as the reference's Dijkstra cutoff never yields them (safe.py:406)
     dist_band = jnp.where(s <= jnp.asarray(radius, s.dtype), s, jnp.inf)
-    s_ind = bst.band_threshold(s, radius)
+    s_ind = bst.band_threshold(s, radius, packed=packed, block=block)
     _, mean, std = bst.band_row_stats(s_ind, n=n, bt=bt, block=block)
     return dist_band, s_ind, mean, std, bt, converged
 
 
 @functools.partial(jax.jit, static_argnames=("n", "band", "block",
-                                             "keep_distances"))
+                                             "keep_distances", "packed"))
 def euclidean_band_neighborhoods(coords_perm, radius, *, n: int, band: int,
-                                 block: int = 128, keep_distances: bool = True):
+                                 block: int = 128, keep_distances: bool = True,
+                                 packed: bool = False):
     """Banded euclidean neighborhoods (strict ``dist < r``, reference
     safe.py:389-399) for scatter/UMAP inputs at band-storage scale:
     (dist_band, s_ind, mean_size, std_size) in the permuted frame.
@@ -272,7 +274,10 @@ def euclidean_band_neighborhoods(coords_perm, radius, *, n: int, band: int,
     ``keep_distances=False`` computes the int8 indicator DIRECTLY
     (ops/apsp_bandstore.euclidean_band_indicator): the f32 distance band
     never materializes, so peak HBM is ~1/4 of the keep path — the lever
-    that takes the scatter workflow to ~1M points on one 16 GB chip."""
+    that takes the scatter workflow to ~1M points on one 16 GB chip.
+    ``packed=True`` (requires keep_distances=False) stores it BIT-packed
+    (uint8, 8 cells/byte — ops/apsp_bandstore.is_packed_bits): 1/32 of the
+    f32 band, the lever past ~1M points."""
     from safepy_tpu.ops import apsp_bandstore as bst
 
     bt = band // block + 1
@@ -284,22 +289,25 @@ def euclidean_band_neighborhoods(coords_perm, radius, *, n: int, band: int,
         s_ind = (raw < r).astype(jnp.int8)
     else:
         s_ind = bst.euclidean_band_indicator(coords_perm, radius, n=n,
-                                             band=band, block=block)
+                                             band=band, block=block,
+                                             packed=packed)
         dist_band = jnp.zeros((0, s_ind.shape[1]), jnp.float32)
     _, mean, std = bst.band_row_stats(s_ind, n=n, bt=bt, block=block)
     return dist_band, s_ind, mean, std
 
 
 @functools.partial(jax.jit, static_argnames=("n", "band", "block",
-                                             "bf_max_iters"))
+                                             "bf_max_iters", "packed"))
 def band_neighborhoods(u, v, w, radius, *, n: int, band: int, block: int = 128,
-                       bf_slots=None, bf_max_iters: int = 0):
+                       bf_slots=None, bf_max_iters: int = 0,
+                       packed: bool = False):
     """Band-storage neighborhoods alone (the staged define_neighborhoods path):
     (dist_band, s_ind, mean_size, std_size, converged) in the permuted frame.
     ``converged`` is constant True on the FW path (``bf_slots=None``); on the
     BF path a False means the caller must re-dispatch with FW."""
     out = _band_front(u, v, w, radius, n=n, band=band, block=block,
-                      bf_slots=bf_slots, bf_max_iters=bf_max_iters)
+                      bf_slots=bf_slots, bf_max_iters=bf_max_iters,
+                      packed=packed)
     return out[:4] + (out[5],)
 
 
@@ -313,8 +321,9 @@ def band_init(u, v, w, *, n: int, band: int, block: int = 128):
 
 
 @functools.partial(jax.jit, donate_argnums=(0,),
-                   static_argnames=("n", "bt", "block"))
-def band_relax_threshold(s, radius, *, n: int, bt: int, block: int = 128):
+                   static_argnames=("n", "bt", "block", "packed"))
+def band_relax_threshold(s, radius, *, n: int, bt: int, block: int = 128,
+                         packed: bool = False):
     """FW relax + radius mask + indicator/stats over a DONATED band.
 
     The split front exists for HBM, not speed: inside the fused program XLA
@@ -334,7 +343,7 @@ def band_relax_threshold(s, radius, *, n: int, bt: int, block: int = 128):
     from safepy_tpu.ops import apsp_bandstore as bst
 
     s = bst.apsp_band_fw(s, bt=bt, block=block)
-    s_ind = bst.band_threshold(s, radius)
+    s_ind = bst.band_threshold(s, radius, packed=packed, block=block)
     _, mean, std = bst.band_row_stats(s_ind, n=n, bt=bt, block=block)
     dist_band = jnp.where(s <= jnp.asarray(radius, s.dtype), s, jnp.inf)
     return dist_band, s_ind, mean, std
@@ -381,7 +390,7 @@ def _band_perm_tail(s_ind, vals, vals_valid, valid, starts, rank, key, *,
 
 @functools.partial(jax.jit, static_argnames=(
     "n", "band", "block", "score_type", "num_permutations", "batch_size",
-    "w_c", "precision", "bf_max_iters", "keep_distances"))
+    "w_c", "precision", "bf_max_iters", "keep_distances", "packed"))
 def fused_permutation_pipeline_band(u, v, w, vals, vals_valid, valid, starts,
                                     rank, key, radius, *, n: int, band: int,
                                     block: int = 128, score_type: str = "sum",
@@ -389,7 +398,8 @@ def fused_permutation_pipeline_band(u, v, w, vals, vals_valid, valid, starts,
                                     batch_size: int = 1000, w_c: int,
                                     precision: str = "highest",
                                     bf_slots=None, bf_max_iters: int = 0,
-                                    keep_distances: bool = True):
+                                    keep_distances: bool = True,
+                                    packed: bool = False):
     """Band-storage APSP + threshold + scores + permutation null, one dispatch.
 
     All row inputs are in the PERMUTED (banded-order) frame: u/v/w the edge
@@ -412,7 +422,7 @@ def fused_permutation_pipeline_band(u, v, w, vals, vals_valid, valid, starts,
     """
     dist_band, s_ind, mean, std, bt, converged = _band_front(
         u, v, w, radius, n=n, band=band, block=block, bf_slots=bf_slots,
-        bf_max_iters=bf_max_iters)
+        bf_max_iters=bf_max_iters, packed=packed)
     obs, counts_neg, counts_pos = _band_perm_tail(
         s_ind, vals, vals_valid, valid, starts, rank, key, bt=bt, block=block,
         score_type=score_type, num_permutations=num_permutations,
@@ -425,12 +435,13 @@ def fused_permutation_pipeline_band(u, v, w, vals, vals_valid, valid, starts,
 
 @functools.partial(jax.jit, static_argnames=(
     "n", "band", "block", "score_type", "num_permutations", "batch_size",
-    "w_c", "precision", "keep_distances"))
+    "w_c", "precision", "keep_distances", "packed"))
 def fused_permutation_pipeline_band_euclid(
         coords_perm, vals, vals_valid, valid, starts, rank, key, radius, *,
         n: int, band: int, block: int = 128, score_type: str = "sum",
         num_permutations: int = 1000, batch_size: int = 1000, w_c: int,
-        precision: str = "highest", keep_distances: bool = True):
+        precision: str = "highest", keep_distances: bool = True,
+        packed: bool = False):
     """Euclidean band neighborhoods + permutation null, one dispatch — the
     scatter/UMAP flagship at band-storage scale (no graph algorithm at all;
     strict ``dist < r``, reference safe.py:389-399)."""
@@ -444,10 +455,12 @@ def fused_permutation_pipeline_band_euclid(
         dist_band = jnp.where(raw < r, raw, jnp.inf)
         s_ind = (raw < r).astype(jnp.int8)
     else:
-        # the f32 band never materializes — the int8 indicator is built
-        # directly, ~1/4 the peak HBM (see euclidean_band_neighborhoods)
+        # the f32 band never materializes — the int8 (or bit-packed uint8,
+        # packed=True) indicator is built directly: ~1/4 (~1/32) the peak
+        # HBM (see euclidean_band_neighborhoods)
         s_ind = bst.euclidean_band_indicator(coords_perm, radius, n=n,
-                                             band=band, block=block)
+                                             band=band, block=block,
+                                             packed=packed)
         dist_band = jnp.zeros((0, s_ind.shape[1]), jnp.float32)
     _, mean, std = bst.band_row_stats(s_ind, n=n, bt=bt, block=block)
     obs, counts_neg, counts_pos = _band_perm_tail(
@@ -460,14 +473,15 @@ def fused_permutation_pipeline_band_euclid(
 @functools.partial(jax.jit, static_argnames=("n", "band", "block",
                                              "iterations", "attr_chunk",
                                              "bf_max_iters",
-                                             "keep_distances"))
+                                             "keep_distances", "packed"))
 def fused_hypergeom_pipeline_band(u, v, w, nan0, nodes_not_nan, K, lgt, M,
                                   radius, enrichment_threshold, rank, *,
                                   n: int, band: int, block: int = 128,
                                   iterations: int,
                                   attr_chunk: int | None = None,
                                   bf_slots=None, bf_max_iters: int = 0,
-                                  keep_distances: bool = True):
+                                  keep_distances: bool = True,
+                                  packed: bool = False):
     """Band-storage APSP + hypergeometric enrichment, one dispatch.
 
     Operands are HOST-precomputed (nan0 = NaN->0 annotations, nodes_not_nan,
@@ -482,7 +496,7 @@ def fused_hypergeom_pipeline_band(u, v, w, nan0, nodes_not_nan, K, lgt, M,
 
     dist_band, s_ind, mean, std, bt, converged = _band_front(
         u, v, w, radius, n=n, band=band, block=block, bf_slots=bf_slots,
-        bf_max_iters=bf_max_iters)
+        bf_max_iters=bf_max_iters, packed=packed)
 
     nes32, log_sf32, nes_binary = hypergeom_core_band(
         s_ind, nan0, nodes_not_nan, K, lgt, M, enrichment_threshold,

@@ -108,6 +108,14 @@ class SAFE:
         # so giant bands pay ~2x HBM fused but ~1x split. ~1 s of extra
         # dispatch overhead, irrelevant at the scales the gate admits.
         self.band_split_min_bytes = 3 * 10 ** 9
+        # BIT-packed indicator bands (uint8, 8 cells/byte — ops/
+        # apsp_bandstore.is_packed_bits): 'auto' packs the single-device
+        # banded indicator (euclidean-direct AND graph FW-thresholded) once
+        # the int8 band would cross band_bits_min_bytes — an 8x HBM + relay
+        # lever; every consumer branches on the dtype and unpacks per tile
+        # inside its contraction loop. True/False force it either way.
+        self.band_indicator_bits = "auto"
+        self.band_bits_min_bytes = 4 * 10 ** 9
         self._graph_arrays = None  # cached graph_to_arrays output
         self.node_key_attribute = "label_orf"
 
@@ -383,11 +391,15 @@ class SAFE:
             if eb_plan is not None:
                 from safepy_tpu import pipeline as _pipe
                 rank, band = eb_plan["rank"], eb_plan["band"]
+                keep = bool(self.keep_node_distances)
                 dist_band, s_ind, mean, std = \
                     _pipe.euclidean_band_neighborhoods(
                         jnp.asarray(coords[np.argsort(rank)], jnp.float32),
                         np.float32(nr), n=num_nodes, band=band,
-                        keep_distances=bool(self.keep_node_distances))
+                        keep_distances=keep,
+                        packed=(not keep
+                                and self._band_bits_selected(num_nodes,
+                                                             band)))
                 dist_dev = (
                     _BandedMatrix(dist_band, rank, num_nodes, band,
                                   fill=np.inf)
@@ -778,11 +790,12 @@ class SAFE:
         engine that actually ran in ``_band_relax_used``."""
         from safepy_tpu import pipeline as _pipe
 
+        pk = self._band_bits_selected(num_nodes, plan["band"])
         bf = self._band_bf_args(plan)
         if bf:
             out = _pipe.band_neighborhoods(
                 plan["u"], plan["v"], plan["w"], radius, n=num_nodes,
-                band=plan["band"], **bf)
+                band=plan["band"], packed=pk, **bf)
             if bool(np.asarray(out[4])):
                 self._band_relax_used = "bf"
                 dist_band, s_ind, mean, std = out[:4]
@@ -798,18 +811,28 @@ class SAFE:
             s = _pipe.band_init(plan["u"], plan["v"], plan["w"], n=num_nodes,
                                 band=plan["band"])
             out = _pipe.band_relax_threshold(
-                s, radius, n=num_nodes, bt=plan["band"] // 128 + 1)
+                s, radius, n=num_nodes, bt=plan["band"] // 128 + 1, packed=pk)
             del s  # donated; aliased by the returned distance band
         else:
             out = _pipe.band_neighborhoods(
                 plan["u"], plan["v"], plan["w"], radius, n=num_nodes,
-                band=plan["band"])[:4]
+                band=plan["band"], packed=pk)[:4]
         dist_band, s_ind, mean, std = out
         if not self.keep_node_distances:
             # drop the only reference: the device frees the f32 band before
             # any downstream dispatch runs
             dist_band = jnp.zeros((0, 1), jnp.float32)
         return dist_band, s_ind, mean, std
+
+    def _band_bits_selected(self, num_nodes, band):
+        """Bit-pack the indicator band? (euclidean keep_node_distances=False
+        paths; dtype-keyed downstream — see ops/apsp_bandstore)."""
+        mode = self.band_indicator_bits
+        if mode == "auto":
+            from safepy_tpu.ops.apsp_bandstore import band_nbytes
+            return (band_nbytes(num_nodes, band, itemsize=1)
+                    >= float(self.band_bits_min_bytes))
+        return bool(mode)
 
     def _band_split_selected(self, num_nodes, band):
         """Split the band front into init -> donated-relax (-> tail)
@@ -1534,10 +1557,12 @@ class SAFE:
                     keep_distances=bool(self.keep_node_distances),
                     **euclid_kw)
         else:
+            keep = bool(self.keep_node_distances)
             (dist_band, s_ind, obs_dev, counts_neg, counts_pos, mean, std) = \
                 _pipe.fused_permutation_pipeline_band_euclid(
-                    *euclid_args,
-                    keep_distances=bool(self.keep_node_distances),
+                    *euclid_args, keep_distances=keep,
+                    packed=(not keep
+                            and self._band_bits_selected(num_nodes, band)),
                     **euclid_kw)
         obs = np.asarray(obs_dev)
         self.ns = obs
@@ -1694,7 +1719,8 @@ class SAFE:
                            jnp.asarray(K), lgt, M, radius,
                            np.float64(self.enrichment_threshold), rank_dev)
                 hb_kw = dict(n=num_nodes, band=band, iterations=iters,
-                             keep_distances=bool(self.keep_node_distances))
+                             keep_distances=bool(self.keep_node_distances),
+                             packed=self._band_bits_selected(num_nodes, band))
                 bf = self._band_bf_args(plan)
                 out = _pipe.fused_hypergeom_pipeline_band(
                     *hb_args, **hb_kw, **bf)
@@ -1744,6 +1770,7 @@ class SAFE:
                            precision=self.matmul_precision)
             if self.mesh is None:
                 band_kw["keep_distances"] = bool(self.keep_node_distances)
+                band_kw["packed"] = self._band_bits_selected(num_nodes, band)
             if self.mesh is not None:
                 from safepy_tpu.parallel.band_sharded import (
                     fused_permutation_pipeline_band_sharded)
@@ -1762,7 +1789,8 @@ class SAFE:
                     s = _pipe.band_init(plan["u"], plan["v"], plan["w"],
                                         n=num_nodes, band=band)
                     dist_band, s_ind, mean, std = _pipe.band_relax_threshold(
-                        s, band_args[9], n=num_nodes, bt=band // 128 + 1)
+                        s, band_args[9], n=num_nodes, bt=band // 128 + 1,
+                        packed=band_kw["packed"])
                     del s  # donated; aliased by dist_band
                     if not self.keep_node_distances:
                         # free the f32 band BEFORE the tail dispatch

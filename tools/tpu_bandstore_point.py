@@ -34,12 +34,16 @@ def main():
     kind, rest = spec.split(":", 1)
     if kind == "euclid":
         # scatter/UMAP-style euclidean neighborhoods at band-storage scale;
-        # euclid:<n>[:<target>][:nodist] — nodist rides the int8-direct
-        # indicator band (euclidean_band_indicator; no f32 band at all)
+        # euclid:<n>[:<target>][:nodist][:bits|:nobits] — nodist rides the
+        # int8-direct indicator band (euclidean_band_indicator; no f32 band
+        # at all); bits/nobits force band_indicator_bits on/off (default
+        # 'auto': BIT-packed above band_bits_min_bytes)
         parts = rest.split(":")
         n = int(parts[0])
         target = float(parts[1]) if len(parts) > 1 else 125.0
         nodist = "nodist" in parts[2:]
+        bits = ("auto" if "bits" not in parts[2:] and "nobits" not in parts[2:]
+                else "bits" in parts[2:])
         rng = np.random.default_rng(5)
         coords = rng.uniform(-1, 1, (n, 2))
         import networkx as nx
@@ -60,6 +64,7 @@ def main():
         # exercises the band path even where it would not pay
         sf.apsp_mode = "auto" if n >= 32768 else "band"
         sf.keep_node_distances = not nodist
+        sf.band_indicator_bits = bits
         sf.neighborhood_radius = float(np.sqrt(target / (np.pi * n)))
         sf.load_network(network_file=g, node_key_attribute="key")
         sf.load_attributes(attribute_file=attrs)
@@ -74,11 +79,16 @@ def main():
         from safepy_tpu.ops.apsp_bandstore import BandedMatrix, band_nbytes
         assert isinstance(sf._neighborhoods_dev, BandedMatrix)
         band = int(sf._neighborhoods_dev.band)
+        import jax.numpy as jnp
+        packed = sf._neighborhoods_dev.data.dtype == jnp.uint8
         print(json.dumps({
             "check": "euclid_scale", "nodes": n,
             "target_neighbors": target, "keep_distances": not nodist,
+            "packed_bits": bool(packed),
             "radius": sf.neighborhood_radius, "band": band,
             "band_i8_gb": round(band_nbytes(n, band) / 4e9, 2),
+            "band_stored_gb": round(band_nbytes(
+                n, band, itemsize=1) / (8e9 if packed else 1e9), 2),
             "dense_gb": round(4 * n * n / 1e9, 1),
             "first_s": round(first, 2), "steady_s": round(steady, 3),
             "enriched": int((sf.nes_binary > 0).sum())}), flush=True)

@@ -26,14 +26,17 @@ def main():
     rng = np.random.default_rng(0)
 
     # (n multiple of 128, ~target-neighbor band estimate sqrt(target n / pi));
-    # override the sweep with n:target args, e.g. 999936:40 999936:125
-    points = [(499968, 125.0), (599936, 125.0), (749952, 125.0)]
+    # override the sweep with n:target[:bits] args, e.g. 999936:40
+    # 1999872:40:bits — 'bits' lowers the BIT-packed indicator variant
+    points = [(499968, 125.0, False), (599936, 125.0, False),
+              (749952, 125.0, False)]
     if len(sys.argv) > 1:
         points = []
         for spec in sys.argv[1:]:
-            a, b = spec.split(":")
-            points.append((int(a), float(b)))
-    for n, target in points:
+            parts = spec.split(":")
+            points.append((int(parts[0]), float(parts[1]),
+                           "bits" in parts[2:]))
+    for n, target, bits in points:
         band = int(np.sqrt(target * n / np.pi))
         bt = band // 128 + 1
         valid = rng.random(n) < 0.7  # the euclid tool's NaN fraction
@@ -51,17 +54,19 @@ def main():
             comp = pipe.fused_permutation_pipeline_band_euclid.lower(
                 *args, n=n, band=band, score_type="sum",
                 num_permutations=1000, batch_size=250, w_c=w_c,
-                precision="highest", keep_distances=False).compile()
+                precision="highest", keep_distances=False,
+                packed=bits).compile()
         except Exception as exc:
             head = [ln for ln in str(exc).splitlines()
                     if "Ran out of memory" in ln]
             print(json.dumps({"n": n, "target": target, "band": band,
-                              "compile_oom": head[:1] or str(exc)[:200]}),
+                              "bits": bits, "compile_oom": head[:1] or str(exc)[:200]}),
                   flush=True)
             continue
         m = comp.memory_analysis()
         print(json.dumps({
             "n": n, "target": target, "band": band, "w_c": w_c,
+            "bits": bits,
             "band_i8_gb": round(bst.band_nbytes(n, band, itemsize=1) / 1e9, 2),
             "temp_gb": round(m.temp_size_in_bytes / 1e9, 2),
             "output_gb": round(m.output_size_in_bytes / 1e9, 2),
