@@ -770,6 +770,17 @@ def band_threshold(s, radius, *, packed: bool = False,
     return jax.lax.fori_loop(0, nsteps, body, out)
 
 
+def band_row_sizes(s_ind):
+    """f32 per-row sums of a (possibly BIT-packed) indicator band."""
+    if is_packed_bits(s_ind):
+        # per-bit popcount over the packed bytes: 8 masked reductions read
+        # the same total bytes as one unpacked pass but never materialize
+        # the 8x unpacked band
+        return sum(jnp.sum((s_ind & jnp.uint8(1 << k)) != 0, axis=1,
+                           dtype=jnp.float32) for k in range(8))
+    return jnp.sum(s_ind, axis=1, dtype=jnp.float32)
+
+
 def band_row_stats(s_ind, *, n: int, bt: int, block: int = 128):
     """(sizes, mean, std) of neighborhood sizes from the banded indicator.
 
@@ -778,14 +789,7 @@ def band_row_stats(s_ind, *, n: int, bt: int, block: int = 128):
     values; the mean/std are order-invariant)."""
     real = jax.lax.dynamic_slice_in_dim(s_ind, bt * block,
                                         s_ind.shape[0] - 2 * bt * block, 0)
-    if is_packed_bits(real):
-        # per-bit popcount over the packed bytes: 8 masked reductions read
-        # the same total bytes as one unpacked pass but never materialize
-        # the 8x unpacked band
-        sizes = sum(jnp.sum((real & jnp.uint8(1 << k)) != 0, axis=1,
-                            dtype=jnp.float32) for k in range(8))[:n]
-    else:
-        sizes = jnp.sum(real, axis=1, dtype=jnp.float32)[:n]
+    sizes = band_row_sizes(real)[:n]
     return sizes, jnp.mean(sizes), jnp.std(sizes)
 
 
@@ -862,6 +866,59 @@ def band_matmul_batch(s_rows, x_batch, starts, *, bt: int, block: int = 128,
     return jax.lax.fori_loop(0, nb, blk, out)
 
 
+@functools.partial(jax.jit, static_argnames=("bt", "block", "precision"))
+def band_count_batch(s_rows, x_batch, starts, obs, live, *, bt: int,
+                     block: int = 128, precision: str = "highest"):
+    """Two-sided tie-inclusive counts of ONE permutation chunk against the
+    banded (compacted, possibly bit-packed) indicator — the fused form of
+    ``band_matmul_batch`` + the comparisons in ops/permutation.count_scan
+    (reference safe_extras.py:64-66).
+
+    The (C, npad, A) chunk-score array never materializes: per block-row the
+    (C, b, A) products are compared against the observed block immediately,
+    so the permutation tail's largest temp drops from C*npad*A f32 to
+    block-sized — several GB at million-node scale. Bit-identical to the
+    unfused path (same f32 products, same tie comparisons; pinned in tests).
+
+    obs: (npad, A) observed scores (permuted frame); live: (C,) bool chunk
+    liveness. Returns int32 (npad, A) counts_neg / counts_pos of this chunk.
+    """
+    from safepy_tpu.ops.score import dot_kwargs
+    kw = dot_kwargs(precision)
+    packed = is_packed_bits(s_rows)
+    width = s_rows.shape[1] * (8 if packed else 1)
+    nb = s_rows.shape[0] // block - 2 * bt
+    c_dim, v_pad, a_dim = x_batch.shape
+    lv = live[:, None, None]
+
+    def blk(i, carry):
+        cn, cp = carry
+        i = jnp.asarray(i, jnp.int32)
+        z = jnp.int32(0)
+        rows = jax.lax.dynamic_slice(s_rows, ((i + bt) * block, z),
+                                     (block, s_rows.shape[1]))
+        if packed:
+            rows = unpack_bits_tile(rows)
+        rows = rows.astype(jnp.float32)
+        slab = jax.lax.dynamic_slice(x_batch, (z, starts[i], z),
+                                     (c_dim, width, a_dim))
+        prod = jnp.einsum("nv,cva->cna", rows, slab, **kw)
+        ob = jax.lax.dynamic_slice(obs, (i * block, z), (block, a_dim))[None]
+        cn_b = jnp.sum(jnp.where(lv & (prod <= ob), 1, 0), axis=0,
+                       dtype=jnp.int32)
+        cp_b = jnp.sum(jnp.where(lv & (prod >= ob), 1, 0), axis=0,
+                       dtype=jnp.int32)
+        cn = jax.lax.dynamic_update_slice(cn, cn_b, (i * block, z))
+        cp = jax.lax.dynamic_update_slice(cp, cp_b, (i * block, z))
+        return cn, cp
+
+    zeros = jnp.zeros((nb * block, a_dim), jnp.int32)
+    # inherit the permuted values' varying-manual-axes so the fori carry's
+    # type matches the body under shard_map (see count_scan's zeros trick)
+    zeros = zeros + (x_batch.ravel()[0] * 0).astype(jnp.int32)
+    return jax.lax.fori_loop(0, nb, blk, (zeros, zeros))
+
+
 def compaction_plan(valid, *, n: int, bt: int, block: int = 128):
     """Host half of the valid-column compaction (see compact_band_columns).
 
@@ -891,7 +948,19 @@ def compaction_plan(valid, *, n: int, bt: int, block: int = 128):
 # Chunking the row-independent sort over block-row slices shrinks the iota
 # and the key/masked temporaries to chunk size with bit-identical results;
 # bands at or under the chunk take the original single-sort path untouched.
+# The effective chunk also adapts to the slab WIDTH (giant bands at
+# million-node scale are ~3x wider than the 350k tuning shape), capping the
+# chunk at COMPACTION_CHUNK_CELLS so the sort temporaries stay flat.
 COMPACTION_CHUNK_BLOCKS = 256
+COMPACTION_CHUNK_CELLS = 256 * 128 * 8192
+
+
+def _compaction_chunk_blocks(chunk_blocks: int, width: int,
+                             block: int) -> int:
+    if not chunk_blocks:
+        return 0
+    return max(32, min(int(chunk_blocks),
+                       COMPACTION_CHUNK_CELLS // (width * block)))
 
 
 @functools.partial(jax.jit, static_argnames=("w_c", "bt", "block",
@@ -962,10 +1031,10 @@ def apply_compaction(s_ind, valid, w_c: int, *, bt: int, block: int = 128,
             rows = unpack_bits_tile(rows).astype(jnp.int8)
         return rows
 
-    if not chunk_blocks or nbg <= chunk_blocks:
+    cb = _compaction_chunk_blocks(chunk_blocks, width, block)
+    if not cb or nbg <= cb:
         return sort_rows(chunk_rows(jnp.int32(0), nbg), keys_for(0, nbg))
 
-    cb = int(chunk_blocks)
     nsteps = -(-nbg // cb)
 
     def body(i, out):

@@ -26,7 +26,8 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from safepy_tpu.ops.apsp_bandstore import band_matmul, band_matmul_batch
+from safepy_tpu.ops.apsp_bandstore import (band_count_batch, band_matmul,
+                                           band_matmul_batch)
 from safepy_tpu.ops.hypergeom import _sf_parts, finalize_logsf_device
 from safepy_tpu.ops.permutation import (count_scan,
                                         permuted_operands_sorted,
@@ -87,19 +88,24 @@ def scan_counts_band(compact, starts, vals, mask, obs, key, *,
     sort_path = uses_sort_path(A)
     zscore = score_type == "z-score"
 
-    def chunk_scores(chunk_key):
+    def permuted(chunk_key, pad_to=None):
         if sort_path:
-            Bp, NBp = permuted_operands_sorted(vals, mask, chunk_key,
-                                               batch_size, zscore)
-        else:
-            perm_keys = jax.random.split(chunk_key, batch_size)
-            perm_idx = jax.vmap(lambda k: jax.random.permutation(k, V))(perm_keys)
-            Bp = jnp.take(vals, perm_idx, axis=0)
-            NBp = jnp.take(mask, perm_idx, axis=0) if zscore else None
-        if not zscore:
-            Bp = jnp.pad(Bp, ((0, 0), (0, v_pad - V), (0, 0)))
-            return band_matmul_batch(compact, Bp, starts, bt=bt, block=block,
-                                     precision=precision)
+            # pad_to sorts the slack rows in as max-key zeros — the padded
+            # operand comes out of the ONE sort, no post-sort full-size copy
+            return permuted_operands_sorted(vals, mask, chunk_key,
+                                            batch_size, zscore, pad_to=pad_to)
+        perm_keys = jax.random.split(chunk_key, batch_size)
+        perm_idx = jax.vmap(lambda k: jax.random.permutation(k, V))(perm_keys)
+        Bp = jnp.take(vals, perm_idx, axis=0)
+        NBp = jnp.take(mask, perm_idx, axis=0) if zscore else None
+        if pad_to is not None:
+            Bp = jnp.pad(Bp, ((0, 0), (0, pad_to - V), (0, 0)))
+            if zscore:
+                NBp = jnp.pad(NBp, ((0, 0), (0, pad_to - V), (0, 0)))
+        return Bp, NBp
+
+    def chunk_scores(chunk_key):
+        Bp, NBp = permuted(chunk_key)
         stacked = jnp.concatenate([Bp, NBp, Bp * Bp], axis=-1)
         stacked = jnp.pad(stacked, ((0, 0), (0, v_pad - V), (0, 0)))
         out = band_matmul_batch(compact, stacked, starts, bt=bt, block=block,
@@ -107,9 +113,18 @@ def scan_counts_band(compact, starts, vals, mask, obs, key, *,
         AB, Np, EXX_sum = jnp.split(out, 3, axis=-1)
         return zscore_from_contractions(AB, Np, EXX_sum)
 
-    return count_scan(chunk_scores, obs, key,
+    def chunk_counts(chunk_key, live):
+        # sum scores: FUSED per-block contraction + comparison — the
+        # (C, npad, A) chunk-score array never materializes
+        # (ops/apsp_bandstore.band_count_batch, bit-identical by test)
+        Bp, _ = permuted(chunk_key, pad_to=v_pad)
+        return band_count_batch(compact, Bp, starts, obs, live, bt=bt,
+                                block=block, precision=precision)
+
+    return count_scan(chunk_scores if zscore else None, obs, key,
                       num_permutations=num_permutations,
-                      batch_size=batch_size)
+                      batch_size=batch_size,
+                      chunk_counts=None if zscore else chunk_counts)
 
 
 def hypergeom_core_band(s_ind, nan0, nodes_not_nan, K, lgt, M,

@@ -42,6 +42,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from safepy_tpu.ops.score import dot_kwargs
 
@@ -106,7 +107,7 @@ def permutation_scores(nbr_valid, vals, mask, perm_idx, score_type: str,
 
 
 def permuted_operands_sorted(vals, mask, chunk_key, chunk_size: int,
-                             with_mask: bool):
+                             with_mask: bool, pad_to: int | None = None):
     """A chunk of row-permuted operands drawn by key-sorting the data itself.
 
     ONE stable ``lax.sort`` call permutes every attribute column (and its
@@ -120,16 +121,31 @@ def permuted_operands_sorted(vals, mask, chunk_key, chunk_size: int,
     sort per 4-column group and the remote TPU compile blew past 40 minutes
     at A=64. Returns (Bp, NBp): (C, V, A) permuted values and (when
     ``with_mask``) their finite masks, permuted identically.
+
+    ``pad_to``: return (C, pad_to, A) with all-zero tail rows, produced by
+    sorting max-key zero rows along with the data — stability puts every pad
+    row after the (at most original-ordered) real rows, so the first V output
+    rows are BIT-identical to the unpadded sort and the tail is exact zeros:
+    the same result as a post-sort jnp.pad without the extra full-size copy
+    (the banded tail's slack rows at million-node scale).
     """
     V, A = vals.shape
     bits = jax.random.bits(chunk_key, (chunk_size, V), dtype=jnp.uint32)
-    keys = jnp.broadcast_to(bits[:, None, :], (chunk_size, A, V))
-    ops = (keys, jnp.broadcast_to(vals.T[None], (chunk_size, A, V)))
+    vals_t, mask_t = vals.T, (mask.T if with_mask else None)
+    if pad_to is not None and pad_to > V:
+        pad = pad_to - V
+        bits = jnp.pad(bits, ((0, 0), (0, pad)),
+                       constant_values=np.uint32(0xFFFFFFFF))
+        vals_t = jnp.pad(vals_t, ((0, 0), (0, pad)))
+        mask_t = jnp.pad(mask_t, ((0, 0), (0, pad))) if with_mask else None
+    vp = bits.shape[1]
+    keys = jnp.broadcast_to(bits[:, None, :], (chunk_size, A, vp))
+    ops = (keys, jnp.broadcast_to(vals_t[None], (chunk_size, A, vp)))
     if with_mask:
-        ops += (jnp.broadcast_to(mask.T[None], (chunk_size, A, V)),)
+        ops += (jnp.broadcast_to(mask_t[None], (chunk_size, A, vp)),)
     sorted_ops = jax.lax.sort(ops, dimension=-1, num_keys=1,
                               is_stable=True)[1:]
-    Bp = jnp.swapaxes(sorted_ops[0], 1, 2)                   # (C, V, A)
+    Bp = jnp.swapaxes(sorted_ops[0], 1, 2)                   # (C, Vp, A)
     NBp = jnp.swapaxes(sorted_ops[1], 1, 2) if with_mask else None
     return Bp, NBp
 
@@ -147,7 +163,7 @@ def uses_sort_path(num_attributes: int) -> bool:
 
 
 def count_scan(chunk_scores, obs, key, *, num_permutations: int,
-               batch_size: int):
+               batch_size: int, chunk_counts=None):
     """The shared two-sided count accumulator over permutation chunks.
 
     ``chunk_scores(chunk_key) -> (C, N, A)`` supplies one chunk of permuted
@@ -155,6 +171,12 @@ def count_scan(chunk_scores, obs, key, *, num_permutations: int,
     driver so tie semantics, the live-permutation mask, and the shard_map
     varying-axes carry trick stay defined in exactly one place).
     Tie-inclusive two-sided counts, reference safe_extras.py:64-66.
+
+    ``chunk_counts(chunk_key, live) -> (cn, cp)`` (optional) replaces the
+    score materialization + comparison with a FUSED per-chunk counter
+    (ops/apsp_bandstore.band_count_batch) — required bit-identical to the
+    default comparisons; the giant-band tail uses it so the (C, N, A) score
+    array never exists.
     """
     num_chunks = -(-num_permutations // batch_size)
     chunk_keys = jax.random.split(key, num_chunks)
@@ -162,8 +184,11 @@ def count_scan(chunk_scores, obs, key, *, num_permutations: int,
     def chunk_body(carry, inputs):
         counts_neg, counts_pos = carry
         chunk_key, chunk_start = inputs
-        scores = chunk_scores(chunk_key)
         live = (chunk_start + jnp.arange(batch_size)) < num_permutations
+        if chunk_counts is not None:
+            dn, dp = chunk_counts(chunk_key, live)
+            return (counts_neg + dn, counts_pos + dp), None
+        scores = chunk_scores(chunk_key)
         live = live[:, None, None]
         counts_neg = counts_neg + jnp.sum(
             jnp.where(live & (scores <= obs[None]), 1, 0), axis=0,

@@ -192,16 +192,21 @@ def _band_matmul_local(s_local, xg, my, *, bt: int, local_rows: int,
     local block-row i starts at global ghosted element (my*local_rows + i - bt)
     * b in xg, clamped — ghost rows carry all-zero indicators, so a clamped
     slab is harmless."""
+    from safepy_tpu.ops.apsp_bandstore import is_packed_bits, unpack_bits_tile
     from safepy_tpu.ops.score import dot_kwargs
     kw = dot_kwargs(precision)
-    width = s_local.shape[1]
+    packed = is_packed_bits(s_local)
+    width = s_local.shape[1] * (8 if packed else 1)
     a_dim = xg.shape[1]
     z = jnp.int32(0)
 
     def blk(i, out):
         i = jnp.asarray(i, jnp.int32)
         rows = jax.lax.dynamic_slice(s_local, (i * block, z),
-                                     (block, width)).astype(jnp.float32)
+                                     (block, s_local.shape[1]))
+        if packed:
+            rows = unpack_bits_tile(rows)
+        rows = rows.astype(jnp.float32)
         start = jnp.clip((my * local_rows + i - bt) * block, 0,
                          xg.shape[0] - width).astype(jnp.int32)
         slab = jax.lax.dynamic_slice(xg, (start, z), (width, a_dim))
@@ -220,16 +225,21 @@ def _band_matmul_batch_local(s_local, x_batch, starts, my, *, bt: int,
     starts: (nb,) replicated valid-rank slab starts; local block-row i maps to
     global REAL block I = my*local_rows + i - bt (clamped; ghost rows are
     all-zero)."""
+    from safepy_tpu.ops.apsp_bandstore import is_packed_bits, unpack_bits_tile
     from safepy_tpu.ops.score import dot_kwargs
     kw = dot_kwargs(precision)
-    w_c = s_local.shape[1]
+    packed = is_packed_bits(s_local)
+    w_c = s_local.shape[1] * (8 if packed else 1)
     c_dim, _, a_dim = x_batch.shape
     z = jnp.int32(0)
 
     def blk(i, out):
         i = jnp.asarray(i, jnp.int32)
         rows = jax.lax.dynamic_slice(s_local, (i * block, z),
-                                     (block, w_c)).astype(jnp.float32)
+                                     (block, s_local.shape[1]))
+        if packed:
+            rows = unpack_bits_tile(rows)
+        rows = rows.astype(jnp.float32)
         gi = jnp.clip(my * local_rows + i - bt, 0, nb - 1)
         slab = jax.lax.dynamic_slice(x_batch, (z, starts[gi], z),
                                      (c_dim, w_c, a_dim))
@@ -270,27 +280,34 @@ def _scan_counts_local(compact, starts, vals, mask, obs_local, key, my, *,
                                             uses_sort_path)
     from safepy_tpu.ops.score import zscore_from_contractions
 
+    from safepy_tpu.ops.apsp_bandstore import is_packed_bits
+
     V, A = vals.shape
-    w_c = compact.shape[1]
+    w_c = compact.shape[1] * (8 if is_packed_bits(compact) else 1)
     v_pad = V + w_c
     sort_path = uses_sort_path(A)
     zscore = score_type == "z-score"
 
     def chunk_scores(chunk_key):
         if sort_path:
-            Bp, NBp = permuted_operands_sorted(vals, mask, chunk_key,
-                                               batch_size, zscore)
+            # sum path: the padded operand comes straight out of the ONE
+            # sort (max-key zero slack rows), no post-sort full-size copy
+            Bp, NBp = permuted_operands_sorted(
+                vals, mask, chunk_key, batch_size, zscore,
+                pad_to=None if zscore else v_pad)
         else:
             perm_keys = jax.random.split(chunk_key, batch_size)
             perm_idx = jax.vmap(
                 lambda k: jax.random.permutation(k, V))(perm_keys)
             Bp = jnp.take(vals, perm_idx, axis=0)
             NBp = jnp.take(mask, perm_idx, axis=0) if zscore else None
+            if not zscore:
+                Bp = jnp.pad(Bp, ((0, 0), (0, v_pad - V), (0, 0)))
         mm = functools.partial(_band_matmul_batch_local, compact, starts=starts,
                                my=my, bt=bt, local_rows=local_rows, nb=nb,
                                block=block, precision=precision)
         if not zscore:
-            return mm(jnp.pad(Bp, ((0, 0), (0, v_pad - V), (0, 0))))
+            return mm(Bp)
         stacked = jnp.concatenate([Bp, NBp, Bp * Bp], axis=-1)
         out = mm(jnp.pad(stacked, ((0, 0), (0, v_pad - V), (0, 0))))
         AB, Np, EXX_sum = jnp.split(out, 3, axis=-1)
@@ -351,21 +368,28 @@ def _euclid_band_local(coords_g, my, *, n: int, bt: int, nb: int,
 
 
 def _euclid_band_ind_local(coords_g, radius, my, *, n: int, bt: int, nb: int,
-                           local_rows: int, width: int, block: int):
+                           local_rows: int, width: int, block: int,
+                           packed: bool = False):
     """Device-local strict ``dist < radius`` int8 indicator computed DIRECTLY
     (the shard's slice of ops/apsp_bandstore.euclidean_band_indicator): the
-    f32 distance slab never materializes — ~1/4 the per-device peak HBM."""
+    f32 distance slab never materializes — ~1/4 the per-device peak HBM
+    (~1/32 with ``packed=True``, which packs each block-row to uint8 bits)."""
+    from safepy_tpu.ops.apsp_bandstore import pack_bits_tile
+
     blk_d = _euclid_blk_builder(coords_g, my, n=n, bt=bt, nb=nb,
                                 local_rows=local_rows, width=width,
                                 block=block)
     r = jnp.asarray(radius, jnp.float32)
     lrows = local_rows * block
-    out = jnp.zeros((lrows, width), jnp.int8)
+    out = jnp.zeros((lrows, width // 8 if packed else width),
+                    jnp.uint8 if packed else jnp.int8)
     z = jnp.int32(0)
 
     def blk(j, out):
         j = jnp.asarray(j, jnp.int32)
         ind = (blk_d(j) < r).astype(jnp.int8)
+        if packed:
+            ind = pack_bits_tile(ind)
         return jax.lax.dynamic_update_slice(out, ind, (j * block, z))
 
     return jax.lax.fori_loop(0, local_rows, blk, out)
@@ -383,13 +407,15 @@ def _ghost_pad_cols(x, bt: int, block: int, npad: int):
 
 @functools.partial(jax.jit, static_argnames=(
     "mesh", "axis", "n", "band", "block", "score_type", "num_permutations",
-    "batch_size", "w_c", "precision", "use_pallas", "keep_distances"))
+    "batch_size", "w_c", "precision", "use_pallas", "keep_distances",
+    "packed"))
 def fused_permutation_pipeline_band_sharded(
         u, v, w, vals, vals_valid, valid, starts, rank, key, radius, *,
         mesh: Mesh, axis: str = "data", n: int, band: int, block: int = 128,
         score_type: str = "sum", num_permutations: int = 1000,
         batch_size: int = 1000, w_c: int, precision: str = "highest",
-        use_pallas: bool | None = None, keep_distances: bool = True):
+        use_pallas: bool | None = None, keep_distances: bool = True,
+        packed: bool = False):
     """Row-sharded band pipeline: init, FW, threshold, scores, null — one
     dispatch, every band-shaped array partitioned over `axis`.
 
@@ -401,7 +427,8 @@ def fused_permutation_pipeline_band_sharded(
     worker outputs (the per-device analog of the single-chip knob — XLA then
     frees each shard's relaxed FW slab right after thresholding); the first
     return is a (0, width) placeholder."""
-    from safepy_tpu.ops.apsp_bandstore import apply_compaction
+    from safepy_tpu.ops.apsp_bandstore import (apply_compaction,
+                                               band_row_sizes, band_threshold)
 
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
@@ -434,8 +461,10 @@ def fused_permutation_pipeline_band_sharded(
         slab = _band_fw_rounds(slab, my, axis, nb=nb, bt=bt,
                                local_rows=local_rows, block=block,
                                use_pallas=bool(use_pallas))
-        ind = (slab <= jnp.asarray(radius, slab.dtype)).astype(jnp.int8)
-        sizes_local = jnp.sum(ind, axis=1, dtype=jnp.float32)
+        # packed=True stores the shard's indicator BIT-packed (8 cells/byte;
+        # ops/apsp_bandstore.is_packed_bits) — dtype-keyed consumers below
+        ind = band_threshold(slab, radius, packed=packed, block=block)
+        sizes_local = band_row_sizes(ind)
         obs_local = _band_score_local(ind, xg_val, xg_mask, my, bt=bt,
                                       local_rows=local_rows, block=block,
                                       score_type=score_type,
@@ -544,14 +573,19 @@ def fused_hypergeom_pipeline_band_sharded(
 # ---------------------------------------------------------------------------
 
 @functools.partial(jax.jit, static_argnames=("mesh", "axis", "n", "band",
-                                             "block", "use_pallas"))
+                                             "block", "use_pallas", "packed"))
 def band_neighborhoods_sharded(u, v, w, radius, *, mesh: Mesh,
                                axis: str = "data", n: int, band: int,
-                               block: int = 128, use_pallas: bool | None = None):
+                               block: int = 128, use_pallas: bool | None = None,
+                               packed: bool = False):
     """Row-sharded band FW front half: (dist_g, ind_g, sizes_g, mean, std).
 
     The band matrices stay sharded over `axis` in the global ghost-padded
-    permuted frame; downstream drivers keep operating on them shard-wise."""
+    permuted frame; downstream drivers keep operating on them shard-wise
+    (``packed=True`` stores each shard's indicator BIT-packed — dtype-keyed,
+    see ops/apsp_bandstore.is_packed_bits)."""
+    from safepy_tpu.ops.apsp_bandstore import band_row_sizes, band_threshold
+
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     ndev = mesh.shape[axis]
@@ -573,8 +607,8 @@ def band_neighborhoods_sharded(u, v, w, radius, *, mesh: Mesh,
                                use_pallas=bool(use_pallas))
         dist_local = jnp.where(slab <= jnp.asarray(radius, slab.dtype), slab,
                                jnp.inf)
-        ind = (slab <= jnp.asarray(radius, slab.dtype)).astype(jnp.int8)
-        sizes_local = jnp.sum(ind, axis=1, dtype=jnp.float32)
+        ind = band_threshold(slab, radius, packed=packed, block=block)
+        sizes_local = band_row_sizes(ind)
         return dist_local, ind, sizes_local
 
     dist_g, ind_g, sizes_g = worker(u, v, w)
@@ -704,13 +738,13 @@ def hypergeom_band_table_sharded(ind_g, nan0_np,
 
 @functools.partial(jax.jit, static_argnames=(
     "mesh", "axis", "n", "band", "block", "score_type", "num_permutations",
-    "batch_size", "w_c", "precision", "keep_distances"))
+    "batch_size", "w_c", "precision", "keep_distances", "packed"))
 def fused_permutation_pipeline_band_euclid_sharded(
         coords_perm, vals, vals_valid, valid, starts, rank, key, radius, *,
         mesh: Mesh, axis: str = "data", n: int, band: int, block: int = 128,
         score_type: str = "sum", num_permutations: int = 1000,
         batch_size: int = 1000, w_c: int, precision: str = "highest",
-        keep_distances: bool = True):
+        keep_distances: bool = True, packed: bool = False):
     """Row-sharded euclidean band pipeline (scatter/UMAP flagship): banded
     direct coordinate distances per shard (strict ``dist < r``, reference
     safe.py:389-399) + the sharded permutation null — the euclidean metric's
@@ -718,8 +752,9 @@ def fused_permutation_pipeline_band_euclid_sharded(
 
     ``keep_distances=False`` builds each shard's int8 indicator DIRECTLY
     (_euclid_band_ind_local — the f32 slab never exists, ~1/4 the per-device
-    peak); the first return is a (0, width) placeholder."""
-    from safepy_tpu.ops.apsp_bandstore import apply_compaction
+    peak); ``packed=True`` stores it BIT-packed (1/32); the first return is a
+    (0, width) placeholder."""
+    from safepy_tpu.ops.apsp_bandstore import apply_compaction, band_row_sizes
 
     ndev = mesh.shape[axis]
     bt, nb, width, g_pad, local_rows = sharded_band_geometry(
@@ -757,8 +792,9 @@ def fused_permutation_pipeline_band_euclid_sharded(
         else:
             ind = _euclid_band_ind_local(coords_g, radius, my, n=n, bt=bt,
                                          nb=nb, local_rows=local_rows,
-                                         width=width, block=block)
-        sizes_local = jnp.sum(ind, axis=1, dtype=jnp.float32)
+                                         width=width, block=block,
+                                         packed=packed)
+        sizes_local = band_row_sizes(ind)
         obs_local = _band_score_local(ind, xg_val, xg_mask, my, bt=bt,
                                       local_rows=local_rows, block=block,
                                       score_type=score_type,

@@ -1551,10 +1551,12 @@ class SAFE:
             # the scatter/UMAP workflow's multi-chip path
             from safepy_tpu.parallel.band_sharded import (
                 fused_permutation_pipeline_band_euclid_sharded)
+            keep = bool(self.keep_node_distances)
             (dist_band, s_ind, obs_dev, counts_neg, counts_pos, mean, std) = \
                 fused_permutation_pipeline_band_euclid_sharded(
-                    *euclid_args, mesh=self.mesh,
-                    keep_distances=bool(self.keep_node_distances),
+                    *euclid_args, mesh=self.mesh, keep_distances=keep,
+                    packed=(not keep
+                            and self._band_bits_selected(num_nodes, band)),
                     **euclid_kw)
         else:
             keep = bool(self.keep_node_distances)
@@ -1683,7 +1685,8 @@ class SAFE:
                     (dist_band, s_ind, _sizes, mean, std) = \
                         band_neighborhoods_sharded(
                             plan["u"], plan["v"], plan["w"], radius,
-                            mesh=self.mesh, n=num_nodes, band=band)
+                            mesh=self.mesh, n=num_nodes, band=band,
+                            packed=self._band_bits_selected(num_nodes, band))
                     table_out = hypergeom_band_table_sharded(
                         s_ind, nan0_perm, nnn_perm, M,
                         np.float64(self.enrichment_threshold),
@@ -1777,7 +1780,9 @@ class SAFE:
                 (dist_band, s_ind, obs_dev, counts_neg, counts_pos, mean,
                  std) = fused_permutation_pipeline_band_sharded(
                     *band_args, mesh=self.mesh,
-                    keep_distances=bool(self.keep_node_distances), **band_kw)
+                    keep_distances=bool(self.keep_node_distances),
+                    packed=self._band_bits_selected(num_nodes, band),
+                    **band_kw)
                 self._band_relax_used = "fw"  # sharded engine relaxes via FW
             else:
                 bf = self._band_bf_args(plan)

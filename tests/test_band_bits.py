@@ -85,6 +85,37 @@ def test_compaction_packed_in_packed_out(band_setup):
                                          bt=bt)))
 
 
+def test_band_count_batch_matches_unfused(band_setup):
+    """The fused per-chunk counter (band_count_batch) is bit-identical to
+    band_matmul_batch + count_scan's tie-inclusive comparisons, packed and
+    plain alike."""
+    n, band, rank, plain, packed, rng = band_setup
+    bt = band // 128 + 1
+    valid = rng.random(n) < 0.66
+    starts, w_c = bst.compaction_plan(valid, n=n, bt=bt)
+    starts = jnp.asarray(starts, jnp.int32)
+    c_plain = bst.apply_compaction(plain, jnp.asarray(valid), w_c, bt=bt)
+    c_packed = bst.apply_compaction(packed, jnp.asarray(valid), w_c, bt=bt)
+    V = int(valid.sum())
+    C, A = 5, 2
+    xb = rng.normal(size=(C, V + w_c, A)).astype(np.float32)
+    npad = plain.shape[0] - 2 * bt * 128
+    obs = rng.normal(size=(npad, A)).astype(np.float32)
+    live = np.array([True, True, True, False, False])
+
+    scores = np.asarray(bst.band_matmul_batch(c_plain, jnp.asarray(xb),
+                                              starts, bt=bt))
+    lv = live[:, None, None]
+    cn_ref = np.sum(np.where(lv & (scores <= obs[None]), 1, 0), axis=0)
+    cp_ref = np.sum(np.where(lv & (scores >= obs[None]), 1, 0), axis=0)
+    for compact in (c_plain, c_packed):
+        cn, cp = bst.band_count_batch(compact, jnp.asarray(xb), starts,
+                                      jnp.asarray(obs), jnp.asarray(live),
+                                      bt=bt)
+        np.testing.assert_array_equal(np.asarray(cn), cn_ref)
+        np.testing.assert_array_equal(np.asarray(cp), cp_ref)
+
+
 def test_banded_matrix_accessors(band_setup):
     n, band, rank, plain, packed, _ = band_setup
     b1 = bst.BandedMatrix(plain, rank, n, band, fill=0.0)

@@ -111,6 +111,18 @@ def test_sharded_permutation_pipeline_bit_identical():
         np.testing.assert_array_equal(np.asarray(nodist[i]),
                                       np.asarray(sharded[i]))
 
+    # packed=True: each shard's indicator BIT-packed (uint8, 8 cells/byte)
+    # — obs/counts still bit-identical, the band unpacks to the int8 one
+    packed = bsh.fused_permutation_pipeline_band_sharded(
+        *args, mesh=_mesh(ndev), keep_distances=False, packed=True, **kw)
+    assert packed[1].dtype == jnp.uint8
+    np.testing.assert_array_equal(
+        bs.unpack_band_bits_host(np.asarray(packed[1])),
+        np.asarray(sharded[1]))
+    for i in (2, 3, 4):
+        np.testing.assert_array_equal(np.asarray(packed[i]),
+                                      np.asarray(sharded[i]))
+
 
 def test_sharded_hypergeom_pipeline_matches_single():
     from safepy_tpu import pipeline as pipe
@@ -390,6 +402,17 @@ def test_sharded_euclid_band_bit_identical():
                                   np.asarray(sharded[1]))
     for i in (2, 3, 4):
         np.testing.assert_array_equal(np.asarray(nodist[i]),
+                                      np.asarray(sharded[i]))
+
+    # packed=True: per-shard BIT-packed indicator, identical statistics
+    packed = bsh.fused_permutation_pipeline_band_euclid_sharded(
+        *args, mesh=_mesh(ndev), keep_distances=False, packed=True, **kw)
+    assert packed[1].dtype == jnp.uint8
+    np.testing.assert_array_equal(
+        bs.unpack_band_bits_host(np.asarray(packed[1])),
+        np.asarray(sharded[1]))
+    for i in (2, 3, 4):
+        np.testing.assert_array_equal(np.asarray(packed[i]),
                                       np.asarray(sharded[i]))
 
 

@@ -135,18 +135,24 @@ def main():
         # band (9.27 GB) OOMs one 16 GB v5e while ~60 fits
         target = float(parts[1]) if len(parts) > 1 else 125.0
         nodist = "nodist" in parts[2:]
+        bits = ("auto" if "bits" not in parts[2:] and "nobits" not in parts[2:]
+                else "bits" in parts[2:])
         t0 = time.time()
         g = build_graph(n)
         print(f"# graph built in {time.time() - t0:.1f} s", flush=True)
         attrs = quant_attrs(n)
         radius = float(np.sqrt(target / (np.pi * n)))
         sf, first, steady = run_safe(g, attrs, "auto", radius,
-                                     keep_node_distances=not nodist)
+                                     keep_node_distances=not nodist,
+                                     band_indicator_bits=bits)
         plan = next(v for v in sf._bandstore_cache.values() if v)
         from safepy_tpu.ops.apsp_bandstore import band_nbytes
+        import jax.numpy as jnp
         print(json.dumps({
             "check": "scale", "nodes": n, "radius": radius,
             "target_neighbors": target, "keep_distances": not nodist,
+            "packed_bits": bool(sf._neighborhoods_dev.data.dtype
+                                == jnp.uint8),
             "band": int(plan["band"]),
             "band_gb": round(band_nbytes(n, plan["band"]) / 1e9, 2),
             "dense_gb": round(4 * n * n / 1e9, 1),
