@@ -306,6 +306,18 @@ def test_sharded_table_hypergeom_bit_identical():
                                       np.asarray(single[i]), err_msg=name)
     np.testing.assert_array_equal(sharded[3], single[3])
 
+    # packed front: BIT-packed per-shard indicator feeds the same table
+    # driver (dtype-keyed census) bit-identically
+    _, ind_p, _, _, _ = bsh.band_neighborhoods_sharded(
+        u, v, w, radius, mesh=mesh, n=n, band=band, packed=True)
+    assert ind_p.dtype == jnp.uint8
+    packed = bsh.hypergeom_band_table_sharded(
+        ind_p, nan0, nnn, M, np.float64(0.05), mesh=mesh, n=n, band=band,
+        rank_np=rank, chunk_cols=4)
+    for i, name in ((0, "nes"), (1, "logsf"), (2, "bin")):
+        np.testing.assert_array_equal(np.asarray(packed[i]),
+                                      np.asarray(single[i]), err_msg=name)
+
 
 def test_facade_band_mesh_table_matches_single():
     """Facade: a binary band-scale run under a 'data' mesh routes through the

@@ -159,7 +159,15 @@ def main():
             "first_s": round(first, 2), "steady_s": round(steady, 3),
             "enriched": int((sf.nes_binary > 0).sum())}), flush=True)
     else:
-        n, a = (int(x) for x in rest.split(":"))
+        # go:<nodes>:<attrs>[:<target>][:nodist][:bits|:nobits]
+        parts = rest.split(":")
+        n, a = int(parts[0]), int(parts[1])
+        target = float(parts[2]) if len(parts) > 2 and parts[2].replace(
+            ".", "", 1).isdigit() else 125.0
+        extras = parts[2:]
+        nodist = "nodist" in extras
+        bits = ("auto" if "bits" not in extras and "nobits" not in extras
+                else "bits" in extras)
         t0 = time.time()
         g = build_graph(n)
         print(f"# graph built in {time.time() - t0:.1f} s", flush=True)
@@ -172,12 +180,19 @@ def main():
         vals[rng.random((n, a)) < 0.05] = np.nan
         attrs = pd.DataFrame(vals, index=[f"n{i}" for i in range(n)],
                              columns=[f"go{j}" for j in range(a)])
-        radius = float(np.sqrt(125.0 / (np.pi * n)))
+        radius = float(np.sqrt(target / (np.pi * n)))
         sf, first, steady = run_safe(g, attrs, "band", radius,
-                                     min_nodes=10000)
+                                     min_nodes=10000,
+                                     keep_node_distances=not nodist,
+                                     band_indicator_bits=bits)
+        import jax.numpy as jnp
         print(json.dumps({
             "check": "go_scale", "nodes": n, "attributes": a,
-            "radius": radius, "first_s": round(first, 2),
+            "radius": radius, "target_neighbors": target,
+            "keep_distances": not nodist,
+            "packed_bits": bool(sf._neighborhoods_dev.data.dtype
+                                == jnp.uint8),
+            "first_s": round(first, 2),
             "steady_s": round(steady, 3),
             "attrs_with_gt10_enriched": int(
                 (sf.attributes["num_neighborhoods_enriched"] > 10).sum()),

@@ -51,9 +51,11 @@ def main():
                 sds((2,), jnp.uint32),                     # key
                 sds((), f32))                              # radius
         try:
+            from safepy_tpu.ops.permutation import default_batch_size
+            batch = default_batch_size(int(valid.sum()), 1, 1000)
             comp = pipe.fused_permutation_pipeline_band_euclid.lower(
                 *args, n=n, band=band, score_type="sum",
-                num_permutations=1000, batch_size=250, w_c=w_c,
+                num_permutations=1000, batch_size=batch, w_c=w_c,
                 precision="highest", keep_distances=False,
                 packed=bits).compile()
         except Exception as exc:
