@@ -32,7 +32,7 @@ from safepy_tpu.ops.hypergeom import _sf_parts, finalize_logsf_device
 from safepy_tpu.ops.permutation import (count_scan,
                                         permuted_operands_sorted,
                                         uses_sort_path)
-from safepy_tpu.ops.score import zscore_from_contractions
+from safepy_tpu.ops.score import zscore_from_contractions, zscore_shift
 
 
 def _pad_rows_to(x, rows: int):
@@ -59,10 +59,12 @@ def band_score(s_ind, vals, *, bt: int, block: int = 128,
         raise ValueError(f"unknown neighborhood_score_type: {score_type!r}")
 
     NB = _pad_rows_to(mask.astype(jnp.float32), npad)
-    stacked = jnp.concatenate([B, NB, B * B], axis=1)
+    c = zscore_shift(B, NB)  # pad rows are (0, 0): no effect on the mean
+    Bs = B - NB * c
+    stacked = jnp.concatenate([Bs, NB, Bs * Bs], axis=1)
     out = band_matmul(s_ind, stacked, bt=bt, block=block, precision=precision)
     AB, N, EXX_sum = jnp.split(out, 3, axis=1)
-    return zscore_from_contractions(AB, N, EXX_sum)
+    return zscore_from_contractions(AB, N, EXX_sum, shift=c)
 
 
 def scan_counts_band(compact, starts, vals, mask, obs, key, *,
@@ -87,6 +89,12 @@ def scan_counts_band(compact, starts, vals, mask, obs, key, *,
     v_pad = V + w_c  # slack so starts[i] + w_c never overruns
     sort_path = uses_sort_path(A)
     zscore = score_type == "z-score"
+    shift = None
+    if zscore:
+        # center before permuting (ops.score.zscore_shift: exact, commutes
+        # with the row permutation, kills the variance cancellation)
+        shift = zscore_shift(vals, mask)
+        vals = vals - mask * shift
 
     def permuted(chunk_key, pad_to=None):
         if sort_path:
@@ -111,7 +119,7 @@ def scan_counts_band(compact, starts, vals, mask, obs, key, *,
         out = band_matmul_batch(compact, stacked, starts, bt=bt, block=block,
                                 precision=precision)
         AB, Np, EXX_sum = jnp.split(out, 3, axis=-1)
-        return zscore_from_contractions(AB, Np, EXX_sum)
+        return zscore_from_contractions(AB, Np, EXX_sum, shift=shift)
 
     def chunk_counts(chunk_key, live):
         # sum scores: FUSED per-block contraction + comparison — the

@@ -67,12 +67,15 @@ def default_batch_size(num_valid: int, num_attributes: int,
 
 
 def _scores_from_permuted(nbr_valid, Bp, NBp, score_type: str,
-                          precision: str = "highest"):
+                          precision: str = "highest", shift=None):
     """Scores of already-permuted operands.
 
     Bp: (C, V, A) permuted NaN->0 values; NBp: (C, V, A) permuted finite masks
     (only consulted for z-score). The squared term is (Bp)^2 — squaring commutes
-    with permutation, so it is never permuted separately.
+    with permutation, so it is never permuted separately. For z-score, Bp must
+    be the SHIFTED values (``ops.score.zscore_shift``; shifting commutes with
+    row permutation, so callers center once before the permutation machinery)
+    and ``shift`` the matching (A,) column means.
     """
     _DOT_KW = dot_kwargs(precision)
     AB = jnp.einsum("nv,cva->cna", nbr_valid, Bp, **_DOT_KW)
@@ -83,11 +86,11 @@ def _scores_from_permuted(nbr_valid, Bp, NBp, score_type: str,
     from safepy_tpu.ops.score import zscore_from_contractions
     Np = jnp.einsum("nv,cva->cna", nbr_valid, NBp, **_DOT_KW)
     EXX_sum = jnp.einsum("nv,cva->cna", nbr_valid, Bp * Bp, **_DOT_KW)
-    return zscore_from_contractions(AB, Np, EXX_sum)
+    return zscore_from_contractions(AB, Np, EXX_sum, shift=shift)
 
 
 def permutation_scores(nbr_valid, vals, mask, perm_idx, score_type: str,
-                       precision: str = "highest"):
+                       precision: str = "highest", shift=None):
     """Scores of a chunk of row-permuted attribute matrices (explicit indices).
 
     Args:
@@ -103,7 +106,8 @@ def permutation_scores(nbr_valid, vals, mask, perm_idx, score_type: str,
     Bp = jnp.take(vals, perm_idx, axis=0)                    # (C, V, A)
     NBp = (jnp.take(mask, perm_idx, axis=0)
            if score_type == "z-score" else None)
-    return _scores_from_permuted(nbr_valid, Bp, NBp, score_type, precision)
+    return _scores_from_permuted(nbr_valid, Bp, NBp, score_type, precision,
+                                 shift=shift)
 
 
 def permuted_operands_sorted(vals, mask, chunk_key, chunk_size: int,
@@ -151,11 +155,13 @@ def permuted_operands_sorted(vals, mask, chunk_key, chunk_size: int,
 
 
 def permutation_scores_sorted(nbr_valid, vals, mask, chunk_key, chunk_size: int,
-                              score_type: str, precision: str = "highest"):
+                              score_type: str, precision: str = "highest",
+                              shift=None):
     """Scores of a chunk of permutations drawn by key-sorting the data itself."""
     Bp, NBp = permuted_operands_sorted(vals, mask, chunk_key, chunk_size,
                                        score_type == "z-score")
-    return _scores_from_permuted(nbr_valid, Bp, NBp, score_type, precision)
+    return _scores_from_permuted(nbr_valid, Bp, NBp, score_type, precision,
+                                 shift=shift)
 
 
 def uses_sort_path(num_attributes: int) -> bool:
@@ -219,15 +225,24 @@ def scan_counts(nbr_valid, vals, mask, obs, key, *, score_type: str,
     V, A = vals.shape
     sort_path = uses_sort_path(A)
 
+    shift = None
+    if score_type == "z-score":
+        # center ONCE before the permutation machinery (shifting commutes with
+        # row permutation) — kills the E[X^2]-E[X]^2 cancellation, see
+        # ops.score.zscore_shift
+        from safepy_tpu.ops.score import zscore_shift
+        shift = zscore_shift(vals, mask)
+        vals = vals - mask * shift
+
     def chunk_scores(chunk_key):
         if sort_path:
             return permutation_scores_sorted(
                 nbr_valid, vals, mask, chunk_key, batch_size, score_type,
-                precision)
+                precision, shift=shift)
         perm_keys = jax.random.split(chunk_key, batch_size)
         perm_idx = jax.vmap(lambda k: jax.random.permutation(k, V))(perm_keys)
         return permutation_scores(nbr_valid, vals, mask, perm_idx,
-                                  score_type, precision)
+                                  score_type, precision, shift=shift)
 
     return count_scan(chunk_scores, obs, key,
                       num_permutations=num_permutations,

