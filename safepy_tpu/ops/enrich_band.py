@@ -152,6 +152,10 @@ def hypergeom_core_band(s_ind, nan0, nodes_not_nan, K, lgt, M,
     ``attr_chunk``: process attributes in chunks of this size (a fori loop
     with dynamic slices — stacking chunks for lax.map would duplicate the
     (N, A) matrix) so only one chunk's f64 tail intermediates are live.
+
+    Returns (logsf32, bin8) — NES is elementwise-derivable (-logsf/ln10)
+    and the second (n, A) f32 buffer is what tips the 16 GB chip at
+    199,680 x 4,373; the facade derives it lazily on access.
     """
     npad = s_ind.shape[0] - 2 * bt * block
     nan0 = jnp.asarray(nan0, jnp.float32)
@@ -168,15 +172,17 @@ def hypergeom_core_band(s_ind, nan0, nodes_not_nan, K, lgt, M,
         n64 = jnp.broadcast_to(nsize.astype(jnp.float64)[:, None],
                                counts.shape)
         parts = _sf_parts(k64, M, K64, n64, lgt, iterations)
-        return finalize_logsf_device(parts, enrichment_threshold)
+        _nes, logsf, nbin = finalize_logsf_device(parts,
+                                                  enrichment_threshold)
+        return logsf, nbin
 
     if attr_chunk is None or attr_chunk >= A:
         stacked = _pad_rows_to(
             jnp.concatenate([nodes_not_nan[:, None], nan0], axis=1), npad)
         prod = band_matmul(s_ind, stacked, bt=bt, block=block,
                            precision=precision)
-        nes, logsf, nbin = tail(prod[:, 1:], prod[:, 0], K)
-        return gather(nes), gather(logsf), gather(nbin)
+        logsf, nbin = tail(prod[:, 1:], prod[:, 0], K)
+        return gather(logsf), gather(nbin)
 
     nsize = band_matmul(s_ind, _pad_rows_to(nodes_not_nan[:, None], npad),
                         bt=bt, block=block, precision=precision)[:, 0]
@@ -187,27 +193,25 @@ def hypergeom_core_band(s_ind, nan0, nodes_not_nan, K, lgt, M,
     # columns: a few columns are recomputed identically, and the (N, A)
     # matrix is never copied just to round A up
     z = jnp.int32(0)
-    nes_b = jnp.zeros((out_rows, A), jnp.float32)
     logsf_b = jnp.zeros((out_rows, A), jnp.float32)
     bin_b = jnp.zeros((out_rows, A), jnp.int8)
 
     def one(ci, bufs):
         ci = jnp.asarray(ci, jnp.int32)
-        nes_b, logsf_b, bin_b = bufs
+        logsf_b, bin_b = bufs
         start = jnp.minimum(ci * attr_chunk, A - attr_chunk)
         nan0_c = jax.lax.dynamic_slice(nan0_r, (z, start),
                                        (npad, attr_chunk))
         K_c = jax.lax.dynamic_slice(K, (start,), (attr_chunk,))
         counts = band_matmul(s_ind, nan0_c, bt=bt, block=block,
                              precision=precision)
-        nes_c, logsf_c, bin_c = tail(counts, nsize, K_c)
-        return (jax.lax.dynamic_update_slice(nes_b, gather(nes_c), (z, start)),
-                jax.lax.dynamic_update_slice(logsf_b, gather(logsf_c),
+        logsf_c, bin_c = tail(counts, nsize, K_c)
+        return (jax.lax.dynamic_update_slice(logsf_b, gather(logsf_c),
                                              (z, start)),
                 jax.lax.dynamic_update_slice(bin_b, gather(bin_c),
                                              (z, start)))
 
-    return jax.lax.fori_loop(0, nc, one, (nes_b, logsf_b, bin_b))
+    return jax.lax.fori_loop(0, nc, one, (logsf_b, bin_b))
 
 
 def hypergeom_tail_band(s_ind, vals, lgt, M, enrichment_threshold, *,
@@ -257,8 +261,9 @@ def hypergeom_band_hostchunks(s_ind, nan0_np, nodes_not_nan_np, lgt, M,
       * reassembles on device: concat + the transpose/row-gather/transpose
         column permutation (lane gathers serialize on TPU; row gathers DMA).
 
-    Returns (nes_dev, logsf_dev, bin_dev, counts_np) with columns in the
-    ORIGINAL attribute order and rows in the ORIGINAL node frame.
+    Returns (logsf_dev, bin_dev, counts_np) with columns in the ORIGINAL
+    attribute order and rows in the ORIGINAL node frame (NES derives
+    lazily from logsf in the facade — see hypergeom_band_table).
     """
     import numpy as np
     from safepy_tpu.ops.hypergeom import tail_iterations
@@ -275,7 +280,7 @@ def hypergeom_band_hostchunks(s_ind, nan0_np, nodes_not_nan_np, lgt, M,
 
     attr_chunk = min(attr_chunk, n_attrs)
     nc = -(-n_attrs // attr_chunk)
-    nes_pieces, logsf_pieces, bin_pieces, counts = [], [], [], []
+    logsf_pieces, bin_pieces, counts = [], [], []
     for ci in range(nc):
         start = min(ci * attr_chunk, n_attrs - attr_chunk)
         overlap = ci * attr_chunk - start  # last chunk clamps; drop the rerun
@@ -283,15 +288,13 @@ def hypergeom_band_hostchunks(s_ind, nan0_np, nodes_not_nan_np, lgt, M,
         K_c = K_sorted[start:start + attr_chunk]
         k_max = int(max(1.0, float(K_c.max()))) if K_c.size else 1
         iters = _iteration_bucket(tail_iterations(M, min(k_max, M)))
-        nes_c, logsf_c, bin_c = hypergeom_core_band_jit(
+        logsf_c, bin_c = hypergeom_core_band_jit(
             s_ind, cols, nnn_dev, jnp.asarray(K_c, jnp.float32), lgt, M,
             enrichment_threshold, iterations=iters, bt=bt, block=block,
             precision=precision, rank=rank_dev)
         if overlap:
-            nes_c = nes_c[:, overlap:]
             logsf_c = logsf_c[:, overlap:]
             bin_c = bin_c[:, overlap:]
-        nes_pieces.append(nes_c)
         logsf_pieces.append(logsf_c)
         bin_pieces.append(bin_c)
         counts.append(np.asarray(jnp.sum(bin_c, axis=0, dtype=jnp.int32)))
@@ -309,11 +312,10 @@ def hypergeom_band_hostchunks(s_ind, nan0_np, nodes_not_nan_np, lgt, M,
         # gathers serialize on TPU; row gathers ride the DMA engines)
         return jnp.take(sorted_cols.T, inv_dev, axis=0).T
 
-    nes = assemble(nes_pieces)
     logsf = assemble(logsf_pieces)
     nbin = assemble(bin_pieces)
     counts_np = np.concatenate(counts)[inv_a]
-    return nes, logsf, nbin, counts_np
+    return logsf, nbin, counts_np
 
 
 @jax.jit
@@ -330,8 +332,12 @@ def band_hyper_operands_device(n2a_dev, order):
     K = jnp.sum(nan0, axis=0)
     nnn = jnp.any(finite, axis=1).astype(jnp.float32)
     binary_ok = jnp.all((n2a_dev == 0.0) | (n2a_dev == 1.0) | ~finite)
-    return (jnp.take(nan0, order, axis=0), jnp.take(nnn, order), K,
-            binary_ok)
+    # int8 storage: callers only consume nan0_perm when binary_ok, so the
+    # cast is exact — 1/4 the resident HBM of the f32 copy at GO scale
+    # (199,680 x 4,373: 0.87 GB vs 3.49 GB); census chunks cast their
+    # column slice back to f32 inside the dispatch
+    return (jnp.take(nan0.astype(jnp.int8), order, axis=0),
+            jnp.take(nnn, order), K, binary_ok)
 
 
 def hypergeom_band_table(s_ind, nan0_np, nodes_not_nan_np, M,
@@ -346,16 +352,21 @@ def hypergeom_band_table(s_ind, nan0_np, nodes_not_nan_np, M,
     (K, neighborhood-size) class plus one table gather per cell. Column
     chunks are K-sorted so each chunk's scan length hugs its largest class.
 
-    Returns (nes_dev, logsf_dev, bin_dev, counts_np) with columns in the
-    ORIGINAL attribute order and rows in the ORIGINAL node frame, or None
-    when the plan is ineligible (caller falls back to the loop engine).
+    Returns (logsf_dev, bin_dev, counts_np) with columns in the ORIGINAL
+    attribute order and rows in the ORIGINAL node frame, or None when the
+    plan is ineligible (caller falls back to the loop engine). NES is NOT
+    materialized: it is elementwise-derivable (-logsf/ln10) and a second
+    (n, A) f32 buffer is exactly what tips the chip at 199,680 x 4,373
+    (tools/r4_results.log) — the facade derives it lazily on access.
+
+    ``nan0_np`` may be f32 or int8 (exact for the binary annotations this
+    engine requires), host or device; int8 is preferred at scale.
     """
     import numpy as np
     from safepy_tpu.ops import hypergeom_table as htab
 
-    import numpy as np
-
-    K_np = nan0_np.sum(axis=0)
+    nan0_dev = jnp.asarray(nan0_np)
+    K_np = np.asarray(jnp.sum(nan0_dev.astype(jnp.float32), axis=0))
     if nsize_dev is None:
         nnn_dev = jnp.asarray(nodes_not_nan_np)
         nsize_dev = band_matmul(
@@ -369,23 +380,21 @@ def hypergeom_band_table(s_ind, nan0_np, nodes_not_nan_np, M,
         return None
 
     log_thr64 = float(np.log(enrichment_threshold))
-    nan0_dev = jnp.asarray(nan0_np)
     rank_dev = jnp.asarray(rank_np, jnp.int32)
     npad = s_ind.shape[0] - 2 * bt * block
-    n, n_attrs = len(rank_np), nan0_np.shape[1]
+    n, n_attrs = len(rank_np), nan0_dev.shape[1]
 
     # chunks stream into preallocated outputs with DONATED buffers: the only
-    # (n, A)-sized device arrays alive are the three outputs plus the
+    # (n, A)-sized device arrays alive are the two outputs plus the (int8)
     # annotation matrix — at 100k x 4,373 any transient second copy tips the
     # chip into allocator thrash
-    nes = jnp.zeros((n, n_attrs), jnp.float32)
     logsf = jnp.zeros((n, n_attrs), jnp.float32)
     nbin = jnp.zeros((n, n_attrs), jnp.int8)
     counts = []
     for ch in plan["chunks"]:
         start, width = ch["start"], ch["width"]
         cols = jax.lax.dynamic_slice_in_dim(nan0_dev, start, width, 1)
-        nes_c, logsf_c, bin_c = _band_table_chunk(
+        logsf_c, bin_c = _band_table_chunk(
             s_ind, cols, nsize_dev, jnp.asarray(ch["K_dist"]),
             jnp.asarray(ch["colc"], jnp.int32), M, log_thr64, rank_dev,
             R=ch["R"], S_max=ch["S_max"], C=ch["C"], bt=bt, block=block,
@@ -396,18 +405,16 @@ def hypergeom_band_table(s_ind, nan0_np, nodes_not_nan_np, M,
         # placement below just overwrites them) but must not double-count
         counts.append(np.asarray(
             jnp.sum(bin_c, axis=0, dtype=jnp.int32))[ch.get("overlap", 0):])
-        nes, logsf, nbin = _place_chunk(nes, logsf, nbin, nes_c, logsf_c,
-                                        bin_c, start)
-    return nes, logsf, nbin, np.concatenate(counts)
+        logsf, nbin = _place_chunk(logsf, nbin, logsf_c, bin_c, start)
+    return logsf, nbin, np.concatenate(counts)
 
 
-@functools.partial(jax.jit, donate_argnums=(0, 1, 2))
-def _place_chunk(nes, logsf, nbin, nes_c, logsf_c, bin_c, start):
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def _place_chunk(logsf, nbin, logsf_c, bin_c, start):
     """Write one chunk's columns into the (donated) output buffers."""
     z = jnp.int32(0)
     s = jnp.asarray(start, jnp.int32)
-    return (jax.lax.dynamic_update_slice(nes, nes_c, (z, s)),
-            jax.lax.dynamic_update_slice(logsf, logsf_c, (z, s)),
+    return (jax.lax.dynamic_update_slice(logsf, logsf_c, (z, s)),
             jax.lax.dynamic_update_slice(nbin, bin_c, (z, s)))
 
 
@@ -417,20 +424,22 @@ def _band_table_chunk(s_ind, cols, nsize, K_dist, colc, M, log_thr64, rank, *,
                       R: int, S_max: int, C: int, bt: int, block: int,
                       npad: int, precision: str):
     """One K-sorted column chunk: banded census + table build + lookup +
-    row un-permute, fused into a single dispatch."""
+    row un-permute, fused into a single dispatch. ``cols`` may be int8 (the
+    f32 cast is a fused transient inside this jit, never a resident buffer).
+    The unused NES output of table_lookup is dead-code-eliminated."""
     import numpy as np
     from safepy_tpu.ops import hypergeom_table as htab
 
-    counts = band_matmul(s_ind, _pad_rows_to(cols, npad), bt=bt, block=block,
-                         precision=precision)
+    counts = band_matmul(s_ind, _pad_rows_to(cols.astype(jnp.float32), npad),
+                         bt=bt, block=block, precision=precision)
     table = htab.build_logsf_table(K_dist, M, log_thr64, R=R, S_max=S_max,
                                    C=C)
-    nes, logsf, nbin = htab.table_lookup(
+    _nes, logsf, nbin = htab.table_lookup(
         table, counts, nsize, colc,
         jnp.asarray(log_thr64).astype(jnp.float32),
         S_max=S_max, R=R, C=C)
     take = functools.partial(jnp.take, indices=rank, axis=0)
-    return take(nes), take(logsf), take(nbin)
+    return take(logsf), take(nbin)
 
 
 # jitted single-dispatch wrappers for the STAGED facade paths (the fused

@@ -520,7 +520,8 @@ def fused_hypergeom_pipeline_band_sharded(
         use_pallas: bool | None = None):
     """Row-sharded band pipeline, hypergeometric engine: census + survival
     tail per shard, no collectives after the FW's pivot pmin. Operands are
-    host-precomputed like fused_hypergeom_pipeline_band's."""
+    host-precomputed like fused_hypergeom_pipeline_band's; like it, NES is
+    not returned — the facade derives -logsf/ln10 lazily."""
     from safepy_tpu.ops.hypergeom import _sf_parts, finalize_logsf_device
 
     if use_pallas is None:
@@ -540,7 +541,7 @@ def fused_hypergeom_pipeline_band_sharded(
         jax.shard_map, mesh=mesh, check_vma=False,
         in_specs=(P(), P(), P(), P(), P(), P()),
         out_specs=(P(axis, None), P(axis, None), P(axis),
-                   P(axis, None), P(axis, None), P(axis, None)))
+                   P(axis, None), P(axis, None)))
     def worker(u, v, w, stacked_g, K, lgt):
         my = jax.lax.axis_index(axis)
         slab = band_init_local(u, v, w, my, n=n, bt=bt,
@@ -563,11 +564,11 @@ def fused_hypergeom_pipeline_band_sharded(
         n64 = jnp.broadcast_to(nsize.astype(jnp.float64)[:, None],
                                counts.shape)
         parts = _sf_parts(k64, M, K64, n64, lgt, iterations)
-        nes32, log_sf32, nes_binary = finalize_logsf_device(
+        _nes, log_sf32, nes_binary = finalize_logsf_device(
             parts, enrichment_threshold)
-        return dist_local, ind, sizes_local, nes32, log_sf32, nes_binary
+        return dist_local, ind, sizes_local, log_sf32, nes_binary
 
-    dist_g, ind_g, sizes_g, nes_g, logsf_g, bin_g = worker(
+    dist_g, ind_g, sizes_g, logsf_g, bin_g = worker(
         u, v, w, stacked_g, K, lgt)
 
     sizes = jax.lax.dynamic_slice_in_dim(sizes_g, bt * block, npad, 0)[:n]
@@ -575,7 +576,7 @@ def fused_hypergeom_pipeline_band_sharded(
     real = lambda x: jax.lax.dynamic_slice_in_dim(x, bt * block, npad, 0)
     enriched_counts = jnp.sum(real(bin_g)[:n], axis=0, dtype=jnp.int32)
     take = functools.partial(jnp.take, indices=rank, axis=0)
-    return (dist_g, ind_g, take(real(nes_g)), take(real(logsf_g)),
+    return (dist_g, ind_g, take(real(logsf_g)),
             take(real(bin_g)), enriched_counts, mean, std)
 
 
@@ -660,7 +661,9 @@ def _band_table_chunk_sharded(ind_g, cols, nsize_g, K_dist, colc, M,
                               block: int, precision: str):
     """One K-sorted column chunk of the sharded class-table engine: local
     banded census + replicated table build + local lookup; outputs
-    un-permuted to the ORIGINAL node frame (resharded by the row gather)."""
+    un-permuted to the ORIGINAL node frame (resharded by the row gather).
+    ``cols`` may be int8 (cast to f32 per shard inside the worker); the
+    unused NES output is dead-code-eliminated."""
     from safepy_tpu.ops import hypergeom_table as htab
 
     ndev = mesh.shape[axis]
@@ -672,22 +675,24 @@ def _band_table_chunk_sharded(ind_g, cols, nsize_g, K_dist, colc, M,
     @functools.partial(
         jax.shard_map, mesh=mesh, check_vma=False,
         in_specs=(P(axis, None), P(), P(axis), P(), P()),
-        out_specs=(P(axis, None),) * 3)
+        out_specs=(P(axis, None),) * 2)
     def worker(ind_local, cols_g, nsize_local, K_dist, colc):
         my = jax.lax.axis_index(axis)
-        counts = _band_matmul_local(ind_local, cols_g, my, bt=bt,
+        counts = _band_matmul_local(ind_local, cols_g.astype(jnp.float32),
+                                    my, bt=bt,
                                     local_rows=local_rows, block=block,
                                     precision=precision)
         table = htab.build_logsf_table(K_dist, M, log_thr64, R=R,
                                        S_max=S_max, C=C)
-        return htab.table_lookup(table, counts, nsize_local, colc,
-                                 jnp.asarray(log_thr64, jnp.float32),
-                                 S_max=S_max, R=R, C=C)
+        _nes, logsf, nbin = htab.table_lookup(
+            table, counts, nsize_local, colc,
+            jnp.asarray(log_thr64, jnp.float32), S_max=S_max, R=R, C=C)
+        return logsf, nbin
 
-    nes_g, logsf_g, bin_g = worker(ind_g, cols_g, nsize_g, K_dist, colc)
+    logsf_g, bin_g = worker(ind_g, cols_g, nsize_g, K_dist, colc)
     real = lambda x: jax.lax.dynamic_slice_in_dim(x, bt * block, npad, 0)
     take = functools.partial(jnp.take, indices=rank, axis=0)
-    return take(real(nes_g)), take(real(logsf_g)), take(real(bin_g))
+    return take(real(logsf_g)), take(real(bin_g))
 
 
 def hypergeom_band_table_sharded(ind_g, nan0_np,
@@ -702,12 +707,16 @@ def hypergeom_band_table_sharded(ind_g, nan0_np,
     the table row bound), then one sharded census+table+lookup dispatch per
     K-sorted column chunk — each step short, so no per-device fused program
     ever runs near remote-worker watchdog horizons (this retires the old
-    "prefer mesh=None at GO scale" warning). Returns (nes, logsf, bin,
-    counts_np) in ORIGINAL column order / node frame, or None if the plan is
-    ineligible (caller falls back to the f64 tail loop)."""
+    "prefer mesh=None at GO scale" warning). Returns (logsf, bin, counts_np)
+    in ORIGINAL column order / node frame, or None if the plan is ineligible
+    (caller falls back to the f64 tail loop). ``nan0_np`` may be f32 or int8
+    (exact for the binary annotations this engine requires); NES derives
+    lazily from logsf in the facade — see
+    ops/enrich_band.hypergeom_band_table."""
     from safepy_tpu.ops import hypergeom_table as htab
 
-    K_np = nan0_np.sum(axis=0)
+    nan0_dev = jnp.asarray(nan0_np)
+    K_np = np.asarray(jnp.sum(nan0_dev.astype(jnp.float32), axis=0))
     nsize_g = band_matmul_sharded(
         ind_g, jnp.asarray(nodes_not_nan_np)[:, None], mesh=mesh, axis=axis,
         n=n, band=band, block=block, precision=precision)[:, 0]
@@ -717,22 +726,20 @@ def hypergeom_band_table_sharded(ind_g, nan0_np,
         return None
 
     log_thr64 = float(np.log(enrichment_threshold))
-    nan0_dev = jnp.asarray(nan0_np)
     rank_dev = jnp.asarray(rank_np, jnp.int32)
-    n_attrs = nan0_np.shape[1]
+    n_attrs = nan0_dev.shape[1]
 
     # natural-order chunks stream into preallocated donated outputs (see
     # ops/enrich_band.hypergeom_band_table: transient pieces+concat tripled
     # the output footprint and thrashed the allocator at 100k x 4,373)
     from safepy_tpu.ops.enrich_band import _place_chunk
-    nes = jnp.zeros((n, n_attrs), jnp.float32)
     logsf = jnp.zeros((n, n_attrs), jnp.float32)
     nbin = jnp.zeros((n, n_attrs), jnp.int8)
     counts = []
     for ch in plan["chunks"]:
         start, width_c = ch["start"], ch["width"]
         cols = jax.lax.dynamic_slice_in_dim(nan0_dev, start, width_c, 1)
-        nes_c, logsf_c, bin_c = _band_table_chunk_sharded(
+        logsf_c, bin_c = _band_table_chunk_sharded(
             ind_g, cols, nsize_g, jnp.asarray(ch["K_dist"]),
             jnp.asarray(ch["colc"], jnp.int32), M, log_thr64, rank_dev,
             mesh=mesh, axis=axis, R=ch["R"], S_max=ch["S_max"], C=ch["C"],
@@ -742,9 +749,8 @@ def hypergeom_band_table_sharded(ind_g, nan0_np,
         # overlap columns from the counts (placement overwrites in place)
         counts.append(np.asarray(
             jnp.sum(bin_c, axis=0, dtype=jnp.int32))[ch.get("overlap", 0):])
-        nes, logsf, nbin = _place_chunk(nes, logsf, nbin, nes_c, logsf_c,
-                                        bin_c, start)
-    return nes, logsf, nbin, np.concatenate(counts)
+        logsf, nbin = _place_chunk(logsf, nbin, logsf_c, bin_c, start)
+    return logsf, nbin, np.concatenate(counts)
 
 
 @functools.partial(jax.jit, static_argnames=(

@@ -489,8 +489,10 @@ def fused_hypergeom_pipeline_band(u, v, w, nan0, nodes_not_nan, K, lgt, M,
     matrix and its derived masks never reach the device, and the row
     un-permute happens inside the (chunked) tail, so at GO scale on a
     100k-node network peak HBM stays within one chip. Returns (dist_band,
-    s_ind, nes32, log_sf32, nes_binary_int8, enriched_counts, mean, std)
-    with the (n, A) matrices in the ORIGINAL frame.
+    s_ind, log_sf32, nes_binary_int8, enriched_counts, mean, std) with the
+    (n, A) matrices in the ORIGINAL frame; NES derives lazily from logsf in
+    the facade (a second resident (n, A) f32 buffer is what tips the chip
+    at 199,680 x 4,373).
     """
     from safepy_tpu.ops.enrich_band import hypergeom_core_band
 
@@ -498,12 +500,12 @@ def fused_hypergeom_pipeline_band(u, v, w, nan0, nodes_not_nan, K, lgt, M,
         u, v, w, radius, n=n, band=band, block=block, bf_slots=bf_slots,
         bf_max_iters=bf_max_iters, packed=packed)
 
-    nes32, log_sf32, nes_binary = hypergeom_core_band(
+    log_sf32, nes_binary = hypergeom_core_band(
         s_ind, nan0, nodes_not_nan, K, lgt, M, enrichment_threshold,
         iterations=iterations, bt=bt, block=block, attr_chunk=attr_chunk,
         rank=rank)
     enriched_counts = jnp.sum(nes_binary, axis=0, dtype=jnp.int32)
     if not keep_distances:  # see fused_permutation_pipeline_band
         dist_band = jnp.zeros((0, s_ind.shape[1]), jnp.float32)
-    return (dist_band, s_ind, nes32, log_sf32, nes_binary,
+    return (dist_band, s_ind, log_sf32, nes_binary,
             enriched_counts, mean, std, converged)

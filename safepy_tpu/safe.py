@@ -64,6 +64,15 @@ def _take_column(a, j):
     return jax.lax.dynamic_slice_in_dim(a, j, 1, axis=1)[:, 0]
 
 
+@jax.jit
+def _nes_from_logsf_jit(logsf32):
+    """NES from the stored f32 log-survival (reference safe.py:602-604):
+    f64 divide + f32 round, matching the band engines' deferred-NES
+    contract (SAFE._nes_device)."""
+    return (-logsf32.astype(jnp.float64)
+            / np.log(10.0)).astype(jnp.float32)
+
+
 class SAFE:
     """An instance of SAFE analysis: all data, parameters, and pipeline methods."""
 
@@ -116,6 +125,13 @@ class SAFE:
         # inside its contraction loop. True/False force it either way.
         self.band_indicator_bits = "auto"
         self.band_bits_min_bytes = 4 * 10 ** 9
+        # Release the cached f32 (N, A) annotation upload once the band
+        # binary engines hold the int8 operands (it is re-uploaded lazily on
+        # the next access, ~460 MB/s): at 199,680 x 4,373 the 3.49 GB it
+        # pins alongside the 5.16 GB FW band is the recorded OOM
+        # (tools/r4_results.log). Crossing this byte threshold triggers the
+        # release; float('inf') disables it.
+        self.annotation_release_min_bytes = 2 * 10 ** 9
         self._graph_arrays = None  # cached graph_to_arrays output
         self.node_key_attribute = "label_orf"
 
@@ -164,6 +180,7 @@ class SAFE:
         self._logsf_np = None  # pickled f32 log-survival (see pvalues_pos)
         self._nes_np = None
         self._nes_dev = None
+        self._nes_from_logsf = False  # derive NES from _logsf_dev on access
         self.nes_threshold = None
         self._nes_binary_np = None
         self._nes_binary_dev = None
@@ -543,7 +560,7 @@ class SAFE:
 
     @property
     def nes(self):
-        if self._nes_np is None and self._nes_dev is not None:
+        if self._nes_np is None and self._nes_device() is not None:
             self._nes_np = np.asarray(self._nes_dev, dtype=np.float64)
         return self._nes_np
 
@@ -551,6 +568,7 @@ class SAFE:
     def nes(self, value):
         self._nes_np = value
         self._nes_dev = None
+        self._nes_from_logsf = False
 
     @property
     def pvalues_pos(self):
@@ -852,6 +870,18 @@ class SAFE:
                 np.asarray(self.node2attribute, dtype=np.float32))
         return self._n2a_dev
 
+    def _maybe_release_annotation_upload(self):
+        """Drop the cached f32 (N, A) annotation upload when it crosses
+        ``annotation_release_min_bytes`` — the band binary engines carry
+        everything forward in the int8 operands, and at GO band scale the
+        f32 copy otherwise shares the chip with the FW band (the recorded
+        199,680 x 4,373 OOM, tools/r4_results.log). Lazy re-upload on the
+        next :meth:`_node2attribute_device` call."""
+        if (self._n2a_dev is not None
+                and self._n2a_dev.nbytes
+                >= float(self.annotation_release_min_bytes)):
+            self._n2a_dev = None
+
     def _num_other_values(self):
         """Count of finite non-0/1 annotation values (the reference's binary
         detection, safe.py:454-456) — computed ON DEVICE from the cached
@@ -925,6 +955,8 @@ class SAFE:
         self.__dict__.setdefault("_nes_binary_i8_np", None)
         self.__dict__.setdefault("_nes_binary_csc", None)
         self.__dict__.setdefault("_logsf_np", None)
+        self.__dict__.setdefault("_nes_from_logsf", False)
+        self.__dict__.setdefault("annotation_release_min_bytes", 2 * 10 ** 9)
         self.__dict__.setdefault("_enrichment_serial", 0)
         self.__dict__.setdefault("_node2domain_serial", None)
 
@@ -1020,6 +1052,7 @@ class SAFE:
                 self._logsf_dev = log_sf32
                 self._nes_np = None
                 self._nes_dev = nes32
+                self._nes_from_logsf = False
                 # significance decided on device in f64 before the f32 rounding;
                 # only the (A,) counts cross the relay here
                 self._nes_binary_pending = (nes_binary8, np.asarray(counts_dev))
@@ -1102,6 +1135,9 @@ class SAFE:
             nan0_d, nnn_d, K_d, binary_ok = band_hyper_operands_device(
                 self._node2attribute_device(), jnp.asarray(order, jnp.int32))
             if bool(np.asarray(binary_ok)):
+                # int8 operands carry everything forward; free the f32
+                # upload before the census chunks (see run_pipeline path)
+                self._maybe_release_annotation_upload()
                 M = int(np.asarray(jnp.sum(nnn_d)))
                 table_out = hypergeom_band_table(
                     bm.data, nan0_d, nnn_d, M,
@@ -1110,8 +1146,8 @@ class SAFE:
                     precision=self.matmul_precision)
         if table_out is not None:
             self._hypergeom_engine_used = "table-band-staged"
-            nes32, log_sf32, nes_binary8, counts = table_out
-            return self._store_hypergeom_results(nes32, log_sf32, nes_binary8,
+            log_sf32, nes_binary8, counts = table_out
+            return self._store_hypergeom_results(None, log_sf32, nes_binary8,
                                                  counts)
         if self.hypergeom_engine == "table":
             raise ValueError(
@@ -1131,18 +1167,18 @@ class SAFE:
                                        else "loop-band-staged")
         if attr_chunk is not None:
             from safepy_tpu.ops.enrich_band import hypergeom_band_hostchunks
-            nes32, log_sf32, nes_binary8, counts = hypergeom_band_hostchunks(
+            log_sf32, nes_binary8, counts = hypergeom_band_hostchunks(
                 bm.data, nan0_perm, nnn_perm, lgt, M,
                 np.float64(self.enrichment_threshold), bt=bm.bt,
                 block=bm.block, rank_np=bm.rank, attr_chunk=attr_chunk)
         else:
-            nes32, log_sf32, nes_binary8 = hypergeom_core_band_jit(
+            log_sf32, nes_binary8 = hypergeom_core_band_jit(
                 bm.data, jnp.asarray(nan0_perm), jnp.asarray(nnn_perm),
                 jnp.asarray(K), lgt, M,
                 np.float64(self.enrichment_threshold),
                 iterations=iters, bt=bm.bt, block=bm.block, rank=rank_dev)
             counts = np.asarray(jnp.sum(nes_binary8, axis=0, dtype=jnp.int32))
-        self._store_hypergeom_results(nes32, log_sf32, nes_binary8, counts)
+        self._store_hypergeom_results(None, log_sf32, nes_binary8, counts)
 
     def _release_device_results(self):
         """Drop the PREVIOUS run's device-resident matrices before computing
@@ -1153,6 +1189,7 @@ class SAFE:
         self._neighborhoods_dev = self._node_distances_dev = None
         self._neighborhoods_np = self._node_distances_np = None
         self._nes_dev = self._logsf_dev = self._nes_binary_dev = None
+        self._nes_from_logsf = False
         self._logsf_np = None
         self._nes_binary_pending = None
         self._nes_binary_i8_np = None
@@ -1161,7 +1198,10 @@ class SAFE:
 
     def _store_hypergeom_results(self, nes32, log_sf32, nes_binary8, counts):
         """Shared hypergeometric result storage: FDR adjustment when asked,
-        lazy device-resident NES/log-sf/indicator otherwise."""
+        lazy device-resident NES/log-sf/indicator otherwise. ``nes32=None``
+        (the band engines: a second resident (N, A) f32 buffer is what tips
+        the 16 GB chip at 199,680 x 4,373) defers NES to the first access —
+        see :meth:`_nes_device`."""
         if self.multiple_testing:
             if self.verbose:
                 logging.info("Running FDR-adjustment of p-values...")
@@ -1175,8 +1215,20 @@ class SAFE:
             self._logsf_dev = log_sf32
             self._nes_np = None
             self._nes_dev = nes32
+            self._nes_from_logsf = nes32 is None
             self._nes_binary_pending = (nes_binary8,
                                         np.asarray(counts))
+
+    def _nes_device(self):
+        """The device-resident NES matrix, materializing it from the stored
+        log-survival when a band hypergeometric engine deferred it
+        (NES == -logsf/ln10 elementwise, reference safe.py:602-604; the f64
+        division of the f32-rounded logsf is within 1-2 ulp of the engines'
+        pre-rounding f64 value). Cached: one dispatch on first access."""
+        if (self._nes_dev is None and self._nes_from_logsf
+                and self._logsf_dev is not None):
+            self._nes_dev = _nes_from_logsf_jit(self._logsf_dev)
+        return self._nes_dev
 
     def _randomization_bandstore(self, bm):
         """Staged permutation null over band-stored neighborhoods: banded
@@ -1463,6 +1515,7 @@ class SAFE:
                 self._logsf_dev = log_sf32
                 self._nes_np = None
                 self._nes_dev = nes32
+                self._nes_from_logsf = False
                 # significance decided on device in f64 BEFORE the f32 rounding
                 binary_pending = (nesbin8, np.asarray(counts_dev))
         else:
@@ -1628,7 +1681,15 @@ class SAFE:
                     # forced hypergeometric on non-0/1 values: the table's
                     # integer-count precondition fails; use the f64 loop
                     nan0_perm = nnn_perm = K = M = None
-                elif self.mesh is None:
+                else:
+                    # the int8 operands now carry everything the table
+                    # engine needs: drop the f32 (N, A) upload before the
+                    # band FW so the relax never shares the chip with it
+                    # (199,680 x 4,373: 3.49 GB back — the difference
+                    # between the recorded OOM and fitting, see
+                    # tools/r4_results.log)
+                    self._maybe_release_annotation_upload()
+                if nan0_perm is not None and self.mesh is None:
                     from safepy_tpu.ops.enrich_band import (
                         hypergeom_band_table)
                     band_done = self._band_front_dispatch(
@@ -1652,7 +1713,8 @@ class SAFE:
             attr_chunk = self._hypergeom_attr_chunk(num_nodes, n2a.shape[1])
             if table_out is not None:
                 self._hypergeom_engine_used = "table-band"
-                nes32, log_sf32, nesbin8, counts_dev = table_out
+                nes32 = None  # deferred: see _nes_device()
+                log_sf32, nesbin8, counts_dev = table_out
             elif self.mesh is None and attr_chunk is not None:
                 self._hypergeom_engine_used = "hostchunks-band"
                 lgt = jnp.asarray(_hyper.lgamma_table(M))
@@ -1665,7 +1727,8 @@ class SAFE:
                     band_done = self._band_front_dispatch(
                         plan, radius, num_nodes)
                 dist_band, s_ind, mean, std = band_done
-                nes32, log_sf32, nesbin8, counts_dev = \
+                nes32 = None  # deferred: see _nes_device()
+                log_sf32, nesbin8, counts_dev = \
                     hypergeom_band_hostchunks(
                         s_ind, nan0_perm, nnn_perm, lgt, M,
                         np.float64(self.enrichment_threshold),
@@ -1694,7 +1757,8 @@ class SAFE:
                         rank_np=rank, precision=self.matmul_precision)
                 if table_out is not None:
                     self._hypergeom_engine_used = "table-band-sharded"
-                    nes32, log_sf32, nesbin8, counts_dev = table_out
+                    nes32 = None  # deferred: see _nes_device()
+                    log_sf32, nesbin8, counts_dev = table_out
                 else:
                     self._hypergeom_engine_used = "loop-band-sharded"
                     if nan0_perm is None:  # engine='loop': no operands yet
@@ -1706,7 +1770,8 @@ class SAFE:
                     from safepy_tpu.parallel.band_sharded import (
                         fused_hypergeom_pipeline_band_sharded)
                     lgt = jnp.asarray(_hyper.lgamma_table(M))
-                    (dist_band, s_ind, nes32, log_sf32, nesbin8, counts_dev,
+                    nes32 = None  # deferred: see _nes_device()
+                    (dist_band, s_ind, log_sf32, nesbin8, counts_dev,
                      mean, std) = fused_hypergeom_pipeline_band_sharded(
                         plan["u"], plan["v"], plan["w"],
                         jnp.asarray(nan0_perm), jnp.asarray(nnn_perm),
@@ -1727,7 +1792,7 @@ class SAFE:
                 bf = self._band_bf_args(plan)
                 out = _pipe.fused_hypergeom_pipeline_band(
                     *hb_args, **hb_kw, **bf)
-                if bf and not bool(np.asarray(out[8])):
+                if bf and not bool(np.asarray(out[7])):
                     self._band_relax_used = "bf->fw"
                     logging.info("band BF relax hit its iteration budget; "
                                  "re-dispatching Floyd-Warshall")
@@ -1735,8 +1800,9 @@ class SAFE:
                         *hb_args, **hb_kw)
                 else:
                     self._band_relax_used = "bf" if bf else "fw"
-                (dist_band, s_ind, nes32, log_sf32, nesbin8, counts_dev, mean,
-                 std) = out[:8]
+                nes32 = None  # deferred: see _nes_device()
+                (dist_band, s_ind, log_sf32, nesbin8, counts_dev, mean,
+                 std) = out[:7]
             if self.multiple_testing:
                 log_sf = np.asarray(log_sf32, dtype=np.float64)
                 with np.errstate(over="ignore"):
@@ -1748,6 +1814,7 @@ class SAFE:
                 self._logsf_dev = log_sf32
                 self._nes_np = None
                 self._nes_dev = nes32
+                self._nes_from_logsf = nes32 is None
                 binary_pending = (nesbin8, np.asarray(counts_dev))
         else:
             vals_perm = np.asarray(n2a, np.float32)[order]
@@ -1875,6 +1942,18 @@ class SAFE:
         (plotting.plot_sample_attributes) read through this."""
         if self._nes_np is not None:
             return np.asarray(self._nes_np[:, j], dtype=np.float64)
+        if self._nes_dev is None and self._nes_from_logsf \
+                and self._logsf_dev is not None:
+            # deferred-NES band engines: one logsf column, derived host-side
+            # with the SAME f64-divide + f32-round as _nes_device() so the
+            # column and full-matrix paths agree bitwise
+            j = int(j)
+            if not 0 <= j < self._logsf_dev.shape[1]:
+                raise IndexError(f"attribute index {j} out of range "
+                                 f"[0, {self._logsf_dev.shape[1]})")
+            col = np.asarray(_take_column(self._logsf_dev, j),
+                             dtype=np.float64)
+            return (-col / np.log(10.0)).astype(np.float32).astype(np.float64)
         if self._nes_dev is not None:
             j = int(j)
             if not 0 <= j < self._nes_dev.shape[1]:
@@ -1963,7 +2042,7 @@ class SAFE:
             distance_threshold=self.attribute_distance_threshold,
             verbose=self.verbose, cluster_engine=self.cluster_engine,
             intersections=self._domains_inter_cache,
-            nes_binary_dev=self._nes_binary_dev, nes_dev=self._nes_dev)
+            nes_binary_dev=self._nes_binary_dev, nes_dev=self._nes_device())
         # stamp AFTER the call: resolving a pending device indicator inside
         # bumps the serial, and node2domain derives from the resolved state
         self._node2domain_serial = self._enrichment_serial

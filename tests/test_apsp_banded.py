@@ -128,6 +128,7 @@ def test_facade_banded_matches_full(tmp_path):
 
 
 @pytest.mark.parametrize("seed", [0, 1])
+@pytest.mark.slow
 def test_banded_symmetric_kernel_bit_identical(seed):
     """The symmetric window kernel (upper triangle + mirror transpose,
     apsp_pallas._relax_full_banded_sym) is BIT-identical to the classic

@@ -153,6 +153,7 @@ def _scatter_safe(bits, tmp_path=None):
     return sf
 
 
+@pytest.mark.slow
 def test_facade_euclid_packed_matches_plain():
     """The fused euclidean pipeline with band_indicator_bits=True is
     bit-identical to the int8 run (same seed => same permutations => same
@@ -169,6 +170,7 @@ def test_facade_euclid_packed_matches_plain():
         sf_plain.neighborhoods_sparse().toarray())
 
 
+@pytest.mark.slow
 def test_facade_staged_consumers_on_packed_band():
     """define_neighborhoods with a packed band feeds the STAGED paths
     (randomization + binary hypergeometric) bit-identically to int8."""
@@ -246,6 +248,7 @@ def _graph_safe(bits, *, split_bytes=None, binary=False, keep=False,
     return sf
 
 
+@pytest.mark.slow
 def test_graph_band_packed_matches_plain():
     """The graph-metric fused band pipeline (FW front) with packed bits is
     bit-identical to the int8 run, fused and split-front alike."""
@@ -262,6 +265,7 @@ def test_graph_band_packed_matches_plain():
     assert sf_split._neighborhoods_dev.data.dtype == jnp.uint8
 
 
+@pytest.mark.slow
 def test_graph_band_packed_binary_table_engine():
     """Binary annotations through the class-table engine consume the packed
     band bit-identically (census band_matmul is dtype-keyed)."""

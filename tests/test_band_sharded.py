@@ -66,6 +66,7 @@ def _plan(n, k, seed):
             jnp.asarray(w, jnp.float32), rank, band, nr)
 
 
+@pytest.mark.slow
 def test_sharded_permutation_pipeline_bit_identical():
     """Same key + replicated operands => the sharded null must reproduce the
     single-device band pipeline's counts BIT-identically (not a tolerance)."""
@@ -124,6 +125,7 @@ def test_sharded_permutation_pipeline_bit_identical():
                                       np.asarray(sharded[i]))
 
 
+@pytest.mark.slow
 def test_sharded_hypergeom_pipeline_matches_single():
     from safepy_tpu import pipeline as pipe
     from safepy_tpu.ops import hypergeom as hyper
@@ -153,11 +155,11 @@ def test_sharded_hypergeom_pipeline_matches_single():
         *args, mesh=_mesh(ndev), **kw)
 
     np.testing.assert_allclose(np.asarray(sharded[2]), np.asarray(single[2]),
-                               rtol=1e-6, atol=1e-6)  # nes
+                               rtol=1e-6, atol=1e-6)  # logsf
+    np.testing.assert_array_equal(np.asarray(sharded[3]),
+                                  np.asarray(single[3]))  # nes_binary
     np.testing.assert_array_equal(np.asarray(sharded[4]),
-                                  np.asarray(single[4]))  # nes_binary
-    np.testing.assert_array_equal(np.asarray(sharded[5]),
-                                  np.asarray(single[5]))  # enriched counts
+                                  np.asarray(single[4]))  # enriched counts
 
 
 def test_facade_band_mesh_matches_single():
@@ -231,6 +233,7 @@ def test_band_fw_sharded_matches_oracle():
     np.testing.assert_array_equal(dist <= r, ref <= r)
 
 
+@pytest.mark.slow
 def test_sharded_zscore_pipeline_bit_identical():
     """The z-score variant rides the same stacked contraction — pin it
     bit-identical to the single-device band engine too."""
@@ -265,6 +268,7 @@ def test_sharded_zscore_pipeline_bit_identical():
                                   np.asarray(single[4]))
 
 
+@pytest.mark.slow
 def test_sharded_table_hypergeom_bit_identical():
     """Sharded class-table engine == single-device class-table engine,
     bit-for-bit: integer census counts and a replicated f64 table leave no
@@ -301,10 +305,10 @@ def test_sharded_table_hypergeom_bit_identical():
         rank_np=rank, chunk_cols=4)
 
     assert single is not None and sharded is not None
-    for i, name in ((0, "nes"), (1, "logsf"), (2, "bin")):
+    for i, name in ((0, "logsf"), (1, "bin")):
         np.testing.assert_array_equal(np.asarray(sharded[i]),
                                       np.asarray(single[i]), err_msg=name)
-    np.testing.assert_array_equal(sharded[3], single[3])
+    np.testing.assert_array_equal(sharded[2], single[2])
 
     # packed front: BIT-packed per-shard indicator feeds the same table
     # driver (dtype-keyed census) bit-identically
@@ -314,11 +318,12 @@ def test_sharded_table_hypergeom_bit_identical():
     packed = bsh.hypergeom_band_table_sharded(
         ind_p, nan0, nnn, M, np.float64(0.05), mesh=mesh, n=n, band=band,
         rank_np=rank, chunk_cols=4)
-    for i, name in ((0, "nes"), (1, "logsf"), (2, "bin")):
+    for i, name in ((0, "logsf"), (1, "bin")):
         np.testing.assert_array_equal(np.asarray(packed[i]),
                                       np.asarray(single[i]), err_msg=name)
 
 
+@pytest.mark.slow
 def test_facade_band_mesh_table_matches_single():
     """Facade: a binary band-scale run under a 'data' mesh routes through the
     sharded table engine and reproduces the single-device run bit-for-bit."""
@@ -365,6 +370,7 @@ def test_facade_band_mesh_table_matches_single():
         single.attributes["num_neighborhoods_enriched"].values)
 
 
+@pytest.mark.slow
 def test_sharded_euclid_band_bit_identical():
     """Row-sharded euclidean band pipeline == the single-device euclid band
     pipeline, bit-for-bit (same key, replicated operands)."""

@@ -94,6 +94,7 @@ def test_band_hypergeom_matches_full(net):
         full.attributes["num_neighborhoods_enriched"].values)
 
 
+@pytest.mark.slow
 def test_band_permutation_matches_full_statistically(net):
     path, n = net
     attrs = _quant_attrs(n)
@@ -127,6 +128,7 @@ def test_band_staged_matches_band_fused(net):
     np.testing.assert_array_equal(staged.nes_binary, fused.nes_binary)
 
 
+@pytest.mark.slow
 def test_band_staged_permutation_runs(net):
     path, n = net
     attrs = _quant_attrs(n, seed=5)
@@ -175,6 +177,7 @@ def test_band_session_pickles(net, tmp_path):
                                rtol=1e-6, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_band_hypergeom_attr_chunked_matches_unchunked(net):
     """lax.map attribute chunking of the banded survival tail is results-
     invariant (it only bounds the f64 intermediates' peak HBM)."""
@@ -207,11 +210,11 @@ def test_band_hypergeom_attr_chunked_matches_unchunked(net):
     plain = pipe.fused_hypergeom_pipeline_band(*args, **kw)
     chunked = pipe.fused_hypergeom_pipeline_band(*args, attr_chunk=4, **kw)
     np.testing.assert_array_equal(np.asarray(chunked[2]),
-                                  np.asarray(plain[2]))   # nes
+                                  np.asarray(plain[2]))   # logsf
+    np.testing.assert_array_equal(np.asarray(chunked[3]),
+                                  np.asarray(plain[3]))   # nes_binary
     np.testing.assert_array_equal(np.asarray(chunked[4]),
-                                  np.asarray(plain[4]))   # nes_binary
-    np.testing.assert_array_equal(np.asarray(chunked[5]),
-                                  np.asarray(plain[5]))   # counts
+                                  np.asarray(plain[4]))   # counts
 
 
 def test_band_euclidean_matches_dense(net):
@@ -289,6 +292,7 @@ def test_forced_band_not_pinned_by_auto_rejection(net):
     assert sf._band_storage_plan(coords, edges, lengths, n, nr) is not None
 
 
+@pytest.mark.slow
 def test_band_hypergeom_hostchunks_matches_unchunked(net):
     """The host-driven K-sorted chunk driver (huge-N GO path) reproduces the
     single-dispatch banded hypergeometric results exactly."""
@@ -343,6 +347,7 @@ def test_band_session_full_downstream(net, tmp_path):
     assert (tmp_path / "attr.png").exists()
 
 
+@pytest.mark.slow
 def test_band_euclid_fused_matches_staged(net):
     """run_pipeline's fused euclidean band route == the staged path
     bit-for-bit (same key -> same compaction -> same permutations)."""
@@ -360,6 +365,7 @@ def test_band_euclid_fused_matches_staged(net):
         np.nan_to_num(staged.pvalues_pos, nan=-1))
 
 
+@pytest.mark.slow
 def test_band_relax_bf_matches_fw(net):
     """The sparse Bellman-Ford relax engine (default at band scale) and the
     forced FW engine produce identical facade results on both statistics
@@ -400,6 +406,7 @@ def test_band_relax_unconverged_falls_back_to_fw(net, monkeypatch):
     np.testing.assert_array_equal(fb.nes_binary, fw.nes_binary)
 
 
+@pytest.mark.slow
 def test_band_gemm_downstream_matches_dense_scipy(net, tmp_path):
     """The FLAGSHIP configuration (band APSP + class-table hypergeometric +
     GEMM jaccard clustering + device aggregates) lands the same domains,
@@ -465,6 +472,7 @@ def test_column_accessors_match_full_matrices(net):
                                   .astype(bin2.dtype))
 
 
+@pytest.mark.slow
 def test_keep_node_distances_false_drops_distances_only(net):
     """keep_node_distances=False removes the f32 distance band from the
     fused band pipelines (the single biggest HBM object at scale — 9.3 GB
@@ -532,6 +540,7 @@ def test_keep_node_distances_false_drops_distances_only(net):
     np.testing.assert_array_equal(sfs.neighborhoods, eref.neighborhoods)
 
 
+@pytest.mark.slow
 def test_band_split_front_matches_fused(net):
     """The giant-band SPLIT dispatch path (init -> donated relax -> tail,
     gated by band_split_min_bytes — exists because the fused program
@@ -566,3 +575,42 @@ def test_band_split_front_matches_fused(net):
     sf2.define_neighborhoods()
     assert sf2.node_distances is None
     np.testing.assert_array_equal(sf2.neighborhoods, fused.neighborhoods)
+
+
+def test_band_hypergeom_defers_nes_and_releases_upload(net):
+    """GO-HBM-diet contract (the 199,680 x 4,373 OOM fix): the band table
+    engine stores ONLY logsf + int8 indicator on device (NES derives lazily,
+    -logsf/ln10, bitwise-consistent between the full matrix and the column
+    slice), and the f32 annotation upload is released once the int8
+    operands exist — a repeat run re-uploads and reproduces everything."""
+    path, n = net
+    attrs = _binary_attrs(n, a=7, seed=31)
+
+    sf = SAFE(verbose=False)
+    sf.apsp_mode = "band"
+    sf.random_seed = 7
+    sf.annotation_release_min_bytes = 1  # force the release at test scale
+    sf.load_network(network_file=path, node_key_attribute="key")
+    sf.load_attributes(attribute_file=attrs)
+    sf.run_pipeline()
+    assert sf._hypergeom_engine_used == "table-band"
+    assert sf._n2a_dev is None          # upload released after operand build
+    assert sf._nes_dev is None and sf._nes_from_logsf
+    logsf = np.asarray(sf._logsf_dev, np.float64)
+
+    # column slice BEFORE materializing the full matrix: must agree bitwise
+    col3 = sf._nes_column(3)
+    nes = np.asarray(sf.nes)            # materializes via _nes_device()
+    assert sf._nes_dev is not None
+    np.testing.assert_array_equal(col3, nes[:, 3])
+    want = (-logsf / np.log(10.0)).astype(np.float32)
+    np.testing.assert_array_equal(nes.astype(np.float32), want)
+
+    # the released upload comes back lazily and a repeat run matches
+    ref = _run(path, attrs, "band")
+    np.testing.assert_array_equal(np.asarray(sf.nes_binary),
+                                  np.asarray(ref.nes_binary))
+    sf.run_pipeline()
+    np.testing.assert_array_equal(np.asarray(sf.nes), np.asarray(ref.nes))
+    np.testing.assert_array_equal(np.asarray(sf.nes_binary),
+                                  np.asarray(ref.nes_binary))

@@ -35,6 +35,7 @@ def _run(network, mesh, perms=160):
     return sf
 
 
+@pytest.mark.slow
 def test_mesh_neighborhoods_match_single(network):
     single = _run(network, None)
     meshed = _run(network, make_mesh({"data": 4, "perm": 2}))
@@ -123,6 +124,7 @@ def test_mesh_hypergeom_engine_fdr(network):
     np.testing.assert_array_equal(single.nes_binary, meshed.nes_binary)
 
 
+@pytest.mark.slow
 def test_run_pipeline_mesh_fused_hypergeom(network):
     """run_pipeline composes the mesh with the FUSED program (sharded FW +
     sharded sf tail in one dispatch) instead of falling back to stages."""

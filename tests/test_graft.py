@@ -20,9 +20,11 @@ def test_entry_compiles_and_runs():
     assert cn.max() <= 32
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_8():
     ge.dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_2():
     ge.dryrun_multichip(2)

@@ -88,6 +88,7 @@ def _run(net, attrs, mode, metric, radius, **kwargs):
     return sf
 
 
+@pytest.mark.slow
 def test_band_shortpath_hop_metric_matches_full(tmp_path):
     """'shortpath' (hop counts, absolute radius): band engine == dense engine
     — the capability the Euclidean certificate could not serve."""
@@ -105,6 +106,7 @@ def test_band_shortpath_hop_metric_matches_full(tmp_path):
     np.testing.assert_array_equal(band.nes_binary, full.nes_binary)
 
 
+@pytest.mark.slow
 def test_band_non_geometric_lengths_matches_full(tmp_path):
     """shortpath_weighted_layout with lengths that are NOT the endpoint
     distances (the Euclidean certificate fails): the landmark certificate

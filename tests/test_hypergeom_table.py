@@ -119,6 +119,7 @@ def test_lookup_end_to_end_matches_scipy():
     np.testing.assert_array_equal(nbin, (p_want < 0.05).astype(np.int8))
 
 
+@pytest.mark.slow
 def test_slot_loop_engine_identical_to_gather(monkeypatch):
     """The slot-loop resolve (large-surface engine) must reproduce the
     per-cell gather engine BIT-exactly: both select the same stored f32
@@ -192,6 +193,7 @@ def _run(net, attrs, *, engine, mode="auto", staged=False, **kwargs):
     return sf
 
 
+@pytest.mark.slow
 def test_facade_dense_table_vs_loop(tmp_path):
     net, n = _geom_net(tmp_path)
     attrs = _binary_attrs(n)
@@ -204,6 +206,7 @@ def test_facade_dense_table_vs_loop(tmp_path):
         l.attributes["num_neighborhoods_enriched"].values)
 
 
+@pytest.mark.slow
 def test_facade_band_table_vs_loop(tmp_path):
     net, n = _geom_net(tmp_path, seed=12)
     attrs = _binary_attrs(n, seed=9)
@@ -217,6 +220,7 @@ def test_facade_band_table_vs_loop(tmp_path):
     np.testing.assert_array_equal(s.nes_binary, t.nes_binary)
 
 
+@pytest.mark.slow
 def test_table_engine_rejects_non_binary(tmp_path):
     net, n = _geom_net(tmp_path, seed=13)
     rng = np.random.default_rng(0)

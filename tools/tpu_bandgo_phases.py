@@ -105,7 +105,6 @@ def main():
 
     for rep in range(2):
         rank_dev = jnp.asarray(plan_b["rank"], jnp.int32)
-        nes = jnp.zeros((n, a), jnp.float32)
         logsf = jnp.zeros((n, a), jnp.float32)
         nbin = jnp.zeros((n, a), jnp.int8)
         tt = dict(census=0.0, table=0.0, lookup=0.0, place=0.0, rank=0.0)
@@ -114,8 +113,9 @@ def main():
             s0, w = ch["start"], ch["width"]
             cols = jax.lax.dynamic_slice_in_dim(nan0_dev, s0, w, 1)
             t0 = time.time()
-            counts = band_matmul(s_ind, _pad_rows_to(cols, npad), bt=bt,
-                                 block=block)
+            counts = band_matmul(s_ind,
+                                 _pad_rows_to(cols.astype(jnp.float32), npad),
+                                 bt=bt, block=block)
             _ = sync(counts)
             tt["census"] += time.time() - t0
             t0 = time.time()
@@ -125,26 +125,24 @@ def main():
             _ = sync(table)
             tt["table"] += time.time() - t0
             t0 = time.time()
-            nes_c, logsf_c, bin_c = lookup_jit(
+            _nes_c, logsf_c, bin_c = lookup_jit(
                 table, counts, nsize, jnp.asarray(ch["colc"], jnp.int32),
                 np.float32(log_thr), S_max=ch["S_max"], R=ch["R"], C=ch["C"])
             _ = sync(logsf_c)
             tt["lookup"] += time.time() - t0
             t0 = time.time()
-            nes_c = jnp.take(nes_c, rank_dev, axis=0)
             logsf_c = jnp.take(logsf_c, rank_dev, axis=0)
             bin_c = jnp.take(bin_c, rank_dev, axis=0)
             _ = sync(logsf_c)
             tt["rank"] += time.time() - t0
             t0 = time.time()
-            nes, logsf, nbin = _place_chunk(nes, logsf, nbin, nes_c, logsf_c,
-                                            bin_c, s0)
+            logsf, nbin = _place_chunk(logsf, nbin, logsf_c, bin_c, s0)
             _ = sync(logsf)
             tt["place"] += time.time() - t0
         print(json.dumps({"phase": f"driver_rep{rep}",
                           **{k: round(v, 2) for k, v in tt.items()}}),
               flush=True)
-        del nes, logsf, nbin
+        del logsf, nbin
 
 
 if __name__ == "__main__":
