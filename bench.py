@@ -236,6 +236,8 @@ def main(argv=None):
     # ~20-35 MB/s): two int32 count matrices + the f32 observed scores
     roofline["relay_bytes_per_run"] = int(N_NODES * a_dim * (4 + 4 + 4))
 
+    band_scale = _band_scale_bench()
+
     enriched = int((sf.nes_binary > 0).sum())
     detail = {
         "nodes": N_NODES,
@@ -250,6 +252,8 @@ def main(argv=None):
         "enriched_neighborhoods_synthetic": enriched,
         "mean_neighborhood_size": float(sf.neighborhoods.sum(1).mean()),
     }
+    if band_scale is not None:
+        detail["band_scale"] = band_scale
     ref_wall = load_reference_wall()
     if ref_wall and ref_wall.get("num_permutations") == args.permutations:
         detail["reference_wall_s"] = ref_wall["reference_wall_s"]
@@ -263,6 +267,170 @@ def main(argv=None):
         "detail": detail,
     }))
     return 0
+
+
+def _band_scale_bench():
+    """Regression-gate the BAND-STORAGE engine — the engine that is the
+    actual product at scale — not just the latency-bound 3,971-node toy.
+
+    Default ~50k nodes x 2k synthetic GO attributes (override with
+    SAFEPY_BENCH_BAND_NODES / SAFEPY_BENCH_BAND_ATTRS; SAFEPY_BENCH_BAND=0
+    skips). Emits the GO-binary phase split (band FW / census / table-lookup)
+    with each phase's hardware roofline — min-plus Top/s against the 0.96 T
+    single-issue VPU bound, census HBM GB/s, lookup G cells/s — plus the
+    quantitative permutation-null steady time and its GEMM Tflop/s at the
+    same scale. Never fails the headline metric: errors are reported inline.
+    """
+    import os
+    if os.environ.get("SAFEPY_BENCH_BAND", "1") == "0":
+        return None
+    n = int(os.environ.get("SAFEPY_BENCH_BAND_NODES", 49920))
+    a = int(os.environ.get("SAFEPY_BENCH_BAND_ATTRS", 2048))
+    try:
+        return _band_scale_bench_inner(n, a)
+    except Exception as e:  # noqa: BLE001 — report, don't fail the headline
+        return {"error": f"{type(e).__name__}: {e}", "nodes": n,
+                "attributes": a}
+
+
+def _band_scale_bench_inner(n, a, perms=1000):
+    import jax
+    import jax.numpy as jnp
+    from safepy_tpu import SAFE
+    from safepy_tpu.ops.apsp_bandstore import band_nbytes
+    from safepy_tpu.ops.neighborhoods import inclusive_radius
+    from safepy_tpu import pipeline as pipe
+
+    rng = np.random.default_rng(2)
+    g, coords = build_network(n=n, k=9, edge_budget=None, prefix="n")
+    # heavy-tailed GO-like term sizes (most terms tiny), 5% NaN
+    sizes = np.exp(rng.uniform(np.log(5), np.log(0.03 * n), a))
+    vals = (rng.random((n, a)) < (sizes / n)[None, :]).astype(np.float32)
+    vals[rng.random((n, a)) < 0.05] = np.nan
+    attrs = pd.DataFrame(vals, index=[f"n{i}" for i in range(n)],
+                         columns=[f"go{j}" for j in range(a)])
+    radius = float(np.sqrt(125.0 / (np.pi * n)))
+
+    sf = SAFE(verbose=False)
+    sf.apsp_mode = "band"
+    sf.band_storage_min_nodes = 10000
+    sf.keep_node_distances = False
+    sf.random_seed = 17
+    sf.neighborhood_radius = radius
+    sf.load_network(network_file=g, node_key_attribute="key")
+    sf.load_attributes(attribute_file=attrs)
+    t0 = time.time()
+    sf.run_pipeline()
+    first = time.time() - t0
+    t0 = time.time()
+    sf.run_pipeline()
+    go_steady = time.time() - t0
+    engine = sf._hypergeom_engine_used
+    enriched_cols = int(
+        (sf.attributes["num_neighborhoods_enriched"] > 10).sum())
+    plan = next(v for v in sf._bandstore_cache.values() if v is not None)
+    band = int(plan["band"])
+    block = 128
+    bt = band // block + 1
+    ext = float(coords[:, 0].max() - coords[:, 0].min())
+    rad = inclusive_radius(radius * ext)  # the facade's exact radius
+
+    out = {"nodes": n, "attributes": a, "band": band,
+           "go_first_s": round(first, 2), "go_steady_s": round(go_steady, 3),
+           "engine": engine, "attrs_with_gt10_enriched": enriched_cols,
+           "band_stored_gb": round(band_nbytes(
+               n, band, itemsize=1)
+               / (8e9 if sf._neighborhoods_dev.data.dtype == jnp.uint8
+                  else 1e9), 3)}
+
+    # --- phase 1: band FW front, isolated steady --------------------------
+    pk = sf._band_bits_selected(n, band)
+    def front():
+        t0 = time.time()
+        o = pipe.band_neighborhoods(plan["u"], plan["v"], plan["w"], rad,
+                                    n=n, band=band, packed=pk)
+        _ = float(np.asarray(o[2]))
+        return o[1], time.time() - t0
+    s_ind, _ = front()
+    del s_ind
+    s_ind, fw_s = front()
+    # min-plus work: nb rounds, symmetric window = upper-wedge tiles +
+    # mirror, plus the pivot-row relax — ops = 2 per lattice point
+    nt = 2 * bt + 1
+    nb = s_ind.shape[0] // block - 2 * bt
+    fw_ops = nb * (nt * (nt + 1) / 2 + nt) * block ** 3 * 2
+    out["fw_steady_s"] = round(fw_s, 3)
+    out["fw_minplus_tops"] = round(fw_ops / fw_s / 1e12, 3)
+    out["vpu_minplus_bound_tops"] = 0.96
+
+    # --- phases 2-3: census GEMM + table lookup (the class-table engine) --
+    from safepy_tpu.ops import hypergeom_table as htab
+    from safepy_tpu.ops.enrich_band import (_pad_rows_to, band_matmul)
+    import functools as _ft
+    order = np.argsort(plan["rank"])
+    nan0_perm, nnn_perm, K_np = SAFE._hypergeom_host_operands(vals, order)
+    M = int(nnn_perm.sum())
+    npad = s_ind.shape[0] - 2 * bt * block
+    nan0_dev = jnp.asarray(nan0_perm.astype(np.int8))
+    nsize = band_matmul(s_ind, _pad_rows_to(
+        jnp.asarray(nnn_perm)[:, None], npad), bt=bt, block=block)[:, 0]
+    tplan = htab.plan(K_np, float(jnp.max(nsize)), M)
+    lookup_jit = _ft.partial(jax.jit,
+                             static_argnames=("S_max", "R", "C"))(
+        htab.table_lookup)
+    census_s = lookup_s = 0.0
+    cells = 0
+    for rep in range(2):  # rep 0 compiles; rep 1 is the steady measurement
+        census_s = lookup_s = 0.0
+        cells = 0
+        for ch in tplan["chunks"]:
+            cols = jax.lax.dynamic_slice_in_dim(
+                nan0_dev, ch["start"], ch["width"], 1)
+            t0 = time.time()
+            counts = band_matmul(s_ind, _pad_rows_to(
+                cols.astype(jnp.float32), npad), bt=bt, block=block)
+            _ = float(np.asarray(counts.ravel()[0]))
+            census_s += time.time() - t0
+            table = htab.build_logsf_table(
+                jnp.asarray(ch["K_dist"]), M, float(np.log(0.05)),
+                R=ch["R"], S_max=ch["S_max"], C=ch["C"])
+            _ = float(np.asarray(table.ravel()[0]))
+            t0 = time.time()
+            _nes, logsf_c, _bin = lookup_jit(
+                table, counts, nsize, jnp.asarray(ch["colc"], jnp.int32),
+                np.float32(np.log(0.05)), S_max=ch["S_max"], R=ch["R"],
+                C=ch["C"])
+            _ = float(np.asarray(logsf_c.ravel()[0]))
+            lookup_s += time.time() - t0
+            cells += counts.shape[0] * counts.shape[1]
+            del counts, logsf_c
+    census_flops = 2.0 * npad * (nt * block) * a
+    stored_bytes = band_nbytes(n, band, itemsize=1) // (8 if pk else 1)
+    out["census_steady_s"] = round(census_s, 3)
+    out["census_tflops"] = round(census_flops / census_s / 1e12, 3)
+    out["census_hbm_gbps"] = round(
+        len(tplan["chunks"]) * stored_bytes / census_s / 1e9, 1)
+    out["lookup_steady_s"] = round(lookup_s, 3)
+    out["lookup_gcells_s"] = round(cells / lookup_s / 1e9, 3)
+    del nan0_dev, nsize, s_ind
+
+    # --- phase 4: quantitative permutation null at the same scale ---------
+    qvals = rng.normal(size=(n, 1))
+    qvals[rng.random(n) < 0.3, 0] = np.nan
+    qattrs = pd.DataFrame(qvals, index=[f"n{i}" for i in range(n)],
+                          columns=["q"])
+    sf.load_attributes(attribute_file=qattrs)
+    sf.run_pipeline(num_permutations=perms)
+    t0 = time.time()
+    sf.run_pipeline(num_permutations=perms)
+    null_s = time.time() - t0
+    V = int(np.isfinite(qvals).sum())
+    # the null's banded contraction: compacted band width x perms x nodes
+    out["null_e2e_steady_s"] = round(null_s, 3)
+    out["null_gemm_tflops"] = round(
+        2.0 * npad * (nt * block) * perms / null_s / 1e12, 3)
+    out["null_valid_rows"] = V
+    return out
 
 
 def _custom_bench(args):
