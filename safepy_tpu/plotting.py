@@ -222,15 +222,20 @@ def plot_network_contour(graph, ax, background_color="#000000"):
 
 def _read_costanzo_clusters(path_to_data):
     """The published cluster-identity table. safe-data ships it as xlsx
-    (safe_io.py:549-551, needs an Excel engine); a same-schema .tsv next to it
-    is accepted as well — that path keeps the overlay testable in environments
-    without openpyxl."""
+    (safe_io.py:549-551): read with pandas when an Excel engine is
+    installed, else with the built-in dependency-free SpreadsheetML reader
+    (safepy_tpu.io.xlsx) — the overlay works in images without openpyxl. A
+    same-schema .tsv next to it is accepted as well."""
     base = os.path.join(
         path_to_data, "other/Data File S5_SAFE analysis_Gene cluster identity "
                       "and functional enrichments")
+    sheet = "Global net. cluster gene list"
     if os.path.exists(base + ".xlsx"):
-        return pd.read_excel(base + ".xlsx",
-                             sheet_name="Global net. cluster gene list")
+        try:
+            return pd.read_excel(base + ".xlsx", sheet_name=sheet)
+        except ImportError:  # no openpyxl/xlrd in this image
+            from safepy_tpu.io.xlsx import read_xlsx
+            return read_xlsx(base + ".xlsx", sheet_name=sheet)
     return pd.read_csv(base + ".tsv", sep="\t")
 
 

