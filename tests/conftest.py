@@ -32,3 +32,31 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(12345)
+
+
+# --------------------------------------------------------------------- slow lane
+# The heavy equivalence suites (multi-engine bit-identity at n=500-600 over
+# the 8-device mesh) dominate the wall clock. The default run skips tests
+# MARKED slow so the iteration loop stays ~3 min; the FULL lane —
+# `python -m pytest tests/ -q --runslow` — runs everything and must stay
+# green (no assertion lives only in a skipped test's shadow: every engine
+# keeps at least one fast-lane equivalence pin).
+
+def pytest_addoption(parser):
+    parser.addoption("--runslow", action="store_true", default=False,
+                     help="also run tests marked slow (the full lane)")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: heavy equivalence/scale test; skipped unless "
+                   "--runslow (full lane)")
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--runslow"):
+        return
+    skip = pytest.mark.skip(reason="slow lane: pass --runslow")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
