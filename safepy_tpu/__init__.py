@@ -48,10 +48,14 @@ if _os.environ.get("SAFEPY_TPU_X64", "1") != "0":
 # with SAFEPY_TPU_COMPILE_CACHE=0 / =<dir>; never overrides a cache dir the
 # user (or jax config/env) already set.
 _cache = _os.environ.get("SAFEPY_TPU_COMPILE_CACHE", "")
-if _cache != "0" \
-        and _os.environ.get("JAX_PLATFORMS", "").strip().lower() != "cpu" \
-        and not _jax.config.jax_compilation_cache_dir \
-        and not _os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+if _cache not in ("", "0") or (
+        _cache != "0"
+        and _os.environ.get("JAX_PLATFORMS", "").strip().lower() != "cpu"
+        and not _jax.config.jax_compilation_cache_dir
+        and not _os.environ.get("JAX_COMPILATION_CACHE_DIR")):
+    # an EXPLICIT dir wins on any platform (tests pin the round trip on the
+    # CPU backend); the implicit default stays off under JAX_PLATFORMS=cpu
+    # so the pytest suite never writes a cache
     _jax.config.update(
         "jax_compilation_cache_dir",
         _cache or _os.path.expanduser("~/.cache/safepy_tpu/xla"))
