@@ -126,6 +126,89 @@ def main():
             "first_s": round(first, 2), "steady_s": round(steady, 3),
             "enriched": int((sf.nes_binary > 0).sum())}), flush=True)
         return
+    if kind == "cross":
+        # band/dense crossover probe (VERDICT r3 #7): the SAME graph +
+        # quantitative null through (a) auto with the band gate closed —
+        # the dense window-banded engine — and (b) the forced band-storage
+        # engine; prints both steadies + observed-score agreement so the
+        # auto threshold (SAFE.band_storage_min_nodes) is measured, not
+        # hard-coded. cross:<nodes>[:<target>]
+        parts = rest.split(":")
+        n = int(parts[0])
+        target = float(parts[1]) if len(parts) > 1 else 125.0
+        t0 = time.time()
+        g = build_graph(n)
+        print(f"# graph built in {time.time() - t0:.1f} s", flush=True)
+        attrs = quant_attrs(n)
+        radius = float(np.sqrt(target / (np.pi * n)))
+        sf_d, first_d, steady_d = run_safe(g, attrs, "auto", radius,
+                                           min_nodes=10 ** 9)
+        p_d = np.asarray(sf_d.pvalues_pos[:, 0])
+        dense_engine = ("window-banded" if sf_d._banded_cache
+                        and next(iter(sf_d._banded_cache.values()))
+                        else "full")
+        del sf_d
+        sf_b, first_b, steady_b = run_safe(g, attrs, "band", radius,
+                                           min_nodes=100)
+        p_b = np.asarray(sf_b.pvalues_pos[:, 0])
+        band = int(next(v for v in sf_b._bandstore_cache.values()
+                        if v)["band"])
+        print(json.dumps({
+            "check": "crossover", "nodes": n, "target_neighbors": target,
+            "band": band, "dense_engine": dense_engine,
+            "dense_first_s": round(first_d, 2),
+            "dense_steady_s": round(steady_d, 3),
+            "band_first_s": round(first_b, 2),
+            "band_steady_s": round(steady_b, 3),
+            "band_speedup": round(steady_d / steady_b, 2),
+            # f32-noise tie flips near count boundaries, in COUNT units
+            "max_count_shift": int(round(1000 * float(
+                np.nanmax(np.abs(p_b - p_d)))))}), flush=True)
+        return
+    if kind == "prec":
+        # large-N null precision policy (VERDICT r3 #8): matmul_precision
+        # 'highest' (f32, 6 bf16 passes) vs 'default' (1 bf16 pass) on the
+        # SAME band-scale permutation null. Within a run the observed score
+        # rides the identical GEMM as the permuted scores, so tie semantics
+        # are internally consistent either way; this measures what the
+        # cheaper pass buys and how far the p-values move. prec:<n>[:<tgt>]
+        parts = rest.split(":")
+        n = int(parts[0])
+        target = float(parts[1]) if len(parts) > 1 else 125.0
+        t0 = time.time()
+        g = build_graph(n)
+        print(f"# graph built in {time.time() - t0:.1f} s", flush=True)
+        attrs = quant_attrs(n)
+        radius = float(np.sqrt(target / (np.pi * n)))
+        out = {"check": "precision", "nodes": n, "perms": 1000}
+        res = {}
+        for prec in ("highest", "default"):
+            from safepy_tpu import SAFE
+            sf = SAFE(verbose=False)
+            sf.apsp_mode = "band"
+            sf.band_storage_min_nodes = 100
+            sf.matmul_precision = prec
+            sf.random_seed = 17
+            sf.neighborhood_radius = radius
+            sf.load_network(network_file=g, node_key_attribute="key")
+            sf.load_attributes(attribute_file=attrs)
+            sf.run_pipeline(num_permutations=1000)
+            t0 = time.time()
+            sf.run_pipeline(num_permutations=1000)
+            out[f"{prec}_steady_s"] = round(time.time() - t0, 3)
+            res[prec] = (np.asarray(sf.pvalues_pos[:, 0]),
+                         np.asarray(sf.pvalues_neg[:, 0]),
+                         int((sf.nes_binary > 0).sum()))
+            out[f"{prec}_enriched"] = res[prec][2]
+            del sf
+        # p-values are counts/P (NaN rows excluded): report the tie movement
+        # in COUNT units — how many of the 1000 permutations flipped sides
+        out["max_count_shift_pos"] = int(round(1000 * float(np.nanmax(np.abs(
+            res["highest"][0] - res["default"][0])))))
+        out["max_count_shift_neg"] = int(round(1000 * float(np.nanmax(np.abs(
+            res["highest"][1] - res["default"][1])))))
+        print(json.dumps(out), flush=True)
+        return
     if kind == "quant":
         parts = rest.split(":")
         n = int(parts[0])
