@@ -269,12 +269,19 @@ def main():
                                      keep_node_distances=not nodist,
                                      band_indicator_bits=bits)
         import jax.numpy as jnp
+        from safepy_tpu.ops.apsp_bandstore import band_nbytes
+        band = int(sf._neighborhoods_dev.band)
         print(json.dumps({
             "check": "go_scale", "nodes": n, "attributes": a,
             "radius": radius, "target_neighbors": target,
             "keep_distances": not nodist,
             "packed_bits": bool(sf._neighborhoods_dev.data.dtype
                                 == jnp.uint8),
+            # ALWAYS check the engine before trusting a number (CLAUDE.md):
+            # the f64 loop fallback is ~20x the table engine at GO scale
+            "engine": sf._hypergeom_engine_used,
+            "band": band,
+            "fw_f32_band_gb": round(band_nbytes(n, band) / 1e9, 2),
             "first_s": round(first, 2),
             "steady_s": round(steady, 3),
             "attrs_with_gt10_enriched": int(
