@@ -19,7 +19,16 @@ import os
 import sys
 import time
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# sitecustomize registers the axon TPU plugin AT INTERPRETER START whenever
+# PALLAS_AXON_POOL_IPS is set — env tweaks here are too late and the run
+# would contend for the single-tenant chip. Re-exec with a clean env.
+if os.environ.get("PALLAS_AXON_POOL_IPS") or os.environ.get(
+        "JAX_PLATFORMS", "").strip().lower() != "cpu":
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="")
+    if "host_platform_device_count" not in env.get("XLA_FLAGS", ""):
+        env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                            + " --xla_force_host_platform_device_count=8")
+    os.execve(sys.executable, [sys.executable] + sys.argv, env)
 if "host_platform_device_count" not in os.environ.get("XLA_FLAGS", ""):
     os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
                                + " --xla_force_host_platform_device_count=8")
