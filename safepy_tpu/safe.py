@@ -96,9 +96,13 @@ class SAFE:
         self.apsp_mode = "auto"
         self._banded_cache = {}
         # band-STORAGE engine (ops/apsp_bandstore.py): O(N*W) memory instead of
-        # dense O(N^2). 'auto' switches to it above this node count (where the
-        # dense matrices stop fitting one chip); apsp_mode='band' forces it.
-        self.band_storage_min_nodes = 32768
+        # dense O(N^2). 'auto' switches to it above this node count;
+        # apsp_mode='band' forces it. MEASURED crossover (round 4,
+        # tools/r4d_results.log cross: probes, 125-target quantitative null
+        # on one v5e): band beats the dense window kernel 1.25x at 14,976
+        # nodes, 1.12-1.58x through 26,112, and the dense null OOMs the
+        # 16 GB chip at 31,872 — so 'auto' flips at 16,384.
+        self.band_storage_min_nodes = 16384
         self._bandstore_cache = {}
         # band relaxation engine: 'auto' (= FW on TPU: sparse Bellman-Ford
         # converges in ~path-hop rounds but v5e XLA gathers run 0.10-0.26
@@ -139,6 +143,12 @@ class SAFE:
         self.nodes = None
         self.node2attribute = None
         self._n2a_dev = None  # cached f32 device copy of node2attribute
+        # int8 band-engine operands, cached ACROSS pipeline runs (keyed on
+        # the annotation serial + banded order): with the f32 upload
+        # released at GO scale, re-deriving them from a 3.49 GB re-upload
+        # every steady run costs ~8 s of relay time for nothing
+        self._band_operands_cache = None
+        self._attr_serial = 0
         self._num_other_cache = None  # cached non-binary-value census
         self.num_nodes_per_attribute = None
         self.attribute_sign = "both"
@@ -371,6 +381,8 @@ class SAFE:
             verbose=self.verbose, **kwargs)
         self._n2a_dev = None
         self._num_other_cache = None
+        self._band_operands_cache = None
+        self._attr_serial += 1
 
         from safepy_tpu import debug as _debug
         _debug.validate_attributes(self.node2attribute,
@@ -870,6 +882,33 @@ class SAFE:
                 np.asarray(self.node2attribute, dtype=np.float32))
         return self._n2a_dev
 
+    def _band_hyper_operands_cached(self, order):
+        """(nan0_perm_int8, nnn_perm, K, binary_ok, M) for the band binary
+        engines — computed ON DEVICE from the annotation upload (host
+        isnan/where/fancy-gather cost minutes at GO scale here) and cached
+        ACROSS pipeline runs: once the f32 (N, A) upload is released at GO
+        scale, re-deriving per run would re-upload 3.49 GB (~8 s of relay)
+        every steady run. Keyed on the annotation serial + banded order."""
+        key = (self._attr_serial, order.shape[0], hash(order.tobytes()))
+        c = self._band_operands_cache
+        if c is not None and c[0] == key:
+            return c[1]
+        from safepy_tpu.ops.enrich_band import band_hyper_operands_device
+        nan0, nnn, K, binary_ok = band_hyper_operands_device(
+            self._node2attribute_device(), jnp.asarray(order, jnp.int32))
+        binary_ok = bool(np.asarray(binary_ok))
+        M = int(np.asarray(jnp.sum(nnn)))
+        out = (nan0, nnn, K, binary_ok, M)
+        self._band_operands_cache = (key, out)
+        if binary_ok:
+            # the int8 operands carry everything the table engine needs:
+            # drop the f32 upload before the band FW so the relax never
+            # shares the chip with it (199,680 x 4,373: 3.49 GB back — the
+            # difference between the recorded OOM and fitting,
+            # tools/r4_results.log)
+            self._maybe_release_annotation_upload()
+        return out
+
     def _maybe_release_annotation_upload(self):
         """Drop the cached f32 (N, A) annotation upload when it crosses
         ``annotation_release_min_bytes`` — the band binary engines carry
@@ -937,6 +976,7 @@ class SAFE:
         state["_nes_dev"] = None
         state["_nes_binary_dev"] = None
         state["_n2a_dev"] = None
+        state["_band_operands_cache"] = None
         state["_nes_binary_pending"] = None
         state["_domains_inter_cache"] = None  # derived; up to 76 MB at GO scale
         state["_nes_binary_csc"] = None  # derived sparse view, rebuilds on demand
@@ -957,6 +997,8 @@ class SAFE:
         self.__dict__.setdefault("_logsf_np", None)
         self.__dict__.setdefault("_nes_from_logsf", False)
         self.__dict__.setdefault("annotation_release_min_bytes", 2 * 10 ** 9)
+        self.__dict__.setdefault("_band_operands_cache", None)
+        self.__dict__.setdefault("_attr_serial", 0)
         self.__dict__.setdefault("_enrichment_serial", 0)
         self.__dict__.setdefault("_node2domain_serial", None)
 
@@ -986,6 +1028,8 @@ class SAFE:
             self.node2attribute[np.isnan(self.node2attribute)] = 0
             self._n2a_dev = None
             self._num_other_cache = None
+            self._band_operands_cache = None
+            self._attr_serial += 1
 
         num_vals = self.node2attribute.shape[0]
         num_nans = np.sum(np.isnan(self.node2attribute), axis=0)
@@ -1128,17 +1172,10 @@ class SAFE:
 
         table_out = None
         if self.hypergeom_engine in ("auto", "table"):
-            # operands built on device from the cached annotation upload
-            # (host isnan/where/fancy-gather cost minutes at GO scale here)
-            from safepy_tpu.ops.enrich_band import (
-                band_hyper_operands_device, hypergeom_band_table)
-            nan0_d, nnn_d, K_d, binary_ok = band_hyper_operands_device(
-                self._node2attribute_device(), jnp.asarray(order, jnp.int32))
-            if bool(np.asarray(binary_ok)):
-                # int8 operands carry everything forward; free the f32
-                # upload before the census chunks (see run_pipeline path)
-                self._maybe_release_annotation_upload()
-                M = int(np.asarray(jnp.sum(nnn_d)))
+            from safepy_tpu.ops.enrich_band import hypergeom_band_table
+            nan0_d, nnn_d, K_d, binary_ok, M = \
+                self._band_hyper_operands_cached(order)
+            if binary_ok:
                 table_out = hypergeom_band_table(
                     bm.data, nan0_d, nnn_d, M,
                     np.float64(self.enrichment_threshold), bt=bm.bt,
@@ -1666,29 +1703,16 @@ class SAFE:
             table_out = band_done = None
             nan0_perm = nnn_perm = K = M = None
             if self.hypergeom_engine in ("auto", "table"):
-                # class-table survival engine (binary annotations): operands
-                # built ON DEVICE from the cached annotation upload — the
-                # host equivalents cost minutes per run at GO scale in this
-                # runtime's degraded host memory path
-                from safepy_tpu.ops.enrich_band import (
-                    band_hyper_operands_device)
-                nan0_perm, nnn_perm, K, binary_ok = \
-                    band_hyper_operands_device(
-                        self._node2attribute_device(),
-                        jnp.asarray(order, jnp.int32))
-                M = int(np.asarray(jnp.sum(nnn_perm)))
-                if not bool(np.asarray(binary_ok)):
+                # class-table survival engine (binary annotations): device-
+                # built int8 operands, cached across runs (the host
+                # equivalents cost minutes per run at GO scale in this
+                # runtime's degraded host memory path)
+                nan0_perm, nnn_perm, K, binary_ok, M = \
+                    self._band_hyper_operands_cached(order)
+                if not binary_ok:
                     # forced hypergeometric on non-0/1 values: the table's
                     # integer-count precondition fails; use the f64 loop
                     nan0_perm = nnn_perm = K = M = None
-                else:
-                    # the int8 operands now carry everything the table
-                    # engine needs: drop the f32 (N, A) upload before the
-                    # band FW so the relax never shares the chip with it
-                    # (199,680 x 4,373: 3.49 GB back — the difference
-                    # between the recorded OOM and fitting, see
-                    # tools/r4_results.log)
-                    self._maybe_release_annotation_upload()
                 if nan0_perm is not None and self.mesh is None:
                     from safepy_tpu.ops.enrich_band import (
                         hypergeom_band_table)
