@@ -614,3 +614,44 @@ def test_band_hypergeom_defers_nes_and_releases_upload(net):
     np.testing.assert_array_equal(np.asarray(sf.nes), np.asarray(ref.nes))
     np.testing.assert_array_equal(np.asarray(sf.nes_binary),
                                   np.asarray(ref.nes_binary))
+
+
+def test_band_operand_cache_survives_runs_and_invalidates(net):
+    """Cross-run int8 operand cache (the 153 s -> 11.6 s steady fix at
+    199,680 x 4,373, tools/r4d_results.log): a repeat run_pipeline must HIT
+    `SAFE._band_operands_cache` (no re-derivation — at GO scale a miss costs
+    a 3.49 GB re-upload per steady run), reloading attributes must
+    invalidate it, and results stay correct either way."""
+    path, n = net
+    attrs = _binary_attrs(n, a=7, seed=33)
+
+    sf = SAFE(verbose=False)
+    sf.apsp_mode = "band"
+    sf.random_seed = 7
+    sf.annotation_release_min_bytes = 1  # exercise the release interplay
+    sf.load_network(network_file=path, node_key_attribute="key")
+    sf.load_attributes(attribute_file=attrs)
+    sf.run_pipeline()
+    assert sf._hypergeom_engine_used.startswith("table")
+    cache1 = sf._band_operands_cache
+    assert cache1 is not None
+    nes1 = np.asarray(sf.nes_binary).copy()
+
+    # repeat run: same cache entry object (hit), identical results
+    sf.run_pipeline()
+    assert sf._band_operands_cache is cache1
+    assert cache1[1][0] is sf._band_operands_cache[1][0]  # same device array
+    np.testing.assert_array_equal(np.asarray(sf.nes_binary), nes1)
+
+    # reloading attributes bumps the serial and invalidates the cache
+    attrs2 = _binary_attrs(n, a=7, seed=34)
+    sf.load_attributes(attribute_file=attrs2)
+    assert sf._band_operands_cache is None
+    sf.run_pipeline()
+    cache2 = sf._band_operands_cache
+    assert cache2 is not None and cache2[0] != cache1[0]
+
+    # fresh-object oracle for the new annotations
+    ref = _run(path, attrs2, "band")
+    np.testing.assert_array_equal(np.asarray(sf.nes_binary),
+                                  np.asarray(ref.nes_binary))
