@@ -45,8 +45,9 @@ if _os.environ.get("SAFEPY_TPU_X64", "1") != "0":
 # signature) TPU compile entirely — measured on the tunneled v5e: a fresh
 # process re-running the 99,840 x 4,373 flagship workflow spends ~2/3 of its
 # wall time in compiles that a warm cache eliminates. Opt out or redirect
-# with SAFEPY_TPU_COMPILE_CACHE=0 / =<dir>; never overrides a cache dir the
-# user (or jax config/env) already set.
+# with SAFEPY_TPU_COMPILE_CACHE=0 / =<dir>. An EXPLICIT =<dir> wins over a
+# cache dir already set via jax config / JAX_COMPILATION_CACHE_DIR (the
+# operator asked for it by name); the IMPLICIT default never overrides one.
 _cache = _os.environ.get("SAFEPY_TPU_COMPILE_CACHE", "")
 if _cache not in ("", "0") or (
         _cache != "0"

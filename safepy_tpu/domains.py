@@ -205,7 +205,7 @@ def define_domains(attributes, nes, nes_binary,
     return attributes, node2domain
 
 
-def trim_domains(attributes, node2domain, *, min_size=10, verbose=True, color_seed=None):
+def trim_domains(attributes, node2domain, *, min_size=10, verbose=True):
     """Drop small domains, renumber densely, and label the survivors.
 
     Returns (attributes, node2domain, domains_df).

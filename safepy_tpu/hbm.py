@@ -1,0 +1,130 @@
+"""Analytic pre-dispatch HBM accounting for the band-storage pipelines.
+
+A fatal device OOM does not just fail the dispatch on this runtime — it
+POISONS the process backend (every later op returns spurious
+RESOURCE_EXHAUSTED) and can wedge the single-tenant remote worker for
+minutes (CLAUDE.md). So the facade must never hand XLA an allocation it
+cannot satisfy: before any band GO dispatch it consults this model and
+either auto-routes (f16 / host-streamed logsf residency, split FW front)
+or raises a clean ValueError carrying the full plan (VERDICT r4 item 2).
+
+The model is the measured structure of the fused band programs
+(tools/tpu_band_memplan.py AOT memory_analysis + the r4 OOM logs), not an
+XLA query — an AOT lowering would itself cost a multi-minute remote
+compile per shape. Phases:
+
+  * ``relax`` — the FW front: the f32 distance band, DOUBLE-buffered by
+    XLA inside a fused while-loop program (measured, memplan r3d) unless
+    the split front runs it donated; plus the indicator output and any
+    device-resident (N, A) operands.
+  * ``census`` — the class-table enrichment loop: indicator band + int8
+    annotations + the (n, A) outputs at the chosen ``logsf_out`` residency
+    + one chunk's live transients (counts / logsf / table, bounded by
+    ops/hypergeom_table.plan's chunk budgets).
+
+Safety margins are CALIBRATED per phase against the two measured v5e
+anchor points (tools/r4d_results.log, tools/r4e2_results.log): the GO
+census at 299,520 x 4,373 ran steady (modeled census peak 11.2 GB) while
+349,440 x 4,373 OOM'd (modeled 12.8 GB) — so census admits at 0.78 x
+budget; the 349,440 FW relax itself completed (modeled 13.4 GB), so
+relax admits at 0.88 x budget. The gap between the phases' margins is
+the census's unmodeled lookup sweep temps and allocator fragmentation.
+"""
+
+from __future__ import annotations
+
+RELAX_SAFETY = 0.88
+CENSUS_SAFETY = 0.78
+_DEFAULT_BUDGET = 16 * 10 ** 9
+
+
+def device_hbm_budget(default_bytes: int = _DEFAULT_BUDGET) -> int:
+    """The accelerator's HBM byte budget (PJRT ``bytes_limit``), or a 16 GB
+    default when the backend does not report one (CPU test meshes)."""
+    try:
+        import jax
+        dev = jax.devices()[0]
+        stats = dev.memory_stats() or {}
+        limit = int(stats.get("bytes_limit", 0))
+        if limit > 0:
+            return limit
+    except Exception:  # noqa: BLE001 — any backend quirk means "unknown"
+        pass
+    return default_bytes
+
+
+def band_geometry(n: int, band: int, block: int = 128):
+    """(bt, padded rows, window columns) of the skewed band store."""
+    bt = band // block + 1
+    rows = (-(-n // block) + 2 * bt) * block
+    window = (2 * bt + 1) * block
+    return bt, rows, window
+
+
+def band_go_hbm_plan(n: int, band: int, n_attrs: int, *, packed: bool,
+                     split_front: bool, keep_distances: bool,
+                     logsf_out: str = "auto", budget: int | None = None,
+                     block: int = 128, chunk_cols: int = 512,
+                     chunk_budget_cells: int = 4 * 10 ** 8):
+    """Phase-peak HBM plan for the single-chip band GO (binary) pipeline.
+
+    Returns a dict with per-phase byte peaks, the admitted ``logsf_out``
+    residency ('auto' picks the cheapest-loss mode that fits: device ->
+    f16 -> host), ``fits`` and the governing phase. Callers raise on
+    ``fits=False`` — never dispatch.
+    """
+    budget = device_hbm_budget() if budget is None else int(budget)
+    admit_relax = RELAX_SAFETY * budget
+    admit = CENSUS_SAFETY * budget
+    bt, rows, window = band_geometry(n, band, block)
+    f32_band = rows * window * 4
+    ind_bytes = rows * window // 8 if packed else rows * window
+    ann8 = n * n_attrs  # int8 operands (band_hyper_operands_device)
+
+    relax_peak = (f32_band * (1 if split_front else 2)
+                  + ind_bytes + ann8)
+
+    keep_band = f32_band if keep_distances else 0
+    w = min(chunk_cols, n_attrs)
+    # one live chunk: census counts f32 + the chunk's logsf f32 + int8 bin
+    # + the class table (<= chunk_budget_cells f32)
+    transient = (rows * w * 4 * 2 + rows * w
+                 + min(chunk_budget_cells, 12 * 10 ** 8) * 4)
+    base = ind_bytes + ann8 + keep_band + transient
+
+    modes = (("device", "f16", "host") if logsf_out == "auto"
+             else (logsf_out,))
+    out_bytes = {"device": 5 * n * n_attrs,  # f32 logsf + int8 indicator
+                 "f16": 3 * n * n_attrs,
+                 "host": 0}
+    chosen, census_peak = None, None
+    for mode in modes:
+        census_peak = base + out_bytes[mode]
+        if census_peak <= admit:
+            chosen = mode
+            break
+    fits = chosen is not None and relax_peak <= admit_relax
+    governing = ("relax" if relax_peak > admit_relax else "census")
+    return dict(n=n, band=band, n_attrs=n_attrs, bt=bt, rows=rows,
+                window=window, packed=packed, split_front=split_front,
+                keep_distances=keep_distances,
+                f32_band=f32_band, indicator_bytes=ind_bytes,
+                annotations_int8=ann8, relax_peak=relax_peak,
+                census_transient=transient, census_peak=census_peak,
+                logsf_out=chosen if fits else None,
+                budget=budget, admit=int(admit),
+                admit_relax=int(admit_relax), fits=fits,
+                governing_phase=governing)
+
+
+def explain(plan: dict) -> str:
+    """One-line human summary of a plan (used in the guard's ValueError)."""
+    gb = 1e9
+    return (f"band GO HBM plan at {plan['n']:,} x {plan['n_attrs']:,} "
+            f"(band {plan['band']}, packed={plan['packed']}, "
+            f"split_front={plan['split_front']}, "
+            f"keep_distances={plan['keep_distances']}): "
+            f"relax peak {plan['relax_peak'] / gb:.2f} GB, census peak "
+            f"{(plan['census_peak'] or 0) / gb:.2f} GB "
+            f"(logsf_out={plan['logsf_out']}) vs admitted "
+            f"{plan['admit'] / gb:.2f} GB of {plan['budget'] / gb:.2f} GB")

@@ -70,6 +70,10 @@ def _sheet_path(zf: zipfile.ZipFile, sheet_name: str) -> str:
     for rel in rels.iter(f"{_PKG_REL_NS}Relationship"):
         if rel.get("Id") == rid:
             target = rel.get("Target")
+            # absolute package targets ('/xl/worksheets/...') are already
+            # rooted; relative ones resolve against the workbook's xl/ dir
+            if target.startswith("/"):
+                return target.lstrip("/")
             return target if target.startswith("xl/") else "xl/" + target
     raise ValueError(f"workbook relationship {rid!r} missing")
 
@@ -103,7 +107,16 @@ def read_xlsx(path, sheet_name: str) -> pd.DataFrame:
         root = ET.fromstring(zf.read(_sheet_path(zf, sheet_name)))
         rows: list[dict[int, object]] = []
         width = 0
+        auto_row = 0
         for row in root.iter(f"{_NS}row"):
+            # honor the explicit r= row index: writers may omit empty <row>
+            # elements entirely, and pandas emits all-NaN rows there — a
+            # silent skip would shift every later row's alignment
+            r_attr = row.get("r")
+            r_idx = int(r_attr) - 1 if r_attr else auto_row
+            while len(rows) < r_idx:
+                rows.append({})
+            auto_row = r_idx + 1
             cells: dict[int, object] = {}
             auto_col = 0
             for c in row.iter(f"{_NS}c"):

@@ -343,7 +343,8 @@ def band_hyper_operands_device(n2a_dev, order):
 def hypergeom_band_table(s_ind, nan0_np, nodes_not_nan_np, M,
                          enrichment_threshold, *, bt: int, block: int = 128,
                          rank_np, precision: str = "highest",
-                         chunk_cols: int = 512, nsize_dev=None, plan=None):
+                         chunk_cols: int = 512, nsize_dev=None, plan=None,
+                         logsf_out: str = "device"):
     """GO-scale hypergeometric enrichment via the class-table engine
     (ops/hypergeom_table.py) — the production path for binary annotations.
 
@@ -352,12 +353,24 @@ def hypergeom_band_table(s_ind, nan0_np, nodes_not_nan_np, M,
     (K, neighborhood-size) class plus one table gather per cell. Column
     chunks are K-sorted so each chunk's scan length hugs its largest class.
 
-    Returns (logsf_dev, bin_dev, counts_np) with columns in the ORIGINAL
-    attribute order and rows in the ORIGINAL node frame, or None when the
-    plan is ineligible (caller falls back to the loop engine). NES is NOT
+    Returns (logsf, bin, counts_np) with columns in the ORIGINAL attribute
+    order and rows in the ORIGINAL node frame, or None when the plan is
+    ineligible (caller falls back to the loop engine). NES is NOT
     materialized: it is elementwise-derivable (-logsf/ln10) and a second
     (n, A) f32 buffer is exactly what tips the chip at 199,680 x 4,373
     (tools/r4_results.log) — the facade derives it lazily on access.
+
+    ``logsf_out`` controls the RESIDENCY of the (n, A) outputs — the f32
+    log-survival whale (6.1 GB at 349,440 x 4,373) is what OOM'd the
+    single-chip census wall (VERDICT r4 weak #1, tools/r4e2_results.log):
+
+      * ``'device'`` — f32 logsf + int8 indicator on device (the default);
+      * ``'f16'``    — logsf stored f16 on device (half the whale; the
+        indicator and counts are decided in f64 PRE-rounding, so they stay
+        exact — only the stored log-p loses ~2^-11 relative);
+      * ``'host'``   — each chunk's f32 logsf/indicator columns stream to
+        host numpy buffers (bit-equal to 'device'); nothing (n, A)-sized
+        stays on device. Costs one (n, A) relay download per run.
 
     ``nan0_np`` may be f32 or int8 (exact for the binary annotations this
     engine requires), host or device; int8 is preferred at scale.
@@ -378,18 +391,27 @@ def hypergeom_band_table(s_ind, nan0_np, nodes_not_nan_np, M,
         plan = htab.plan(K_np, n_max, int(M), chunk_cols=chunk_cols)
     if plan is None:
         return None
+    if logsf_out not in ("device", "f16", "host"):
+        raise ValueError(f"unknown logsf_out: {logsf_out!r}")
 
     log_thr64 = float(np.log(enrichment_threshold))
     rank_dev = jnp.asarray(rank_np, jnp.int32)
     npad = s_ind.shape[0] - 2 * bt * block
     n, n_attrs = len(rank_np), nan0_dev.shape[1]
 
-    # chunks stream into preallocated outputs with DONATED buffers: the only
-    # (n, A)-sized device arrays alive are the two outputs plus the (int8)
-    # annotation matrix — at 100k x 4,373 any transient second copy tips the
-    # chip into allocator thrash
-    logsf = jnp.zeros((n, n_attrs), jnp.float32)
-    nbin = jnp.zeros((n, n_attrs), jnp.int8)
+    # chunks stream into preallocated outputs with DONATED buffers ('host':
+    # numpy buffers, no device preallocation at all): the only (n, A)-sized
+    # device arrays alive are the outputs (if device-resident) plus the
+    # (int8) annotation matrix — at 100k x 4,373 any transient second copy
+    # tips the chip into allocator thrash
+    host = logsf_out == "host"
+    if host:
+        logsf = np.empty((n, n_attrs), np.float32)
+        nbin = np.empty((n, n_attrs), np.int8)
+    else:
+        logsf = jnp.zeros((n, n_attrs),
+                          jnp.float16 if logsf_out == "f16" else jnp.float32)
+        nbin = jnp.zeros((n, n_attrs), jnp.int8)
     counts = []
     for ch in plan["chunks"]:
         start, width = ch["start"], ch["width"]
@@ -405,16 +427,23 @@ def hypergeom_band_table(s_ind, nan0_np, nodes_not_nan_np, M,
         # placement below just overwrites them) but must not double-count
         counts.append(np.asarray(
             jnp.sum(bin_c, axis=0, dtype=jnp.int32))[ch.get("overlap", 0):])
-        logsf, nbin = _place_chunk(logsf, nbin, logsf_c, bin_c, start)
+        if host:
+            logsf[:, start:start + width] = np.asarray(logsf_c)
+            nbin[:, start:start + width] = np.asarray(bin_c)
+            del logsf_c, bin_c
+        else:
+            logsf, nbin = _place_chunk(logsf, nbin, logsf_c, bin_c, start)
     return logsf, nbin, np.concatenate(counts)
 
 
 @functools.partial(jax.jit, donate_argnums=(0, 1))
 def _place_chunk(logsf, nbin, logsf_c, bin_c, start):
-    """Write one chunk's columns into the (donated) output buffers."""
+    """Write one chunk's columns into the (donated) output buffers; the
+    chunk's f32 logsf casts to the output's dtype in-jit (f16 staging)."""
     z = jnp.int32(0)
     s = jnp.asarray(start, jnp.int32)
-    return (jax.lax.dynamic_update_slice(logsf, logsf_c, (z, s)),
+    return (jax.lax.dynamic_update_slice(logsf, logsf_c.astype(logsf.dtype),
+                                         (z, s)),
             jax.lax.dynamic_update_slice(nbin, bin_c, (z, s)))
 
 

@@ -136,6 +136,20 @@ class SAFE:
         # (tools/r4_results.log). Crossing this byte threshold triggers the
         # release; float('inf') disables it.
         self.annotation_release_min_bytes = 2 * 10 ** 9
+        # Residency of the (N, A) f32 log-survival result at band GO scale
+        # (the 6.1 GB whale behind the 349,440 x 4,373 single-chip OOM,
+        # tools/r4e2_results.log): 'auto' consults the pre-dispatch HBM plan
+        # (safepy_tpu/hbm.py) and picks device f32 -> device f16 (indicator
+        # and counts stay f64-exact; stored log-p loses ~2^-11) -> host
+        # streaming (bit-equal, one relay download per run). 'device'/'f16'/
+        # 'host' force a mode; the guard still refuses plans that cannot fit.
+        self.logsf_store = "auto"
+        # HBM byte budget for the pre-dispatch guard; None = ask the device
+        # (PJRT bytes_limit, 16 GB default). The guard raises a clean
+        # ValueError BEFORE dispatch instead of letting a fatal OOM poison
+        # the backend (CLAUDE.md).
+        self.hbm_budget_bytes = None
+        self._hbm_plan_last = None  # observability: the last admitted plan
         self._graph_arrays = None  # cached graph_to_arrays output
         self.node_key_attribute = "label_orf"
 
@@ -572,8 +586,17 @@ class SAFE:
 
     @property
     def nes(self):
-        if self._nes_np is None and self._nes_device() is not None:
-            self._nes_np = np.asarray(self._nes_dev, dtype=np.float64)
+        if self._nes_np is None:
+            if self._nes_device() is not None:
+                self._nes_np = np.asarray(self._nes_dev, dtype=np.float64)
+            elif self._nes_from_logsf and self._logsf_np is not None:
+                # host-streamed log-survival (logsf_out='host'): same f64
+                # divide + f32 round as _nes_from_logsf_jit, so the host and
+                # device storage modes agree bitwise
+                with np.errstate(invalid="ignore"):
+                    self._nes_np = (
+                        -self._logsf_np.astype(np.float64) / np.log(10.0)
+                    ).astype(np.float32).astype(np.float64)
         return self._nes_np
 
     @nes.setter
@@ -854,6 +877,35 @@ class SAFE:
             dist_band = jnp.zeros((0, 1), jnp.float32)
         return dist_band, s_ind, mean, std
 
+    def _band_go_hbm_guard(self, num_nodes, band, n_attrs):
+        """Pre-dispatch HBM plan for the single-chip band GO (binary table)
+        pipeline: returns the admitted ``logsf_out`` residency, or raises a
+        clean ValueError with the plan — never hands XLA an allocation that
+        would OOM (a fatal TPU OOM poisons the process backend and can
+        wedge the remote worker; VERDICT r4 item 2)."""
+        from safepy_tpu import hbm as _hbm
+        plan = _hbm.band_go_hbm_plan(
+            num_nodes, band, n_attrs,
+            packed=self._band_bits_selected(num_nodes, band),
+            split_front=self._band_split_selected(num_nodes, band),
+            keep_distances=bool(self.keep_node_distances),
+            logsf_out=self.logsf_store,
+            budget=self.hbm_budget_bytes)
+        self._hbm_plan_last = plan
+        if not plan["fits"]:
+            raise ValueError(
+                "refusing to dispatch a band GO pipeline that does not fit "
+                "the device (a fatal TPU OOM poisons the process backend): "
+                + _hbm.explain(plan)
+                + ". Levers: keep_node_distances=False, "
+                  "band_indicator_bits=True, logsf_store='f16'/'host', or "
+                  "set SAFE.mesh for the row-sharded engine.")
+        if self.verbose and plan["logsf_out"] != "device":
+            logging.info("HBM plan: storing log-survival as %s (census peak "
+                         "%.2f GB of %.2f GB admitted)", plan["logsf_out"],
+                         plan["census_peak"] / 1e9, plan["admit"] / 1e9)
+        return plan["logsf_out"]
+
     def _band_bits_selected(self, num_nodes, band):
         """Bit-pack the indicator band? (euclidean keep_node_distances=False
         paths; dtype-keyed downstream — see ops/apsp_bandstore)."""
@@ -889,7 +941,12 @@ class SAFE:
         ACROSS pipeline runs: once the f32 (N, A) upload is released at GO
         scale, re-deriving per run would re-upload 3.49 GB (~8 s of relay)
         every steady run. Keyed on the annotation serial + banded order."""
-        key = (self._attr_serial, order.shape[0], hash(order.tobytes()))
+        import hashlib
+        # collision-resistant digest: Python's 64-bit hash() could
+        # (astronomically rarely) collide two different banded orders of the
+        # same length and silently serve wrongly-permuted operands
+        key = (self._attr_serial, order.shape[0],
+               hashlib.sha1(order.tobytes()).digest())
         c = self._band_operands_cache
         if c is not None and c[0] == key:
             return c[1]
@@ -898,6 +955,10 @@ class SAFE:
             self._node2attribute_device(), jnp.asarray(order, jnp.int32))
         binary_ok = bool(np.asarray(binary_ok))
         M = int(np.asarray(jnp.sum(nnn)))
+        if not binary_ok:
+            # the int8 cast of non-binary values is lossy and never consumed:
+            # cache only the census scalars, free the (N, A) device buffer
+            nan0 = None
         out = (nan0, nnn, K, binary_ok, M)
         self._band_operands_cache = (key, out)
         if binary_ok:
@@ -997,6 +1058,9 @@ class SAFE:
         self.__dict__.setdefault("_logsf_np", None)
         self.__dict__.setdefault("_nes_from_logsf", False)
         self.__dict__.setdefault("annotation_release_min_bytes", 2 * 10 ** 9)
+        self.__dict__.setdefault("logsf_store", "auto")
+        self.__dict__.setdefault("hbm_budget_bytes", None)
+        self.__dict__.setdefault("_hbm_plan_last", None)
         self.__dict__.setdefault("_band_operands_cache", None)
         self.__dict__.setdefault("_attr_serial", 0)
         self.__dict__.setdefault("_enrichment_serial", 0)
@@ -1083,24 +1147,10 @@ class SAFE:
                     self._neighborhoods_device(), n2a, mesh=self.mesh,
                     enrichment_threshold=self.enrichment_threshold,
                     node2attribute_device=self._node2attribute_device())
-            if self.multiple_testing:
-                if self.verbose:
-                    logging.info("Running FDR-adjustment of p-values...")
-                log_sf = np.asarray(log_sf32, dtype=np.float64)
-                with np.errstate(over="ignore"):
-                    self.pvalues_pos = np.asarray(_fdr.fdr_bh(np.exp(log_sf)))
-                with np.errstate(divide="ignore"):
-                    self.nes = -np.log10(self.pvalues_pos)
-            else:
-                self._pvalues_pos_np = None
-                self._logsf_dev = log_sf32
-                self._nes_np = None
-                self._nes_dev = nes32
-                self._nes_from_logsf = False
-                # significance decided on device in f64 before the f32 rounding;
-                # only the (A,) counts cross the relay here
-                self._nes_binary_pending = (nes_binary8, np.asarray(counts_dev))
-            return
+            # significance decided on device in f64 before the f32 rounding;
+            # only the (A,) counts cross the relay here
+            return self._store_hypergeom_results(nes32, log_sf32, nes_binary8,
+                                                 counts_dev)
 
         nodes_not_nan = np.any(~np.isnan(n2a), axis=1)
         n = int(np.sum(nodes_not_nan))
@@ -1180,7 +1230,9 @@ class SAFE:
                     bm.data, nan0_d, nnn_d, M,
                     np.float64(self.enrichment_threshold), bt=bm.bt,
                     block=bm.block, rank_np=bm.rank,
-                    precision=self.matmul_precision)
+                    precision=self.matmul_precision,
+                    logsf_out=self._band_go_hbm_guard(
+                        bm.n, bm.band, n2a.shape[1]))
         if table_out is not None:
             self._hypergeom_engine_used = "table-band-staged"
             log_sf32, nes_binary8, counts = table_out
@@ -1238,23 +1290,48 @@ class SAFE:
         lazy device-resident NES/log-sf/indicator otherwise. ``nes32=None``
         (the band engines: a second resident (N, A) f32 buffer is what tips
         the 16 GB chip at 199,680 x 4,373) defers NES to the first access —
-        see :meth:`_nes_device`."""
+        see :meth:`_nes_device`.
+
+        FDR (reference safe.py:599-605) runs ON DEVICE in log space
+        (ops/fdr.fdr_bh_logsf: BH is monotone under log, so no exp is ever
+        taken — device f64 exp holds only ~2^-12 here): the adjusted log-p
+        simply REPLACES the stored log-survival, and every lazy consumer
+        (pvalues_pos, NES, indicator columns) derives from it unchanged.
+        The former host path downloaded + exp'd the full (N, A) f64 matrix
+        — minutes of relay at 199,680 x 4,373 (VERDICT r4 weak #2)."""
+        host_mode = isinstance(log_sf32, np.ndarray)
         if self.multiple_testing:
             if self.verbose:
                 logging.info("Running FDR-adjustment of p-values...")
-            log_sf = np.asarray(log_sf32, dtype=np.float64)
-            with np.errstate(over="ignore"):
-                self.pvalues_pos = np.asarray(_fdr.fdr_bh(np.exp(log_sf)))
-            with np.errstate(divide="ignore"):
-                self.nes = -np.log10(self.pvalues_pos)
+            if host_mode:  # logsf_out='host': the matrix stays off-chip
+                log_sf32, nes_binary8, counts = _fdr.fdr_bh_logsf_np(
+                    log_sf32, np.log(self.enrichment_threshold))
+            else:
+                log_sf32, nes_binary8, counts = _fdr.fdr_bh_logsf(
+                    log_sf32, np.log(self.enrichment_threshold),
+                    row_chunk=self._fdr_row_chunk(log_sf32.shape))
+            nes32 = None  # NES re-derives from the ADJUSTED log p
+        self._pvalues_pos_np = None
+        self._nes_np = None
+        if host_mode:
+            self._logsf_np = log_sf32
+            self._logsf_dev = None
+            self._nes_dev = None
         else:
-            self._pvalues_pos_np = None
+            self._logsf_np = None
             self._logsf_dev = log_sf32
-            self._nes_np = None
             self._nes_dev = nes32
-            self._nes_from_logsf = nes32 is None
-            self._nes_binary_pending = (nes_binary8,
-                                        np.asarray(counts))
+        self._nes_from_logsf = nes32 is None
+        self._nes_binary_pending = (nes_binary8, np.asarray(counts))
+
+    @staticmethod
+    def _fdr_row_chunk(shape, budget_bytes=2 * 10 ** 9):
+        """Row-chunk size keeping one BH dispatch's f64 sort internals
+        (~4 copies of the chunk) under ~budget_bytes; None = unchunked."""
+        n, a = shape
+        if n * a * 8 * 4 <= budget_bytes:
+            return None
+        return max(128, int(budget_bytes // (a * 8 * 4)) // 128 * 128)
 
     def _nes_device(self):
         """The device-resident NES matrix, materializing it from the stored
@@ -1352,9 +1429,15 @@ class SAFE:
             nes_binary_dev, enriched_counts = self._nes_binary_pending
             self._nes_binary_pending = None
         if nes_binary_dev is not None:
-            self._nes_binary_dev = nes_binary_dev
+            if isinstance(nes_binary_dev, np.ndarray):
+                # host-streamed indicator (logsf_out='host'): already the
+                # compact int8 form every downstream consumer reads
+                self._nes_binary_dev = None
+                self._nes_binary_i8_np = nes_binary_dev
+            else:
+                self._nes_binary_dev = nes_binary_dev
+                self._nes_binary_i8_np = None
             self._nes_binary_np = None
-            self._nes_binary_i8_np = None
             self._nes_binary_csc = None
             self._enrichment_serial += 1
         else:
@@ -1522,7 +1605,6 @@ class SAFE:
         binary = (self.enrichment_type == "hypergeometric"
                   or (self.enrichment_type == "auto" and num_other == 0))
 
-        binary_pending = (None, None)
         if binary:
             nodes_not_nan = np.any(~np.isnan(n2a), axis=1)
             M = int(nodes_not_nan.sum())
@@ -1539,22 +1621,12 @@ class SAFE:
                     np.float64(self.enrichment_threshold), iterations=iters,
                     mesh=self.mesh, window=window, inv_rank=inv_rank,
                     **table_kw)
-            if self.multiple_testing:
-                log_sf = np.asarray(log_sf32, dtype=np.float64)
-                with np.errstate(over="ignore"):
-                    self.pvalues_pos = np.asarray(_fdr.fdr_bh(np.exp(log_sf)))
-                with np.errstate(divide="ignore"):
-                    self.nes = -np.log10(self.pvalues_pos)
-            else:
-                # p-values, NES, and the indicator materialize lazily from the
-                # device arrays; only the (A,) counts cross the relay
-                self._pvalues_pos_np = None
-                self._logsf_dev = log_sf32
-                self._nes_np = None
-                self._nes_dev = nes32
-                self._nes_from_logsf = False
-                # significance decided on device in f64 BEFORE the f32 rounding
-                binary_pending = (nesbin8, np.asarray(counts_dev))
+            # p-values, NES, and the indicator materialize lazily from the
+            # device arrays (significance decided on device in f64 BEFORE the
+            # f32 rounding); only the (A,) counts cross the relay. FDR runs
+            # on device in log space inside the store.
+            self._store_hypergeom_results(nes32, log_sf32, nesbin8,
+                                          counts_dev)
         else:
             valid_rows = np.flatnonzero(np.sum(~np.isnan(n2a), axis=1))
             V, A = len(valid_rows), n2a.shape[1]
@@ -1598,7 +1670,7 @@ class SAFE:
             logging.info("Number of nodes per neighborhood (mean +/- std): "
                          "%.2f +/- %.2f" % (float(mean), float(std)))
 
-        self._update_binary_enrichment(*binary_pending)
+        self._update_binary_enrichment()
 
     def _run_pipeline_band_euclid(self, plan, coords, nr):
         """run_pipeline for the euclidean metric at band-storage scale: banded
@@ -1698,7 +1770,6 @@ class SAFE:
         binary = (self.enrichment_type == "hypergeometric"
                   or (self.enrichment_type == "auto" and num_other == 0))
 
-        binary_pending = (None, None)
         if binary:
             table_out = band_done = None
             nan0_perm = nnn_perm = K = M = None
@@ -1716,6 +1787,10 @@ class SAFE:
                 if nan0_perm is not None and self.mesh is None:
                     from safepy_tpu.ops.enrich_band import (
                         hypergeom_band_table)
+                    # HBM guard BEFORE the FW front dispatch: over-budget
+                    # plans fail clean here, not as a backend-poisoning OOM
+                    logsf_out = self._band_go_hbm_guard(
+                        num_nodes, band, n2a.shape[1])
                     band_done = self._band_front_dispatch(
                         plan, radius, num_nodes)
                     dist_band, s_ind, mean, std = band_done
@@ -1723,7 +1798,8 @@ class SAFE:
                         s_ind, nan0_perm, nnn_perm, M,
                         np.float64(self.enrichment_threshold),
                         bt=band // 128 + 1, rank_np=rank,
-                        precision=self.matmul_precision)
+                        precision=self.matmul_precision,
+                        logsf_out=logsf_out)
             if table_out is None and self.mesh is None:
                 # fallback engines take host operands (their column chunking
                 # and iteration bounds are host-driven)
@@ -1827,19 +1903,8 @@ class SAFE:
                 nes32 = None  # deferred: see _nes_device()
                 (dist_band, s_ind, log_sf32, nesbin8, counts_dev, mean,
                  std) = out[:7]
-            if self.multiple_testing:
-                log_sf = np.asarray(log_sf32, dtype=np.float64)
-                with np.errstate(over="ignore"):
-                    self.pvalues_pos = np.asarray(_fdr.fdr_bh(np.exp(log_sf)))
-                with np.errstate(divide="ignore"):
-                    self.nes = -np.log10(self.pvalues_pos)
-            else:
-                self._pvalues_pos_np = None
-                self._logsf_dev = log_sf32
-                self._nes_np = None
-                self._nes_dev = nes32
-                self._nes_from_logsf = nes32 is None
-                binary_pending = (nesbin8, np.asarray(counts_dev))
+            self._store_hypergeom_results(nes32, log_sf32, nesbin8,
+                                          counts_dev)
         else:
             vals_perm = np.asarray(n2a, np.float32)[order]
             valid_perm = np.any(~np.isnan(vals_perm), axis=1)
@@ -1937,7 +2002,7 @@ class SAFE:
             logging.info("Number of nodes per neighborhood (mean +/- std): "
                          "%.2f +/- %.2f" % (float(mean), float(std)))
 
-        self._update_binary_enrichment(*binary_pending)
+        self._update_binary_enrichment()
 
     # -------------------------------------------------------------------- domains
 
@@ -1950,11 +2015,11 @@ class SAFE:
             return self._nes_binary_np
         if self._nes_binary_pending is not None:
             self._update_binary_enrichment()
-        if self._nes_binary_dev is not None:
-            if self._nes_binary_i8_np is None:
-                # one int8 relay download (437 MB at GO band scale), shared
-                # by the domain, report, and plotting consumers
-                self._nes_binary_i8_np = np.asarray(self._nes_binary_dev)
+        if self._nes_binary_dev is not None and self._nes_binary_i8_np is None:
+            # one int8 relay download (437 MB at GO band scale), shared
+            # by the domain, report, and plotting consumers
+            self._nes_binary_i8_np = np.asarray(self._nes_binary_dev)
+        if self._nes_binary_i8_np is not None:
             return self._nes_binary_i8_np
         return self.nes_binary
 
@@ -1966,6 +2031,11 @@ class SAFE:
         (plotting.plot_sample_attributes) read through this."""
         if self._nes_np is not None:
             return np.asarray(self._nes_np[:, j], dtype=np.float64)
+        if self._nes_from_logsf and self._logsf_np is not None:
+            # host-streamed log-survival: column math on host, same
+            # f64-divide + f32-round contract as the device branches
+            col = self._logsf_np[:, j].astype(np.float64)
+            return (-col / np.log(10.0)).astype(np.float32).astype(np.float64)
         if self._nes_dev is None and self._nes_from_logsf \
                 and self._logsf_dev is not None:
             # deferred-NES band engines: one logsf column, derived host-side
@@ -2123,6 +2193,9 @@ from safepy_tpu.io import (calculate_edge_lengths,  # noqa: E402,F401
                            load_network_from_mat, load_network_from_scatter,
                            load_network_from_txt, read_attributes)
 from safepy_tpu.ops.score import compute_neighborhood_score  # noqa: E402,F401
+from safepy_tpu.plotting import (mark_nodes, plot_network,  # noqa: E402,F401
+                                 plot_network_contour,
+                                 plot_costanzo2016_network_annotations)
 
 
 def run_permutations(arg_tuple, **kwargs):
@@ -2149,6 +2222,3 @@ def run_permutations(arg_tuple, **kwargs):
         score_type=neighborhood_score_type,
         num_permutations=int(num_permutations))
     return np.asarray(counts_neg, np.float64), np.asarray(counts_pos, np.float64)
-from safepy_tpu.plotting import (mark_nodes, plot_network,  # noqa: E402,F401
-                                 plot_network_contour,
-                                 plot_costanzo2016_network_annotations)

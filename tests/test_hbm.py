@@ -1,0 +1,94 @@
+"""Pre-dispatch HBM plan guard (safepy_tpu/hbm.py, VERDICT r4 item 2).
+
+The model's calibration anchors are the two measured v5e GO points:
+299,520 x 4,373 ran steady with device-resident f32 outputs
+(tools/r4d_results.log) while 349,440 x 4,373 OOM'd (tools/r4e2_results.log)
+— the plan must admit the former and auto-downgrade the latter.
+"""
+
+import numpy as np
+import pytest
+
+from safepy_tpu.hbm import (band_geometry, band_go_hbm_plan,
+                            device_hbm_budget, explain)
+
+V5E = 16 * 10 ** 9
+
+
+def _plan(n, band, a=4373, budget=V5E, **kw):
+    kw.setdefault("packed", True)
+    kw.setdefault("split_front", True)
+    kw.setdefault("keep_distances", False)
+    return band_go_hbm_plan(n, band, a, budget=budget, **kw)
+
+
+def test_geometry_matches_band_store():
+    from safepy_tpu.ops.apsp_bandstore import BandedMatrix
+    bm = BandedMatrix(np.zeros((1, 1)), np.arange(500), 500, 37)
+    bt, rows, window = band_geometry(500, 37)
+    assert bt == bm.bt
+    assert rows == (-(-500 // 128) + 2 * bt) * 128
+    assert window == (2 * bt + 1) * 128
+
+
+def test_anchor_299520_admits_device_outputs():
+    plan = _plan(299_520, 3640)
+    assert plan["fits"] and plan["logsf_out"] == "device"
+
+
+def test_anchor_349440_downgrades_from_device():
+    """The measured OOM point: the f32 whale must NOT be admitted; 'auto'
+    lands on f16 (half the whale; indicator/counts stay exact)."""
+    plan = _plan(349_440, 3936)
+    assert plan["fits"] and plan["logsf_out"] == "f16"
+    forced = _plan(349_440, 3936, logsf_out="device")
+    assert not forced["fits"] and forced["logsf_out"] is None
+
+
+def test_auto_walks_device_f16_host():
+    base = _plan(200_000, 3000, budget=V5E)
+    assert base["logsf_out"] == "device"
+    # shrink the budget until each residency mode falls out in turn
+    seen = []
+    for budget in np.linspace(V5E, 2 * 10 ** 9, 60):
+        p = _plan(200_000, 3000, budget=int(budget))
+        seen.append(p["logsf_out"])
+    order = [m for i, m in enumerate(seen) if m not in seen[:i]]
+    assert order[:3] == ["device", "f16", "host"]
+    assert seen[-1] is None  # eventually nothing fits -> caller refuses
+
+
+def test_relax_phase_governs_when_band_dominates():
+    p = _plan(200_000, 3000, budget=10 ** 9)
+    assert not p["fits"] and p["governing_phase"] == "relax"
+    assert "relax peak" in explain(p)
+
+
+def test_unsplit_front_double_buffers():
+    split = _plan(100_000, 2000, split_front=True)
+    fused = _plan(100_000, 2000, split_front=False)
+    assert (fused["relax_peak"] - split["relax_peak"]
+            == split["f32_band"])
+
+
+def test_device_budget_positive():
+    assert device_hbm_budget() > 0
+
+
+def test_facade_guard_raises_clean_before_dispatch(tmp_path):
+    """An over-budget config raises ValueError with the plan BEFORE any
+    device dispatch — no enrichment state, no poisoned backend."""
+    from tests.test_bandstore_facade import _binary_attrs, _write_net
+    from safepy_tpu import SAFE
+
+    net, n = _write_net(tmp_path)
+    sf = SAFE(verbose=False)
+    sf.apsp_mode = "band"
+    sf.random_seed = 7
+    sf.hbm_budget_bytes = 10 ** 6  # nothing fits
+    sf.load_network(network_file=net, node_key_attribute="key")
+    sf.load_attributes(attribute_file=_binary_attrs(n))
+    with pytest.raises(ValueError, match="band GO HBM plan"):
+        sf.run_pipeline()
+    assert sf._logsf_dev is None and sf._logsf_np is None
+    assert not sf._hbm_plan_last["fits"]

@@ -343,6 +343,40 @@ def test_min_xlsx_reader_types(tmp_path):
         read_xlsx(str(path), sheet_name="nope")
 
 
+def test_min_xlsx_gap_rows_and_absolute_target(tmp_path):
+    """Writers may omit empty <row> elements and use absolute ('/xl/...')
+    relationship targets; the reader must emit all-NaN gap rows (row
+    alignment) and resolve the rooted target (ADVICE r4)."""
+    import zipfile
+
+    from safepy_tpu.io.xlsx import read_xlsx
+
+    path = tmp_path / "gap.xlsx"
+    _write_min_xlsx(path, "S", ["a", "b"],
+                    [["r2", 1], ["r3", 2], ["r4", 3]])
+    # drop row 3 entirely and switch the worksheet relationship target to
+    # the absolute form
+    with zipfile.ZipFile(path) as zf:
+        parts = {n: zf.read(n).decode() for n in zf.namelist()}
+    sheet = parts["xl/worksheets/sheet1.xml"]
+    import re as _re
+    sheet = _re.sub(r'<row r="3">.*?</row>', "", sheet)
+    parts["xl/worksheets/sheet1.xml"] = sheet
+    parts["xl/_rels/workbook.xml.rels"] = parts[
+        "xl/_rels/workbook.xml.rels"].replace(
+        'Target="worksheets/sheet1.xml"',
+        'Target="/xl/worksheets/sheet1.xml"')
+    with zipfile.ZipFile(path, "w") as zf:
+        for name, data in parts.items():
+            zf.writestr(name, data)
+
+    df = read_xlsx(str(path), sheet_name="S")
+    assert df.shape == (3, 2)
+    assert df["a"].tolist()[0] == "r2"
+    assert pd.isna(df["a"][1]) and pd.isna(df["b"][1])  # the omitted row 3
+    assert df["a"][2] == "r4" and df["b"][2] == 3
+
+
 def test_costanzo_overlay_xlsx_branch(analyzed, tmp_path):
     """VERDICT r3 item 4: the xlsx branch — the format safe-data actually
     ships (reference safe_io.py:549-551) — draws the same contours as the

@@ -23,11 +23,13 @@ def main():
     print(f"# {spec} devices: {jax.devices()}", flush=True)
 
     if spec == "canary":
+        from safepy_tpu.hbm import device_hbm_budget
         g = build_graph(800)
         sf, first, steady = run_safe(g, quant_attrs(800), "band", 0.1,
                                      perms=200, min_nodes=100)
         print(json.dumps({"check": "canary", "steady_s": round(steady, 3),
-                          "enriched": int((sf.nes_binary > 0).sum())}),
+                          "enriched": int((sf.nes_binary > 0).sum()),
+                          "hbm_bytes_limit": device_hbm_budget()}),
               flush=True)
         return
 
@@ -282,6 +284,11 @@ def main():
             "engine": sf._hypergeom_engine_used,
             "band": band,
             "fw_f32_band_gb": round(band_nbytes(n, band) / 1e9, 2),
+            # logsf residency the pre-dispatch HBM plan admitted (r5):
+            # 'f16'/'host' mark points past the f32-resident census wall
+            "logsf_out": (sf._hbm_plan_last or {}).get("logsf_out"),
+            "census_peak_gb": round(
+                ((sf._hbm_plan_last or {}).get("census_peak") or 0) / 1e9, 2),
             "first_s": round(first, 2),
             "steady_s": round(steady, 3),
             "attrs_with_gt10_enriched": int(
