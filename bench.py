@@ -24,6 +24,17 @@ N_NODES = 3971
 N_EDGES = 28202
 BASELINE_S = 5.0
 
+# Regression gate (VERDICT r4 item 4): the headline drifted 0.127 s (r2) ->
+# 0.183 s (r3) -> 0.175 s (r4) with no gate. Two same-code r4 measurements
+# spread 0.158-0.175 s (tools/r4e2_results.log vs BENCH_r04.json), so most
+# of the drift is shared-tunnel run-to-run variance; the headline is now the
+# MIN of 3 steady repeats (variance-robust) and gated at +25% over the
+# expected band below. bench.py exits 1 on a gated regression (the JSON
+# line is printed first either way).
+HEADLINE_EXPECTED_S = 0.145  # min-of-3 steady, v5e via tunnel (r5 measured)
+PHASE_EXPECTED_S = {"apsp_steady_s": 0.036, "null_steady_s": 0.044}
+GATE_MAX_REGRESSION = 0.25
+
 
 def load_reference_wall():
     """Measured wall-clock of the reference implementation on THIS network
@@ -137,9 +148,15 @@ def main(argv=None):
     # warm-up: compile every kernel at the benchmark shapes
     run_pipeline(sf, attr_df, args.permutations)
 
-    t0 = time.time()
-    nes = run_pipeline(sf, attr_df, args.permutations)
-    wall = time.time() - t0
+    # headline = MIN of 3 steady repeats: the tunneled chip's run-to-run
+    # variance (measured 0.158-0.175 s on identical r4 code) would otherwise
+    # dominate the regression gate
+    walls = []
+    for _ in range(3):
+        t0 = time.time()
+        nes = run_pipeline(sf, attr_df, args.permutations)
+        walls.append(time.time() - t0)
+    wall = min(walls)
 
     # isolated APSP steady-state, forced complete via a scalar readback:
     # the production path (radius-bounded banded FW when certified) AND the
@@ -259,6 +276,21 @@ def main(argv=None):
         detail["reference_wall_s"] = ref_wall["reference_wall_s"]
         detail["speedup_vs_reference"] = round(ref_wall["reference_wall_s"] / wall, 1)
         detail["reference_enriched_same_network"] = ref_wall["enriched_neighborhoods"]
+
+    # --- regression gate ---------------------------------------------------
+    detail["headline_walls_s"] = [round(w, 4) for w in walls]
+    gate = {"headline_expected_s": HEADLINE_EXPECTED_S,
+            "max_regression": GATE_MAX_REGRESSION,
+            "regressed": []}
+    if wall > HEADLINE_EXPECTED_S * (1 + GATE_MAX_REGRESSION):
+        gate["regressed"].append("example1_e2e_wall_s")
+    phases = {"apsp_steady_s": apsp_s,
+              "null_steady_s": roofline["null_steady_s"]}
+    for name, measured in phases.items():
+        if measured > PHASE_EXPECTED_S[name] * (1 + GATE_MAX_REGRESSION):
+            gate["regressed"].append(name)
+    detail["headline_gate"] = gate
+
     print(json.dumps({
         "metric": "example1_e2e_wall_s",
         "value": round(wall, 4),
@@ -266,7 +298,7 @@ def main(argv=None):
         "vs_baseline": round(BASELINE_S / wall, 3),
         "detail": detail,
     }))
-    return 0
+    return 1 if gate["regressed"] else 0
 
 
 def _band_scale_bench():

@@ -117,9 +117,52 @@ def band_go_hbm_plan(n: int, band: int, n_attrs: int, *, packed: bool,
                 governing_phase=governing)
 
 
+def band_go_shard_hbm_plan(n: int, band: int, n_attrs: int, ndev: int, *,
+                           packed: bool = True, budget: int | None = None,
+                           block: int = 128, chunk_cols: int = 1024,
+                           chunk_budget_cells: int = 4 * 10 ** 8):
+    """Per-shard HBM plan for the ROW-SHARDED band GO engine
+    (parallel/band_sharded.hypergeom_band_table_sharded) over a 'data' mesh
+    axis of ``ndev`` devices — the facade's pre-dispatch assertion that the
+    sharded engine genuinely starts where one chip ends (VERDICT r5 item 5;
+    analytic model from tools/mesh_band_go.py, now facade-native).
+
+    Resident per shard: the f32 FW slab + 2*bt*block ghost/halo rows, the
+    (packed) indicator slab, the row-sharded int8 annotations, the two
+    row-sharded (n, A) outputs, and one census chunk's live transients.
+    """
+    budget = device_hbm_budget() if budget is None else int(budget)
+    admit = CENSUS_SAFETY * budget
+    bt, rows, window = band_geometry(n, band, block)
+    local_rows = -(-rows // (block * ndev)) * block
+    ghost = 2 * bt * block
+    slab_rows = local_rows + ghost
+    fw_slab = slab_rows * window * 4
+    ind_bytes = slab_rows * window // 8 if packed else slab_rows * window
+    ann8 = rows * n_attrs // ndev
+    out_bytes = 5 * (n * n_attrs // ndev)  # f32 logsf + int8 bin, row-sharded
+    w = min(chunk_cols, n_attrs)
+    transient = (slab_rows * w * 4 * 2 + slab_rows * w
+                 + min(chunk_budget_cells, 12 * 10 ** 8) * 4)
+    per_shard = fw_slab + ind_bytes + ann8 + out_bytes + transient
+    return dict(n=n, band=band, n_attrs=n_attrs, ndev=ndev, bt=bt,
+                rows=rows, window=window, packed=packed,
+                fw_slab=fw_slab, indicator_bytes=ind_bytes,
+                annotations_int8=ann8, out_bytes=out_bytes,
+                census_transient=transient, per_shard_peak=per_shard,
+                budget=budget, admit=int(admit),
+                fits=per_shard <= admit, sharded=True)
+
+
 def explain(plan: dict) -> str:
     """One-line human summary of a plan (used in the guard's ValueError)."""
     gb = 1e9
+    if plan.get("sharded"):
+        return (f"sharded band GO HBM plan at {plan['n']:,} x "
+                f"{plan['n_attrs']:,} over {plan['ndev']} devices (band "
+                f"{plan['band']}, packed={plan['packed']}): per-shard peak "
+                f"{plan['per_shard_peak'] / gb:.2f} GB vs admitted "
+                f"{plan['admit'] / gb:.2f} GB of {plan['budget'] / gb:.2f} GB")
     return (f"band GO HBM plan at {plan['n']:,} x {plan['n_attrs']:,} "
             f"(band {plan['band']}, packed={plan['packed']}, "
             f"split_front={plan['split_front']}, "

@@ -731,10 +731,22 @@ def hypergeom_band_table_sharded(ind_g, nan0_np,
 
     # natural-order chunks stream into preallocated donated outputs (see
     # ops/enrich_band.hypergeom_band_table: transient pieces+concat tripled
-    # the output footprint and thrashed the allocator at 100k x 4,373)
-    from safepy_tpu.ops.enrich_band import _place_chunk
-    logsf = jnp.zeros((n, n_attrs), jnp.float32)
-    nbin = jnp.zeros((n, n_attrs), jnp.int8)
+    # the output footprint and thrashed the allocator at 100k x 4,373).
+    # The outputs are EXPLICITLY row-sharded: GSPMD's default for the
+    # eager-gathered chunk results is full replication (measured on the
+    # virtual mesh), which would put the whole 7.6 GB result pair on every
+    # shard — exactly what the per-shard HBM plan forbids.
+    row_sharded = jax.NamedSharding(mesh, P(axis, None))
+    alloc = jax.jit(
+        lambda: (jnp.zeros((n, n_attrs), jnp.float32),
+                 jnp.zeros((n, n_attrs), jnp.int8)),
+        out_shardings=(row_sharded, row_sharded))
+    place = jax.jit(
+        lambda lo, bi, lc, bc, s: (
+            jax.lax.dynamic_update_slice(lo, lc, (jnp.int32(0), s)),
+            jax.lax.dynamic_update_slice(bi, bc, (jnp.int32(0), s))),
+        donate_argnums=(0, 1), out_shardings=(row_sharded, row_sharded))
+    logsf, nbin = alloc()
     counts = []
     for ch in plan["chunks"]:
         start, width_c = ch["start"], ch["width"]
@@ -749,7 +761,8 @@ def hypergeom_band_table_sharded(ind_g, nan0_np,
         # overlap columns from the counts (placement overwrites in place)
         counts.append(np.asarray(
             jnp.sum(bin_c, axis=0, dtype=jnp.int32))[ch.get("overlap", 0):])
-        logsf, nbin = _place_chunk(logsf, nbin, logsf_c, bin_c, start)
+        logsf, nbin = place(logsf, nbin, logsf_c, bin_c,
+                            jnp.asarray(start, jnp.int32))
     return logsf, nbin, np.concatenate(counts)
 
 

@@ -121,6 +121,16 @@ class SAFE:
         # so giant bands pay ~2x HBM fused but ~1x split. ~1 s of extra
         # dispatch overhead, irrelevant at the scales the gate admits.
         self.band_split_min_bytes = 3 * 10 ** 9
+        # Shape-bucket the band store's tile half-width: bt (= band//128+1)
+        # is rounded UP to a multiple of this, so a radius sweep over the
+        # same network re-uses the compiled FW/census programs whenever two
+        # radii land in the same bucket — every distinct (rows, bt) pair is
+        # a fresh multi-minute remote Mosaic compile otherwise (VERDICT r4
+        # item 6). Results are identical: the banded-order certificate is a
+        # LOWER bound on the window, and a wider window only adds relaxation
+        # lattice points beyond the certified band (<= 3 extra tiles of FW
+        # work, ~8% at bt 26). 0/None disables.
+        self.band_bt_bucket = 4
         # BIT-packed indicator bands (uint8, 8 cells/byte — ops/
         # apsp_bandstore.is_packed_bits): 'auto' packs the single-device
         # banded indicator (euclidean-direct AND graph FW-thresholded) once
@@ -735,6 +745,7 @@ class SAFE:
 
         plan = None
         order, band = _banded.banded_order(coords, nr)
+        band = self._bucket_band(band)
         if forced or (_bst.band_nbytes(num_nodes, band)
                       <= 0.5 * 4 * num_nodes * num_nodes):
             rank = np.empty(num_nodes, dtype=np.int64)
@@ -787,6 +798,7 @@ class SAFE:
         if order is None:
             order, band = _banded.graph_banded_order(num_nodes, edges,
                                                      weights, nr * (1 + 1e-5))
+        band = self._bucket_band(band)
         # the band must genuinely beat dense storage (unless forced)
         if forced or (_bst.band_nbytes(num_nodes, band)
                       <= 0.5 * 4 * num_nodes * num_nodes):
@@ -876,6 +888,18 @@ class SAFE:
             # any downstream dispatch runs
             dist_band = jnp.zeros((0, 1), jnp.float32)
         return dist_band, s_ind, mean, std
+
+    def _bucket_band(self, band: int, block: int = 128) -> int:
+        """Round ``band`` up so bt (= band//block + 1) lands on the
+        ``band_bt_bucket`` lattice (compile-cache reuse across radius
+        sweeps; see the attribute comment). The certified band only
+        widens, so results are identical (test-pinned)."""
+        bucket = int(self.band_bt_bucket or 0)
+        if bucket <= 1:
+            return int(band)
+        bt = band // block + 1
+        bt_b = -(-bt // bucket) * bucket
+        return int(band) if bt_b == bt else (bt_b - 1) * block
 
     def _band_go_hbm_guard(self, num_nodes, band, n_attrs):
         """Pre-dispatch HBM plan for the single-chip band GO (binary table)
@@ -1059,6 +1083,7 @@ class SAFE:
         self.__dict__.setdefault("_nes_from_logsf", False)
         self.__dict__.setdefault("annotation_release_min_bytes", 2 * 10 ** 9)
         self.__dict__.setdefault("logsf_store", "auto")
+        self.__dict__.setdefault("band_bt_bucket", 4)
         self.__dict__.setdefault("hbm_budget_bytes", None)
         self.__dict__.setdefault("_hbm_plan_last", None)
         self.__dict__.setdefault("_band_operands_cache", None)
@@ -1147,6 +1172,7 @@ class SAFE:
                     self._neighborhoods_device(), n2a, mesh=self.mesh,
                     enrichment_threshold=self.enrichment_threshold,
                     node2attribute_device=self._node2attribute_device())
+            self._hypergeom_engine_used = "loop-dense-attr-sharded"
             # significance decided on device in f64 before the f32 rounding;
             # only the (A,) counts cross the relay here
             return self._store_hypergeom_results(nes32, log_sf32, nes_binary8,
@@ -1172,6 +1198,7 @@ class SAFE:
         k_max = int(max(1, np.nanmax(N_in_group))) if N_in_group.size else 1
         iters = _hyper.tail_iterations(
             n, int(min(k_max, max(1, neighborhood_size.max(initial=1)))))
+        self._hypergeom_engine_used = "loop-dense-staged"
         self.pvalues_pos, nes = _hyper.hypergeom_sf_and_nes(
             counts, n, N_in_group[None, :], neighborhood_size[:, None],
             iterations=iters)
@@ -1845,6 +1872,22 @@ class SAFE:
                     from safepy_tpu.parallel.band_sharded import (
                         band_neighborhoods_sharded,
                         hypergeom_band_table_sharded)
+                    # per-shard HBM plan asserted BEFORE dispatch, like the
+                    # single-chip guard (facade-native mesh_band_go plan)
+                    from safepy_tpu import hbm as _hbm
+                    splan = _hbm.band_go_shard_hbm_plan(
+                        num_nodes, band, n2a.shape[1],
+                        int(self.mesh.shape["data"]),
+                        packed=self._band_bits_selected(num_nodes, band),
+                        budget=self.hbm_budget_bytes)
+                    self._hbm_plan_last = splan
+                    if not splan["fits"]:
+                        raise ValueError(
+                            "refusing to dispatch a sharded band GO pipeline "
+                            "that does not fit per shard: "
+                            + _hbm.explain(splan)
+                            + ". Add devices to the 'data' mesh axis or "
+                              "lower the radius.")
                     (dist_band, s_ind, _sizes, mean, std) = \
                         band_neighborhoods_sharded(
                             plan["u"], plan["v"], plan["w"], radius,

@@ -195,6 +195,36 @@ def test_band_logsf_host_with_fdr(net):
     np.testing.assert_array_equal(host.nes_binary, dev.nes_binary)
 
 
+def test_band_bt_bucket_results_identical(net):
+    """bt bucketing (compile-cache reuse across radius sweeps, VERDICT r4
+    item 6) only WIDENS the certified band — every public output is
+    identical with bucketing on (default 4) vs off."""
+    path, n = net
+    attrs = _binary_attrs(n)
+    sf_on = _run(path, attrs, "band")
+    sf_off = SAFE(verbose=False)
+    sf_off.apsp_mode = "band"
+    sf_off.band_bt_bucket = 0
+    sf_off.random_seed = 7
+    sf_off.load_network(network_file=path, node_key_attribute="key")
+    sf_off.load_attributes(attribute_file=attrs)
+    sf_off.run_pipeline()
+
+    bt_on = sf_on._neighborhoods_dev.bt
+    bt_off = sf_off._neighborhoods_dev.bt
+    assert bt_on % 4 == 0 and bt_on >= bt_off
+    np.testing.assert_array_equal(sf_on.neighborhoods, sf_off.neighborhoods)
+    np.testing.assert_array_equal(np.asarray(sf_on._logsf_dev),
+                                  np.asarray(sf_off._logsf_dev))
+    np.testing.assert_array_equal(sf_on.nes_binary, sf_off.nes_binary)
+    # distances agree on the CERTIFIED band; the wider bucketed band may
+    # additionally resolve pairs beyond the radius (both report inf/exact
+    # inside it)
+    inside = np.isfinite(sf_off.node_distances)
+    np.testing.assert_allclose(sf_on.node_distances[inside],
+                               sf_off.node_distances[inside], rtol=1e-6)
+
+
 @pytest.mark.slow
 def test_band_permutation_matches_full_statistically(net):
     path, n = net

@@ -212,3 +212,80 @@ def test_mesh_2d_apsp_through_facade(network):
     sf.load_attributes(attribute_file=df)
     sf.run_pipeline(num_permutations=80)
     np.testing.assert_array_equal(single.neighborhoods, sf.neighborhoods)
+
+
+@pytest.mark.slow
+def test_mesh_band_go_full_width_through_facade(tmp_path):
+    """VERDICT r5 item 5: the FULL GO width (4,373 attributes) through the
+    facade on the 8-device mesh — `sf.mesh = make_mesh({'data': 8});
+    sf.run_pipeline()` just works: the per-shard HBM plan is asserted
+    pre-dispatch (facade-native tools/mesh_band_go.py), the engine is
+    'table-band-sharded', the (n, A) results are genuinely ROW-SHARDED
+    (not replicated), and sampled rows match an exact scipy oracle."""
+    from scipy.sparse import coo_matrix
+    from scipy.sparse.csgraph import dijkstra
+    from scipy.stats import hypergeom
+    from safepy_tpu.ops.neighborhoods import inclusive_radius
+
+    n, a = 2560, 4373
+    rng = np.random.default_rng(2)
+    coords = rng.uniform(-1, 1, (n, 2))
+    from scipy.spatial import cKDTree
+    _, nn = cKDTree(coords).query(coords, k=7)
+    g = nx.Graph()
+    g.add_nodes_from(range(n))
+    g.add_edges_from({(min(i, int(j)), max(i, int(j)))
+                      for i in range(n) for j in nn[i, 1:]})
+    for i in range(n):
+        g.nodes[i]["label"] = g.nodes[i]["key"] = f"n{i}"
+        g.nodes[i]["x"], g.nodes[i]["y"] = map(float, coords[i])
+    from safepy_tpu.io.layout import calculate_edge_lengths
+    calculate_edge_lengths(g, verbose=False)
+
+    sizes = np.exp(rng.uniform(np.log(5), np.log(0.03 * n), a))
+    vals = (rng.random((n, a)) < (sizes / n)[None, :]).astype(np.float32)
+    vals[rng.random((n, a)) < 0.05] = np.nan
+    attrs = pd.DataFrame(vals, index=[f"n{i}" for i in range(n)],
+                         columns=[f"go{j}" for j in range(a)])
+
+    sf = SAFE(verbose=False)
+    sf.apsp_mode = "band"
+    sf.band_storage_min_nodes = 100
+    sf.keep_node_distances = False
+    sf.random_seed = 17
+    sf.neighborhood_radius = float(np.sqrt(8.0 / (np.pi * n)))
+    sf.mesh = make_mesh({"data": 8})
+    sf.load_network(network_file=g, node_key_attribute="key")
+    sf.load_attributes(attribute_file=attrs)
+    sf.run_pipeline()
+
+    assert sf._hypergeom_engine_used == "table-band-sharded"
+    plan = sf._hbm_plan_last
+    assert plan["sharded"] and plan["fits"] and plan["ndev"] == 8
+    # the results must be row-sharded, not replicated (per-shard HBM plan)
+    from jax.sharding import PartitionSpec as P
+    assert sf._logsf_dev.sharding.spec == P("data", None)
+    shard_rows = sf._logsf_dev.addressable_shards[0].data.shape[0]
+    assert shard_rows <= -(-n // 8) + 8
+
+    # exact scipy oracle over ALL 4,373 attributes on sampled rows
+    edges = np.array(g.edges())
+    w = np.hypot(coords[edges[:, 0], 0] - coords[edges[:, 1], 0],
+                 coords[edges[:, 0], 1] - coords[edges[:, 1], 1])
+    gsp = coo_matrix((np.concatenate([w, w]),
+                      (np.concatenate([edges[:, 0], edges[:, 1]]),
+                       np.concatenate([edges[:, 1], edges[:, 0]]))),
+                     shape=(n, n)).tocsr()
+    r = float(inclusive_radius(
+        sf.neighborhood_radius * (coords[:, 0].max() - coords[:, 0].min())))
+    sources = rng.choice(n, 6, replace=False)
+    d_ref = dijkstra(gsp, indices=sources, limit=r * 1.001)
+    nan0 = np.where(np.isnan(vals), 0.0, vals)
+    K = nan0.sum(0)
+    M = int((~np.isnan(vals)).any(1).sum())
+    got_p = np.asarray(sf.pvalues_pos[sources])
+    for row, s in enumerate(sources):
+        members = np.flatnonzero(d_ref[row] <= r)
+        k = nan0[members].sum(0)
+        want = hypergeom.sf(k - 1, M, K.astype(int), len(members))
+        assert float(np.abs(got_p[row] - want).max()) < 1e-6
