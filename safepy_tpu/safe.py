@@ -128,8 +128,12 @@ class SAFE:
         # a fresh multi-minute remote Mosaic compile otherwise (VERDICT r4
         # item 6). Results are identical: the banded-order certificate is a
         # LOWER bound on the window, and a wider window only adds relaxation
-        # lattice points beyond the certified band (<= 3 extra tiles of FW
-        # work, ~8% at bt 26). 0/None disables.
+        # lattice points beyond the certified band. The steady-state tax is
+        # QUADRATIC in the widening (FW work ~ bt^2): measured +25% at
+        # 299,520x4,373 where bt 29 rounds to 32 (29.5 s vs 23.6 s,
+        # tools/r5_results.log vs r4b) — worth a ~475-874 s compile saved
+        # per reused radius in a sweep, but set 0/None (disable) for a
+        # pinned production radius that will be re-run many times.
         self.band_bt_bucket = 4
         # BIT-packed indicator bands (uint8, 8 cells/byte — ops/
         # apsp_bandstore.is_packed_bits): 'auto' packs the single-device
@@ -893,13 +897,20 @@ class SAFE:
         """Round ``band`` up so bt (= band//block + 1) lands on the
         ``band_bt_bucket`` lattice (compile-cache reuse across radius
         sweeps; see the attribute comment). The certified band only
-        widens, so results are identical (test-pinned)."""
+        widens, so results are identical (test-pinned).
+
+        Every band in a bucket maps to the bucket's CANONICAL (maximum)
+        band, not just the same bt: ``band`` itself is a static argname of
+        the jitted band pipelines, so two same-bt radii with different raw
+        bands would still compile two programs (measured: euclid 1M bands
+        6543 vs 6528, both bt 52, paid 307 s on the second —
+        tools/r5_results.log)."""
         bucket = int(self.band_bt_bucket or 0)
         if bucket <= 1:
             return int(band)
         bt = band // block + 1
         bt_b = -(-bt // bucket) * bucket
-        return int(band) if bt_b == bt else (bt_b - 1) * block
+        return bt_b * block - 1
 
     def _band_go_hbm_guard(self, num_nodes, band, n_attrs):
         """Pre-dispatch HBM plan for the single-chip band GO (binary table)

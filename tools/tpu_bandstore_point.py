@@ -211,6 +211,152 @@ def main():
             res["highest"][1] - res["default"][1])))))
         print(json.dumps(out), flush=True)
         return
+    if kind == "sweepgo":
+        # sweepgo:<nodes>:<attrs>:<t1>:<t2> — a RADIUS SWEEP in one process,
+        # the primary use-case of band bt-bucketing (VERDICT r4 item 6):
+        # both targets' certified bands land in one bt bucket, so the
+        # second radius re-uses every compiled program in-process and its
+        # first run costs ~ steady + the host banded-order rebuild.
+        parts = rest.split(":")
+        n, a = int(parts[0]), int(parts[1])
+        t1, t2 = float(parts[2]), float(parts[3])
+        t0 = time.time()
+        g = build_graph(n)
+        print(f"# graph built in {time.time() - t0:.1f} s", flush=True)
+        rng = np.random.default_rng(2)
+        sizes = np.exp(rng.uniform(np.log(5), np.log(0.03 * n), a))
+        vals = (rng.random((n, a)) < (sizes / n)[None, :]).astype(np.float32)
+        vals[rng.random((n, a)) < 0.05] = np.nan
+        attrs = pd.DataFrame(vals, index=[f"n{i}" for i in range(n)],
+                             columns=[f"go{j}" for j in range(a)])
+        from safepy_tpu import SAFE
+        sf = SAFE(verbose=False)
+        sf.apsp_mode = "band"
+        sf.band_storage_min_nodes = 10000
+        sf.keep_node_distances = False
+        sf.band_indicator_bits = True
+        sf.random_seed = 17
+        sf.neighborhood_radius = float(np.sqrt(t1 / (np.pi * n)))
+        sf.load_network(network_file=g, node_key_attribute="key")
+        sf.load_attributes(attribute_file=attrs)
+        t0 = time.time()
+        sf.run_pipeline()
+        first1 = time.time() - t0
+        t0 = time.time()
+        sf.run_pipeline()
+        steady1 = time.time() - t0
+        band1 = int(sf._neighborhoods_dev.band)
+        e1 = int((sf.attributes["num_neighborhoods_enriched"] > 10).sum())
+        sf.neighborhood_radius = float(np.sqrt(t2 / (np.pi * n)))
+        t0 = time.time()
+        sf.run_pipeline()
+        first2 = time.time() - t0
+        band2 = int(sf._neighborhoods_dev.band)
+        print(json.dumps({
+            "check": "sweep_go", "nodes": n, "attributes": a,
+            "targets": [t1, t2], "bands": [band1, band2],
+            "engine": sf._hypergeom_engine_used,
+            "first_s": round(first1, 2), "steady_s": round(steady1, 3),
+            "fresh_radius_first_s": round(first2, 2),
+            "attrs_gt10_t1": e1,
+            "attrs_gt10_t2": int(
+                (sf.attributes["num_neighborhoods_enriched"] > 10).sum())}),
+            flush=True)
+        return
+    if kind == "sweepeuclid":
+        # sweepeuclid:<n>:<t1>:<t2> — euclidean radius sweep in one process
+        # (see sweepgo above).
+        parts = rest.split(":")
+        n = int(parts[0])
+        t1, t2 = float(parts[1]), float(parts[2])
+        rng = np.random.default_rng(5)
+        coords = rng.uniform(-1, 1, (n, 2))
+        import networkx as nx
+        from safepy_tpu import SAFE
+        g = nx.Graph()
+        g.add_nodes_from(range(n))
+        for i in range(n):
+            g.nodes[i]["label"] = g.nodes[i]["key"] = f"c{i}"
+            g.nodes[i]["x"] = float(coords[i, 0])
+            g.nodes[i]["y"] = float(coords[i, 1])
+        vals = rng.normal(size=(n, 1))
+        vals[rng.random(n) < 0.3, 0] = np.nan
+        attrs = pd.DataFrame(vals, index=[f"c{i}" for i in range(n)],
+                             columns=["q"])
+        sf = SAFE(verbose=False)
+        sf.random_seed = 17
+        sf.apsp_mode = "auto" if n >= 32768 else "band"
+        sf.band_storage_min_nodes = min(32768, n)
+        sf.keep_node_distances = False
+        sf.band_indicator_bits = True
+        sf.neighborhood_radius = float(np.sqrt(t1 / (np.pi * n)))
+        sf.load_network(network_file=g, node_key_attribute="key")
+        sf.load_attributes(attribute_file=attrs)
+        t0 = time.time()
+        sf.run_pipeline(node_distance_metric="euclidean",
+                        num_permutations=1000)
+        first1 = time.time() - t0
+        t0 = time.time()
+        sf.run_pipeline(node_distance_metric="euclidean",
+                        num_permutations=1000)
+        steady1 = time.time() - t0
+        band1 = int(sf._neighborhoods_dev.band)
+        sf.neighborhood_radius = float(np.sqrt(t2 / (np.pi * n)))
+        t0 = time.time()
+        sf.run_pipeline(node_distance_metric="euclidean",
+                        num_permutations=1000)
+        first2 = time.time() - t0
+        print(json.dumps({
+            "check": "sweep_euclid", "nodes": n, "targets": [t1, t2],
+            "bands": [band1, int(sf._neighborhoods_dev.band)],
+            "first_s": round(first1, 2), "steady_s": round(steady1, 3),
+            "fresh_radius_first_s": round(first2, 2),
+            "enriched_t2": int((sf.nes_binary > 0).sum())}), flush=True)
+        return
+    if kind == "guardfail":
+        # guardfail:<nodes>:<attrs>[:<target>] — EXPECT the facade's
+        # pre-dispatch HBM guard to refuse the band GO pipeline with a clean
+        # ValueError (never handing XLA an allocation that wedges the
+        # backend), then PROVE the process backend is still healthy by
+        # running a small pipeline in the same process. The r4 behavior at
+        # an over-budget point was a fatal OOM that poisoned every later op.
+        parts = rest.split(":")
+        n, a = int(parts[0]), int(parts[1])
+        target = float(parts[2]) if len(parts) > 2 else 125.0
+        budget = next((int(p.split("=", 1)[1]) for p in parts
+                       if p.startswith("budget=")), None)
+        t0 = time.time()
+        g = build_graph(n)
+        print(f"# graph built in {time.time() - t0:.1f} s", flush=True)
+        rng = np.random.default_rng(2)
+        sizes = np.exp(rng.uniform(np.log(5), np.log(0.03 * n), a))
+        vals = (rng.random((n, a)) < (sizes / n)[None, :]).astype(np.float32)
+        vals[rng.random((n, a)) < 0.05] = np.nan
+        attrs = pd.DataFrame(vals, index=[f"n{i}" for i in range(n)],
+                             columns=[f"go{j}" for j in range(a)])
+        radius = float(np.sqrt(target / (np.pi * n)))
+        err = None
+        t0 = time.time()
+        try:
+            run_safe(g, attrs, "band", radius, min_nodes=10000,
+                     keep_node_distances=False, band_indicator_bits=True,
+                     hbm_budget_bytes=budget)
+        except ValueError as e:
+            err = str(e)
+        guard_s = time.time() - t0
+        assert err is not None, "expected the HBM guard to refuse this point"
+        # backend must still be fully usable after the refusal
+        g2 = build_graph(800)
+        sf2, _, steady2 = run_safe(g2, quant_attrs(800), "band", 0.1,
+                                   perms=200, min_nodes=100)
+        print(json.dumps({
+            "check": "guardfail", "nodes": n, "attributes": a,
+            "target_neighbors": target, "refused_s": round(guard_s, 2),
+            "error": err[:300],
+            "backend_alive_steady_s": round(steady2, 3),
+            "backend_alive_enriched": int((sf2.nes_binary > 0).sum())}),
+            flush=True)
+        return
     if kind == "quant":
         parts = rest.split(":")
         n = int(parts[0])

@@ -47,7 +47,8 @@ def build_graph(n, k=9, seed=0):
 
 
 def run_safe(g, attrs, mode, radius, perms=1000, min_nodes=32768,
-             keep_node_distances=True, band_indicator_bits="auto"):
+             keep_node_distances=True, band_indicator_bits="auto",
+             hbm_budget_bytes=None):
     from safepy_tpu import SAFE
 
     sf = SAFE(verbose=False)
@@ -55,6 +56,8 @@ def run_safe(g, attrs, mode, radius, perms=1000, min_nodes=32768,
     sf.band_storage_min_nodes = min_nodes
     sf.keep_node_distances = keep_node_distances
     sf.band_indicator_bits = band_indicator_bits
+    if hbm_budget_bytes is not None:
+        sf.hbm_budget_bytes = int(hbm_budget_bytes)
     sf.neighborhood_radius = radius
     sf.random_seed = 17
     sf.load_network(network_file=g, node_key_attribute="key")
