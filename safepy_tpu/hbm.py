@@ -13,6 +13,9 @@ The model is the measured structure of the fused band programs
 XLA query — an AOT lowering would itself cost a multi-minute remote
 compile per shape. Phases:
 
+  * ``prep`` — the operand build (band_hyper_operands_*): ~2 cells/byte
+    plus one f32 column chunk when chunked, ~10 cells full-device (the
+    r5d guardfail demo OOM'd HERE, before the old post-prep guard);
   * ``relax`` — the FW front: the f32 distance band, DOUBLE-buffered by
     XLA inside a fused while-loop program (measured, memplan r3d) unless
     the split front runs it donated; plus the indicator output and any
@@ -63,7 +66,8 @@ def band_geometry(n: int, band: int, block: int = 128):
 
 def band_go_hbm_plan(n: int, band: int, n_attrs: int, *, packed: bool,
                      split_front: bool, keep_distances: bool,
-                     logsf_out: str = "auto", budget: int | None = None,
+                     logsf_out: str = "auto", prep_chunked: bool = True,
+                     budget: int | None = None,
                      block: int = 128, chunk_cols: int = 512,
                      chunk_budget_cells: int = 4 * 10 ** 8):
     """Phase-peak HBM plan for the single-chip band GO (binary) pipeline.
@@ -72,6 +76,14 @@ def band_go_hbm_plan(n: int, band: int, n_attrs: int, *, packed: bool,
     residency ('auto' picks the cheapest-loss mode that fits: device ->
     f16 -> host), ``fits`` and the governing phase. Callers raise on
     ``fits=False`` — never dispatch.
+
+    ``prep_chunked``: the operand-prep phase builds the int8 annotations
+    from column-chunked uploads (~2 cells/byte peak + one f32 chunk,
+    ops/enrich_band.band_hyper_operands_chunked); False models the
+    full-device prep, whose jit peak is ~10 cells (the f32 upload + the
+    twice-consumed f32 nan0 XLA materializes + int8 + gather out —
+    calibrated by the measured pair: 349,440 x 4,373 prep fits at 15.3 GB,
+    399,360 x 4,373 OOM'd at 17.5 GB, tools/r5_results.log 21:39).
     """
     budget = device_hbm_budget() if budget is None else int(budget)
     admit_relax = RELAX_SAFETY * budget
@@ -81,6 +93,8 @@ def band_go_hbm_plan(n: int, band: int, n_attrs: int, *, packed: bool,
     ind_bytes = rows * window // 8 if packed else rows * window
     ann8 = n * n_attrs  # int8 operands (band_hyper_operands_device)
 
+    prep_peak = (2 * ann8 + 4 * n * min(chunk_cols, n_attrs)
+                 if prep_chunked else 10 * ann8)
     relax_peak = (f32_band * (1 if split_front else 2)
                   + ind_bytes + ann8)
 
@@ -103,13 +117,19 @@ def band_go_hbm_plan(n: int, band: int, n_attrs: int, *, packed: bool,
         if census_peak <= admit:
             chosen = mode
             break
-    fits = chosen is not None and relax_peak <= admit_relax
-    governing = ("relax" if relax_peak > admit_relax else "census")
+    fits = (chosen is not None and relax_peak <= admit_relax
+            and prep_peak <= admit_relax)
+    # governing = the phase closest to (or furthest past) its admit line
+    ratios = {"prep": prep_peak / admit_relax,
+              "relax": relax_peak / admit_relax,
+              "census": census_peak / admit}
+    governing = max(ratios, key=ratios.get)
     return dict(n=n, band=band, n_attrs=n_attrs, bt=bt, rows=rows,
                 window=window, packed=packed, split_front=split_front,
-                keep_distances=keep_distances,
+                keep_distances=keep_distances, prep_chunked=prep_chunked,
                 f32_band=f32_band, indicator_bytes=ind_bytes,
-                annotations_int8=ann8, relax_peak=relax_peak,
+                annotations_int8=ann8, prep_peak=prep_peak,
+                relax_peak=relax_peak,
                 census_transient=transient, census_peak=census_peak,
                 logsf_out=chosen if fits else None,
                 budget=budget, admit=int(admit),
@@ -167,6 +187,7 @@ def explain(plan: dict) -> str:
             f"(band {plan['band']}, packed={plan['packed']}, "
             f"split_front={plan['split_front']}, "
             f"keep_distances={plan['keep_distances']}): "
+            f"prep peak {plan['prep_peak'] / gb:.2f} GB, "
             f"relax peak {plan['relax_peak'] / gb:.2f} GB, census peak "
             f"{(plan['census_peak'] or 0) / gb:.2f} GB "
             f"(logsf_out={plan['logsf_out']}) vs admitted "

@@ -340,6 +340,80 @@ def band_hyper_operands_device(n2a_dev, order):
             jnp.take(nnn, order), K, binary_ok)
 
 
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def _prep_chunk_step(buf, nnn_any, x, col0):
+    """One column chunk of :func:`band_hyper_operands_chunked`: write the
+    chunk's int8 nan0 columns into the donated (N, A) buffer and fold the
+    chunk into the row-validity / K / binary-ok accumulators."""
+    finite = jnp.isfinite(x)
+    nan0 = jnp.where(finite, x, 0.0)
+    buf = jax.lax.dynamic_update_slice(
+        buf, nan0.astype(jnp.int8), (jnp.int32(0), col0))
+    nnn_any = nnn_any | jnp.any(finite, axis=1)
+    # column sums of integer-valued f32 are exact below 2^24 rows
+    K_c = jnp.sum(nan0, axis=0)
+    ok_c = jnp.all((x == 0.0) | (x == 1.0) | ~finite)
+    return buf, nnn_any, K_c, ok_c
+
+
+@jax.jit
+def _prep_permute(buf, nnn_any, order):
+    return (jnp.take(buf, order, axis=0),
+            jnp.take(nnn_any.astype(jnp.float32), order))
+
+
+def band_hyper_operands_chunked(n2a_np, order, chunk_cols: int = 512):
+    """:func:`band_hyper_operands_device` built from COLUMN-CHUNKED host
+    uploads — the GO-scale prep path.
+
+    The full-device variant's jit peak is ~10 (N, A)-cells of HBM (the f32
+    upload + the f32 nan0, which XLA materializes for its two consumers, +
+    the int8 nan0 + the row-gather output): measured 349,440 x 4,373 fits
+    (15.3 GB) while 399,360 x 4,373 OOM'd inside the prep
+    (tools/r5_results.log 21:39, the r5d guardfail demo). This variant
+    peaks at ~2 cells (the donated int8 accumulator + the gather output)
+    plus one f32 chunk: each (N, chunk) f32 column chunk is uploaded,
+    folded into the int8 buffer by :func:`_prep_chunk_step` (donated — XLA
+    updates in place), and freed; the row permutation runs once at the
+    end. Results are bit-identical to the full-device path (test-pinned).
+    """
+    import numpy as np
+    n, a = n2a_np.shape
+    buf = jnp.zeros((n, a), jnp.int8)
+    nnn_any = jnp.zeros((n,), bool)
+    K_parts, ok = [], True
+    for j in range(0, a, chunk_cols):
+        x = jnp.asarray(np.asarray(n2a_np[:, j:j + chunk_cols], np.float32))
+        buf, nnn_any, K_c, ok_c = _prep_chunk_step(
+            buf, nnn_any, x, jnp.int32(j))
+        K_parts.append(np.asarray(K_c))
+        ok = ok and bool(ok_c)
+    nan0_perm, nnn_perm = _prep_permute(buf, nnn_any,
+                                        jnp.asarray(order, jnp.int32))
+    return nan0_perm, nnn_perm, jnp.asarray(np.concatenate(K_parts)), ok
+
+
+def count_other_values_chunked(n2a_np, chunk_cols: int = 512):
+    """Count of finite non-0/1 values (the reference's binary detection,
+    safe.py:454-456) from column-chunked uploads — never stages the full
+    f32 (N, A) on device for one scalar (at 399,360 x 4,373 the full
+    upload is 6.98 GB; a chunk is ~0.8 GB)."""
+    import numpy as np
+    n, a = n2a_np.shape
+    total = 0
+    for j in range(0, a, chunk_cols):
+        x = jnp.asarray(np.asarray(n2a_np[:, j:j + chunk_cols], np.float32))
+        total += int(np.asarray(_count_other_chunk(x)))
+    return total
+
+
+@jax.jit
+def _count_other_chunk(x):
+    # one chunk's count is < 2^31 for any realistic (rows, 512) chunk
+    return jnp.sum(jnp.isfinite(x) & (x != 0.0) & (x != 1.0),
+                   dtype=jnp.int32)
+
+
 def hypergeom_band_table(s_ind, nan0_np, nodes_not_nan_np, M,
                          enrichment_threshold, *, bt: int, block: int = 128,
                          rank_np, precision: str = "highest",

@@ -925,6 +925,7 @@ class SAFE:
             split_front=self._band_split_selected(num_nodes, band),
             keep_distances=bool(self.keep_node_distances),
             logsf_out=self.logsf_store,
+            prep_chunked=self._prep_chunked_selected(),
             budget=self.hbm_budget_bytes)
         self._hbm_plan_last = plan
         if not plan["fits"]:
@@ -940,6 +941,23 @@ class SAFE:
                          "%.2f GB of %.2f GB admitted)", plan["logsf_out"],
                          plan["census_peak"] / 1e9, plan["admit"] / 1e9)
         return plan["logsf_out"]
+
+    def _band_go_shard_guard(self, num_nodes, band, n_attrs):
+        """Per-shard HBM plan assertion for the ROW-SHARDED band GO engine —
+        the sharded twin of :meth:`_band_go_hbm_guard`, called BEFORE the
+        operand prep (facade-native mesh_band_go plan, VERDICT r5 item 5)."""
+        from safepy_tpu import hbm as _hbm
+        splan = _hbm.band_go_shard_hbm_plan(
+            num_nodes, band, n_attrs, int(self.mesh.shape["data"]),
+            packed=self._band_bits_selected(num_nodes, band),
+            budget=self.hbm_budget_bytes)
+        self._hbm_plan_last = splan
+        if not splan["fits"]:
+            raise ValueError(
+                "refusing to dispatch a sharded band GO pipeline that does "
+                "not fit per shard: " + _hbm.explain(splan)
+                + ". Add devices to the 'data' mesh axis or lower the "
+                  "radius.")
 
     def _band_bits_selected(self, num_nodes, band):
         """Bit-pack the indicator band? (euclidean keep_node_distances=False
@@ -985,9 +1003,20 @@ class SAFE:
         c = self._band_operands_cache
         if c is not None and c[0] == key:
             return c[1]
-        from safepy_tpu.ops.enrich_band import band_hyper_operands_device
-        nan0, nnn, K, binary_ok = band_hyper_operands_device(
-            self._node2attribute_device(), jnp.asarray(order, jnp.int32))
+        if self._prep_chunked_selected():
+            # GO-scale prep: column-chunked uploads. The full-device jit
+            # peaks at ~10 (N, A)-cells (XLA materializes the f32 nan0 for
+            # its two consumers): 399,360 x 4,373 OOM'd inside the prep
+            # itself (tools/r5_results.log 21:39) — chunked peaks at ~2
+            # cells + one f32 chunk and never stages the full f32 upload
+            from safepy_tpu.ops.enrich_band import (
+                band_hyper_operands_chunked)
+            nan0, nnn, K, binary_ok = band_hyper_operands_chunked(
+                self.node2attribute, order)
+        else:
+            from safepy_tpu.ops.enrich_band import band_hyper_operands_device
+            nan0, nnn, K, binary_ok = band_hyper_operands_device(
+                self._node2attribute_device(), jnp.asarray(order, jnp.int32))
         binary_ok = bool(np.asarray(binary_ok))
         M = int(np.asarray(jnp.sum(nnn)))
         if not binary_ok:
@@ -1017,16 +1046,35 @@ class SAFE:
                 >= float(self.annotation_release_min_bytes)):
             self._n2a_dev = None
 
+    def _prep_chunked_selected(self):
+        """Build the band binary operands / binary detection from column-
+        chunked uploads? True when the full f32 (N, A) upload would cross
+        ``annotation_release_min_bytes`` and is not already device-resident
+        — the chunked paths never stage it (see
+        ops/enrich_band.band_hyper_operands_chunked)."""
+        n2a = self.node2attribute
+        return (self._n2a_dev is None and n2a is not None
+                and 4 * n2a.size >= float(self.annotation_release_min_bytes))
+
     def _num_other_values(self):
         """Count of finite non-0/1 annotation values (the reference's binary
         detection, safe.py:454-456) — computed ON DEVICE from the cached
         annotation upload and cached: the host isnan/isin pass costs tens of
-        seconds per call at 100k x 4,373 in this runtime."""
+        seconds per call at 100k x 4,373 in this runtime. At GO band scale
+        the count comes from column-chunked uploads instead (the full f32
+        staging plus its eager bool temps is itself an HBM event at
+        399,360 x 4,373)."""
         if self._num_other_cache is None:
-            v = self._node2attribute_device()
-            self._num_other_cache = int(np.asarray(jnp.sum(
-                jnp.isfinite(v) & (v != 0.0) & (v != 1.0),
-                dtype=jnp.int32)))
+            if self._prep_chunked_selected():
+                from safepy_tpu.ops.enrich_band import (
+                    count_other_values_chunked)
+                self._num_other_cache = count_other_values_chunked(
+                    self.node2attribute)
+            else:
+                v = self._node2attribute_device()
+                self._num_other_cache = int(np.asarray(jnp.sum(
+                    jnp.isfinite(v) & (v != 0.0) & (v != 1.0),
+                    dtype=jnp.int32)))
         return self._num_other_cache
 
     def _neighborhoods_device(self):
@@ -1261,6 +1309,9 @@ class SAFE:
         table_out = None
         if self.hypergeom_engine in ("auto", "table"):
             from safepy_tpu.ops.enrich_band import hypergeom_band_table
+            # guard BEFORE the operand prep (see _run_pipeline_bandstore)
+            logsf_admit = self._band_go_hbm_guard(bm.n, bm.band,
+                                                  n2a.shape[1])
             nan0_d, nnn_d, K_d, binary_ok, M = \
                 self._band_hyper_operands_cached(order)
             if binary_ok:
@@ -1269,8 +1320,7 @@ class SAFE:
                     np.float64(self.enrichment_threshold), bt=bm.bt,
                     block=bm.block, rank_np=bm.rank,
                     precision=self.matmul_precision,
-                    logsf_out=self._band_go_hbm_guard(
-                        bm.n, bm.band, n2a.shape[1]))
+                    logsf_out=logsf_admit)
         if table_out is not None:
             self._hypergeom_engine_used = "table-band-staged"
             log_sf32, nes_binary8, counts = table_out
@@ -1811,7 +1861,18 @@ class SAFE:
         if binary:
             table_out = band_done = None
             nan0_perm = nnn_perm = K = M = None
+            logsf_admit = None
             if self.hypergeom_engine in ("auto", "table"):
+                # HBM guard BEFORE the operand prep — not just before the FW
+                # front: the prep itself materializes (N, A)-sized device
+                # buffers, and an over-budget point must refuse cleanly
+                # instead of OOMing inside the prep (the r5d guardfail demo
+                # did exactly that, tools/r5_results.log 21:39)
+                if self.mesh is None:
+                    logsf_admit = self._band_go_hbm_guard(
+                        num_nodes, band, n2a.shape[1])
+                else:
+                    self._band_go_shard_guard(num_nodes, band, n2a.shape[1])
                 # class-table survival engine (binary annotations): device-
                 # built int8 operands, cached across runs (the host
                 # equivalents cost minutes per run at GO scale in this
@@ -1825,10 +1886,7 @@ class SAFE:
                 if nan0_perm is not None and self.mesh is None:
                     from safepy_tpu.ops.enrich_band import (
                         hypergeom_band_table)
-                    # HBM guard BEFORE the FW front dispatch: over-budget
-                    # plans fail clean here, not as a backend-poisoning OOM
-                    logsf_out = self._band_go_hbm_guard(
-                        num_nodes, band, n2a.shape[1])
+                    logsf_out = logsf_admit
                     band_done = self._band_front_dispatch(
                         plan, radius, num_nodes)
                     dist_band, s_ind, mean, std = band_done
@@ -1883,22 +1941,8 @@ class SAFE:
                     from safepy_tpu.parallel.band_sharded import (
                         band_neighborhoods_sharded,
                         hypergeom_band_table_sharded)
-                    # per-shard HBM plan asserted BEFORE dispatch, like the
-                    # single-chip guard (facade-native mesh_band_go plan)
-                    from safepy_tpu import hbm as _hbm
-                    splan = _hbm.band_go_shard_hbm_plan(
-                        num_nodes, band, n2a.shape[1],
-                        int(self.mesh.shape["data"]),
-                        packed=self._band_bits_selected(num_nodes, band),
-                        budget=self.hbm_budget_bytes)
-                    self._hbm_plan_last = splan
-                    if not splan["fits"]:
-                        raise ValueError(
-                            "refusing to dispatch a sharded band GO pipeline "
-                            "that does not fit per shard: "
-                            + _hbm.explain(splan)
-                            + ". Add devices to the 'data' mesh axis or "
-                              "lower the radius.")
+                    # per-shard HBM plan already asserted pre-prep by
+                    # _band_go_shard_guard (facade-native mesh_band_go plan)
                     (dist_band, s_ind, _sizes, mean, std) = \
                         band_neighborhoods_sharded(
                             plan["u"], plan["v"], plan["w"], radius,

@@ -92,3 +92,58 @@ def test_facade_guard_raises_clean_before_dispatch(tmp_path):
         sf.run_pipeline()
     assert sf._logsf_dev is None and sf._logsf_np is None
     assert not sf._hbm_plan_last["fits"]
+    # the guard must fire BEFORE the operand prep builds any (N, A)-sized
+    # device buffer (the r5d guardfail demo OOM'd inside the prep when the
+    # guard ran after it, tools/r5_results.log 21:39)
+    assert sf._band_operands_cache is None
+
+
+def test_prep_phase_in_plan():
+    """The operand prep is a modeled phase: full-device prep peaks at ~10
+    cells (the measured 399,360 x 4,373 prep OOM at 17.5 GB vs the 349,440
+    fit at 15.3 GB) while the chunked prep (the facade's GO-scale route)
+    peaks at ~2 cells + one f32 chunk."""
+    full = _plan(399_360, 4300, prep_chunked=False)
+    assert full["prep_peak"] == 10 * 399_360 * 4373
+    assert full["prep_peak"] > full["admit_relax"]
+    chunked = _plan(399_360, 4300, prep_chunked=True)
+    assert chunked["prep_peak"] < 5 * 10 ** 9
+    # prep governs only when it is the phase that breaks the budget
+    p = _plan(250_000, 2000, a=12_000, prep_chunked=False)
+    if not p["fits"] and p["prep_peak"] > p["admit_relax"]:
+        assert p["governing_phase"] == "prep"
+    assert "prep peak" in explain(full)
+
+
+def test_chunked_prep_matches_device_prep():
+    """band_hyper_operands_chunked must be BIT-identical to the full-device
+    build — int8 operands, row-validity, per-column K, and the binary flag —
+    including the chunk-remainder path and a non-binary matrix."""
+    import jax.numpy as jnp
+    from safepy_tpu.ops.enrich_band import (band_hyper_operands_chunked,
+                                            band_hyper_operands_device)
+
+    rng = np.random.default_rng(11)
+    for binary, a in ((True, 13), (True, 5), (False, 7)):
+        vals = (rng.random((97, a)) < 0.2).astype(np.float64)
+        if not binary:
+            vals[0, 0] = 2.5
+        vals[rng.random((97, a)) < 0.3] = np.nan
+        order = rng.permutation(97)
+        ref = band_hyper_operands_device(
+            jnp.asarray(vals, jnp.float32), jnp.asarray(order, jnp.int32))
+        got = band_hyper_operands_chunked(vals, order, chunk_cols=4)
+        np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(ref[0]))
+        np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(ref[1]))
+        np.testing.assert_array_equal(np.asarray(got[2]), np.asarray(ref[2]))
+        assert got[3] == bool(np.asarray(ref[3])) == binary
+
+
+def test_count_other_chunked_matches_full():
+    from safepy_tpu.ops.enrich_band import count_other_values_chunked
+
+    rng = np.random.default_rng(3)
+    vals = rng.choice([0.0, 1.0, 2.0, np.nan], size=(61, 9),
+                      p=[0.4, 0.3, 0.1, 0.2])
+    expect = int(np.sum(np.isfinite(vals) & (vals != 0) & (vals != 1)))
+    assert count_other_values_chunked(vals, chunk_cols=2) == expect
