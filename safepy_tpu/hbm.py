@@ -36,9 +36,44 @@ the census's unmodeled lookup sweep temps and allocator fragmentation.
 
 from __future__ import annotations
 
+import os
+
 RELAX_SAFETY = 0.88
 CENSUS_SAFETY = 0.78
 _DEFAULT_BUDGET = 16 * 10 ** 9
+
+#: phase-boundary allocator samples appended by :func:`record_peak` when
+#: SAFEPY_TPU_HBM_TRACE is set — the calibration data for the phase models
+#: above (each entry: tag, bytes_in_use, peak_bytes_in_use).
+HBM_TRACE: list[dict] = []
+
+
+def trace_active() -> bool:
+    return os.environ.get("SAFEPY_TPU_HBM_TRACE", "") not in ("", "0")
+
+
+def record_peak(tag: str, sync: bool = True):
+    """Sample the device allocator (PJRT ``memory_stats``) at a phase
+    boundary into :data:`HBM_TRACE` — no-op unless SAFEPY_TPU_HBM_TRACE is
+    set. ``peak_bytes_in_use`` is CUMULATIVE, so the rise between two
+    consecutive samples attributes the peak to the phase between them;
+    ``sync`` drains the execution stream first so frees from completed
+    (donated) dispatches have landed before the sample."""
+    if not trace_active():
+        return None
+    try:
+        import jax
+        import jax.numpy as jnp
+        if sync:
+            jnp.zeros(()).block_until_ready()
+        stats = jax.devices()[0].memory_stats() or {}
+        rec = {"tag": tag,
+               "bytes_in_use": int(stats.get("bytes_in_use", -1)),
+               "peak_bytes_in_use": int(stats.get("peak_bytes_in_use", -1))}
+    except Exception:  # noqa: BLE001 — tracing must never break a dispatch
+        return None
+    HBM_TRACE.append(rec)
+    return rec
 
 
 def device_hbm_budget(default_bytes: int = _DEFAULT_BUDGET) -> int:

@@ -407,6 +407,20 @@ def count_other_values_chunked(n2a_np, chunk_cols: int = 512):
     return total
 
 
+def _column_sums_chunked(nan0_dev, chunk_cols: int = 1024):
+    """Exact per-attribute annotated totals (column sums of 0/1 values,
+    exact in f32 below 2^24 rows) in COLUMN CHUNKS — one (n, chunk) f32
+    transient at a time instead of a full f32 copy of the (n, A) int8
+    matrix (the eager ``astype(f32)`` this replaces costs 4 B/cell at the
+    moment the census outputs are about to be allocated)."""
+    import numpy as np
+    a = nan0_dev.shape[1]
+    return np.concatenate([
+        np.asarray(jnp.sum(nan0_dev[:, j:j + chunk_cols], axis=0,
+                           dtype=jnp.float32))
+        for j in range(0, a, chunk_cols)])
+
+
 @jax.jit
 def _count_other_chunk(x):
     # one chunk's count is < 2^31 for any realistic (rows, 512) chunk
@@ -418,7 +432,7 @@ def hypergeom_band_table(s_ind, nan0_np, nodes_not_nan_np, M,
                          enrichment_threshold, *, bt: int, block: int = 128,
                          rank_np, precision: str = "highest",
                          chunk_cols: int = 512, nsize_dev=None, plan=None,
-                         logsf_out: str = "device"):
+                         logsf_out: str = "device", K_np=None):
     """GO-scale hypergeometric enrichment via the class-table engine
     (ops/hypergeom_table.py) — the production path for binary annotations.
 
@@ -448,12 +462,21 @@ def hypergeom_band_table(s_ind, nan0_np, nodes_not_nan_np, M,
 
     ``nan0_np`` may be f32 or int8 (exact for the binary annotations this
     engine requires), host or device; int8 is preferred at scale.
+
+    ``K_np``: the per-attribute annotated totals if the caller already has
+    them (the facade's operand cache does) — recomputing here would
+    materialize a full f32 copy of the int8 annotations as an eager
+    astype (4 B/cell: 6.98 GB at 399,360 x 4,373) right when the chip is
+    fullest; the fallback sums in column chunks instead.
     """
     import numpy as np
     from safepy_tpu.ops import hypergeom_table as htab
 
     nan0_dev = jnp.asarray(nan0_np)
-    K_np = np.asarray(jnp.sum(nan0_dev.astype(jnp.float32), axis=0))
+    if K_np is None:
+        K_np = _column_sums_chunked(nan0_dev)
+    else:
+        K_np = np.asarray(K_np)
     if nsize_dev is None:
         nnn_dev = jnp.asarray(nodes_not_nan_np)
         nsize_dev = band_matmul(
@@ -486,6 +509,8 @@ def hypergeom_band_table(s_ind, nan0_np, nodes_not_nan_np, M,
         logsf = jnp.zeros((n, n_attrs),
                           jnp.float16 if logsf_out == "f16" else jnp.float32)
         nbin = jnp.zeros((n, n_attrs), jnp.int8)
+    from safepy_tpu import hbm as _hbm
+    _hbm.record_peak("census:alloc")
     counts = []
     for ch in plan["chunks"]:
         start, width = ch["start"], ch["width"]
@@ -507,6 +532,10 @@ def hypergeom_band_table(s_ind, nan0_np, nodes_not_nan_np, M,
             del logsf_c, bin_c
         else:
             logsf, nbin = _place_chunk(logsf, nbin, logsf_c, bin_c, start)
+        # sync=False: the counts download above already ordered the stream;
+        # an extra drain here would hide any dispatch-overlap the production
+        # loop actually has
+        _hbm.record_peak(f"census:chunk@{start}", sync=False)
     return logsf, nbin, np.concatenate(counts)
 
 

@@ -700,7 +700,7 @@ def hypergeom_band_table_sharded(ind_g, nan0_np,
                                  mesh: Mesh, axis: str = "data", n: int,
                                  band: int, block: int = 128, rank_np,
                                  precision: str = "highest",
-                                 chunk_cols: int = 1024):
+                                 chunk_cols: int = 1024, K_np=None):
     """Sharded counterpart of ops/enrich_band.hypergeom_band_table.
 
     Multi-dispatch: nsize (one sharded banded matvec + a scalar download for
@@ -716,7 +716,14 @@ def hypergeom_band_table_sharded(ind_g, nan0_np,
     from safepy_tpu.ops import hypergeom_table as htab
 
     nan0_dev = jnp.asarray(nan0_np)
-    K_np = np.asarray(jnp.sum(nan0_dev.astype(jnp.float32), axis=0))
+    if K_np is None:
+        # column-chunked exact sums: the eager astype(f32) this replaces
+        # materializes a full 4 B/cell copy of the int8 annotations (see
+        # ops/enrich_band._column_sums_chunked)
+        from safepy_tpu.ops.enrich_band import _column_sums_chunked
+        K_np = _column_sums_chunked(nan0_dev)
+    else:
+        K_np = np.asarray(K_np)
     nsize_g = band_matmul_sharded(
         ind_g, jnp.asarray(nodes_not_nan_np)[:, None], mesh=mesh, axis=axis,
         n=n, band=band, block=block, precision=precision)[:, 0]

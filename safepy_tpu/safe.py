@@ -38,6 +38,7 @@ import pandas as pd
 
 from safepy_tpu import config as _config
 from safepy_tpu import domains as _domains
+from safepy_tpu import hbm as _hbm
 from safepy_tpu.io import attributes as _attr_io
 from safepy_tpu.io import graph_arrays as _ga
 from safepy_tpu.io import network as _net_io
@@ -1320,7 +1321,7 @@ class SAFE:
                     np.float64(self.enrichment_threshold), bt=bm.bt,
                     block=bm.block, rank_np=bm.rank,
                     precision=self.matmul_precision,
-                    logsf_out=logsf_admit)
+                    logsf_out=logsf_admit, K_np=np.asarray(K_d))
         if table_out is not None:
             self._hypergeom_engine_used = "table-band-staged"
             log_sf32, nes_binary8, counts = table_out
@@ -1879,6 +1880,7 @@ class SAFE:
                 # runtime's degraded host memory path)
                 nan0_perm, nnn_perm, K, binary_ok, M = \
                     self._band_hyper_operands_cached(order)
+                _hbm.record_peak("prep")
                 if not binary_ok:
                     # forced hypergeometric on non-0/1 values: the table's
                     # integer-count precondition fails; use the f64 loop
@@ -1890,12 +1892,14 @@ class SAFE:
                     band_done = self._band_front_dispatch(
                         plan, radius, num_nodes)
                     dist_band, s_ind, mean, std = band_done
+                    _hbm.record_peak("relax")
                     table_out = hypergeom_band_table(
                         s_ind, nan0_perm, nnn_perm, M,
                         np.float64(self.enrichment_threshold),
                         bt=band // 128 + 1, rank_np=rank,
                         precision=self.matmul_precision,
-                        logsf_out=logsf_out)
+                        logsf_out=logsf_out, K_np=np.asarray(K))
+                    _hbm.record_peak("census")
             if table_out is None and self.mesh is None:
                 # fallback engines take host operands (their column chunking
                 # and iteration bounds are host-driven)
@@ -1952,7 +1956,8 @@ class SAFE:
                         s_ind, nan0_perm, nnn_perm, M,
                         np.float64(self.enrichment_threshold),
                         mesh=self.mesh, n=num_nodes, band=band,
-                        rank_np=rank, precision=self.matmul_precision)
+                        rank_np=rank, precision=self.matmul_precision,
+                        K_np=np.asarray(K))
                 if table_out is not None:
                     self._hypergeom_engine_used = "table-band-sharded"
                     nes32 = None  # deferred: see _nes_device()

@@ -236,6 +236,44 @@ def test_table_engine_rejects_non_binary(tmp_path):
              how="hypergeometric")
 
 
+def test_column_sums_chunked_bit_equal():
+    """The column-chunked annotated-total reduction (the census's K
+    fallback) is bit-equal to the full astype(f32) reduction it replaces —
+    the full path materializes a 4 B/cell f32 copy of the int8 annotations
+    (6.98 GB at 399,360 x 4,373) at the census's fullest moment."""
+    from safepy_tpu.ops.enrich_band import _column_sums_chunked
+    rng = np.random.default_rng(3)
+    nan0 = (rng.random((301, 23)) < 0.2).astype(np.int8)
+    want = np.asarray(jnp.sum(jnp.asarray(nan0).astype(jnp.float32), axis=0))
+    for chunk in (4, 23, 64):
+        np.testing.assert_array_equal(
+            _column_sums_chunked(jnp.asarray(nan0), chunk_cols=chunk), want)
+
+
+@pytest.mark.slow
+def test_band_table_explicit_K_equals_fallback(tmp_path):
+    """hypergeom_band_table with the facade's cached K (the production
+    path: no (n, A) f32 transient) returns bit-identical results to the
+    in-function fallback reduction."""
+    from safepy_tpu.ops.enrich_band import hypergeom_band_table
+    net, n = _geom_net(tmp_path, seed=14)
+    attrs = _binary_attrs(n, a=9, seed=7)
+    sf = _run(net, attrs, engine="table", mode="band")
+    bm = sf._neighborhoods_dev
+    order = np.argsort(bm.rank)
+    nan0, nnn, K, ok, M = sf._band_hyper_operands_cached(order)
+    assert ok
+    kw = dict(bt=bm.bt, block=bm.block, rank_np=bm.rank,
+              precision=sf.matmul_precision)
+    with_k = hypergeom_band_table(bm.data, nan0, nnn, M, np.float64(0.05),
+                                  K_np=np.asarray(K), **kw)
+    fallback = hypergeom_band_table(bm.data, nan0, nnn, M, np.float64(0.05),
+                                    **kw)
+    assert with_k is not None and fallback is not None
+    for got, want in zip(with_k, fallback):
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
 def test_plan_ineligible_on_fractional_K():
     assert htab.plan(np.array([2.5, 3.0]), 50, 100) is None
     assert htab.plan(np.array([]), 50, 100) is None

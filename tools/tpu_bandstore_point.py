@@ -440,6 +440,36 @@ def main():
             "attrs_with_gt10_enriched": int(
                 (sf.attributes["num_neighborhoods_enriched"] > 10).sum()),
             "attr_chunk": sf._hypergeom_attr_chunk(n, a)}), flush=True)
+        from safepy_tpu import hbm as _hbm
+        if _hbm.trace_active() and _hbm.HBM_TRACE:
+            # calibration payload: REAL allocator peaks per phase boundary
+            # (peak_bytes_in_use is cumulative; the rise between samples
+            # attributes it) vs the model's admitted plan
+            gb = 1e9
+            tr = _hbm.HBM_TRACE
+            chunk_peaks = [t for t in tr if t["tag"].startswith("census:")]
+            # peak_bytes_in_use is cumulative across the process: only the
+            # FIRST run's samples attribute phases cleanly (later runs'
+            # samples carry the historical max)
+            phases = {}
+            for t in tr:
+                if (not t["tag"].startswith("census:chunk")
+                        and t["tag"] not in phases):
+                    phases[t["tag"]] = round(t["peak_bytes_in_use"] / gb, 3)
+            plan = sf._hbm_plan_last or {}
+            print(json.dumps({
+                "check": "hbm_trace", "nodes": n, "attributes": a,
+                "phase_peak_gb": phases,
+                "census_chunk_peak_gb": round(max(
+                    (t["peak_bytes_in_use"] for t in chunk_peaks),
+                    default=0) / gb, 3),
+                "census_chunk_inuse_max_gb": round(max(
+                    (t["bytes_in_use"] for t in chunk_peaks),
+                    default=0) / gb, 3),
+                "modeled_gb": {k: round((plan.get(k) or 0) / gb, 3)
+                               for k in ("prep_peak", "relax_peak",
+                                         "census_peak")},
+                "samples": len(tr)}), flush=True)
 
 
 if __name__ == "__main__":
