@@ -25,13 +25,22 @@ compile per shape. Phases:
     + one chunk's live transients (counts / logsf / table, bounded by
     ops/hypergeom_table.plan's chunk budgets).
 
-Safety margins are CALIBRATED per phase against the two measured v5e
-anchor points (tools/r4d_results.log, tools/r4e2_results.log): the GO
-census at 299,520 x 4,373 ran steady (modeled census peak 11.2 GB) while
-349,440 x 4,373 OOM'd (modeled 12.8 GB) — so census admits at 0.78 x
-budget; the 349,440 FW relax itself completed (modeled 13.4 GB), so
-relax admits at 0.88 x budget. The gap between the phases' margins is
-the census's unmodeled lookup sweep temps and allocator fragmentation.
+Safety margins are CALIBRATED per phase against measured v5e anchors.
+Census (round 5f, tools/r5f_results.log + tools/r5_results.log): the
+slot-loop lookup (ops/hypergeom_table._lookup_slot_loop) keeps up to
+``group`` (N, chunk) f32 gather outputs live per fori step — the term the
+old model missed entirely. With census peak modeled as
+
+    resident + table + (2 + group) * rows * chunk_w * 4
+
+the three measured GO points are mutually consistent at ~15 GB usable:
+299,520 x 4,373 device/f32 g8 -> 14.75 GB RAN; 349,440 x 4,373 f16 g8
+-> 14.07 GB RAN; 399,360 x 4,373 @80 f16 g8 -> 15.95 GB OOM'd. So the
+census admit line sits at 0.94 x budget (15.04 GB), bracketed by the
+largest-ran (14.75) and the smallest-OOM (15.95) anchors; ``group`` is
+a planner-chosen lever (smaller group = fewer live gathers, more
+accumulator HBM round-trips). The 349,440 FW relax completed (modeled
+13.8 GB of 14.08 admitted), so relax admits at 0.88 x budget.
 """
 
 from __future__ import annotations
@@ -39,7 +48,11 @@ from __future__ import annotations
 import os
 
 RELAX_SAFETY = 0.88
-CENSUS_SAFETY = 0.78
+CENSUS_SAFETY = 0.94
+#: pre-prep estimate of one chunk's live class table (the true R*S_max*C
+#: geometry needs K, known only after the operand prep); measured GO chunks
+#: build ~0.27 GB tables, the estimate leaves headroom
+TABLE_BYTES_ESTIMATE = 4 * 10 ** 8
 _DEFAULT_BUDGET = 16 * 10 ** 9
 
 #: phase-boundary allocator samples appended by :func:`record_peak` when
@@ -99,18 +112,70 @@ def band_geometry(n: int, band: int, block: int = 128):
     return bt, rows, window
 
 
+#: slot-loop unroll depths the planner may pick, best first (group=8 is the
+#: measured acc-round-trip sweet spot; smaller groups trade lookup bandwidth
+#: for fewer live gather outputs)
+LOOKUP_GROUPS = (8, 4, 2, 1)
+
+
+def census_select(*, n: int, n_attrs: int, rows: int, chunk_w: int,
+                  ind_bytes: int, ann_bytes: int, table_bytes: int,
+                  keep_band: int = 0, extra_resident: int = 0,
+                  budget: int | None = None,
+                  modes=("device", "f16", "host"),
+                  groups=LOOKUP_GROUPS):
+    """Choose the census phase's (logsf residency, slot-loop group).
+
+    The census chunk loop's peak is the device-RESIDENT set (indicator band
+    + int8 annotations + the (n, A) outputs at the chosen residency + any
+    kept distance band) plus one chunk's LIVE set, which the slot-loop
+    lookup dominates: the class table, the counts/k buffer, the f32
+    accumulator, and ``group`` (rows, chunk_w) f32 gather outputs XLA keeps
+    in flight per unrolled fori step (ops/hypergeom_table._lookup_slot_loop)
+    — (2 + group) chunk-cells in all. Modes are walked cheapest-loss-first
+    ('device' -> 'f16' -> 'host'), groups largest-first within a mode; the
+    first fit under CENSUS_SAFETY x budget wins. Returns a dict with
+    ``logsf_out`` (None = nothing fits), ``lookup_group``, ``census_peak``.
+    """
+    budget = device_hbm_budget() if budget is None else int(budget)
+    admit = CENSUS_SAFETY * budget
+    cell = rows * chunk_w * 4
+    out_bytes = {"device": 5 * n * n_attrs,  # f32 logsf + int8 indicator
+                 "f16": 3 * n * n_attrs,
+                 "host": 0}
+    best = None
+    for mode in modes:
+        resident = (ind_bytes + ann_bytes + keep_band + extra_resident
+                    + out_bytes[mode])
+        for g in groups:
+            peak = resident + table_bytes + (2 + g) * cell
+            sel = dict(logsf_out=mode, lookup_group=int(g),
+                       census_peak=int(peak), admit=int(admit),
+                       budget=budget, fits=peak <= admit)
+            if sel["fits"]:
+                return sel
+            if best is None or peak < best["census_peak"]:
+                best = dict(sel, logsf_out=None)
+    return best
+
+
 def band_go_hbm_plan(n: int, band: int, n_attrs: int, *, packed: bool,
                      split_front: bool, keep_distances: bool,
                      logsf_out: str = "auto", prep_chunked: bool = True,
                      budget: int | None = None,
                      block: int = 128, chunk_cols: int = 512,
-                     chunk_budget_cells: int = 4 * 10 ** 8):
+                     table_bytes: int | None = None):
     """Phase-peak HBM plan for the single-chip band GO (binary) pipeline.
 
     Returns a dict with per-phase byte peaks, the admitted ``logsf_out``
     residency ('auto' picks the cheapest-loss mode that fits: device ->
-    f16 -> host), ``fits`` and the governing phase. Callers raise on
-    ``fits=False`` — never dispatch.
+    f16 -> host) and slot-loop ``lookup_group``, ``fits`` and the governing
+    phase. Callers raise on ``fits=False`` — never dispatch.
+
+    ``table_bytes``: one chunk's live class table; this pre-prep plan
+    defaults to :data:`TABLE_BYTES_ESTIMATE` (the true R*S_max*C geometry
+    needs K — ops/enrich_band.hypergeom_band_table re-selects with the
+    exact table once its plan exists).
 
     ``prep_chunked``: the operand-prep phase builds the int8 annotations
     from column-chunked uploads (~2 cells/byte peak + one f32 chunk,
@@ -122,7 +187,6 @@ def band_go_hbm_plan(n: int, band: int, n_attrs: int, *, packed: bool,
     """
     budget = device_hbm_budget() if budget is None else int(budget)
     admit_relax = RELAX_SAFETY * budget
-    admit = CENSUS_SAFETY * budget
     bt, rows, window = band_geometry(n, band, block)
     f32_band = rows * window * 4
     ind_bytes = rows * window // 8 if packed else rows * window
@@ -135,39 +199,31 @@ def band_go_hbm_plan(n: int, band: int, n_attrs: int, *, packed: bool,
 
     keep_band = f32_band if keep_distances else 0
     w = min(chunk_cols, n_attrs)
-    # one live chunk: census counts f32 + the chunk's logsf f32 + int8 bin
-    # + the class table (<= chunk_budget_cells f32)
-    transient = (rows * w * 4 * 2 + rows * w
-                 + min(chunk_budget_cells, 12 * 10 ** 8) * 4)
-    base = ind_bytes + ann8 + keep_band + transient
-
-    modes = (("device", "f16", "host") if logsf_out == "auto"
-             else (logsf_out,))
-    out_bytes = {"device": 5 * n * n_attrs,  # f32 logsf + int8 indicator
-                 "f16": 3 * n * n_attrs,
-                 "host": 0}
-    chosen, census_peak = None, None
-    for mode in modes:
-        census_peak = base + out_bytes[mode]
-        if census_peak <= admit:
-            chosen = mode
-            break
-    fits = (chosen is not None and relax_peak <= admit_relax
+    sel = census_select(
+        n=n, n_attrs=n_attrs, rows=rows, chunk_w=w, ind_bytes=ind_bytes,
+        ann_bytes=ann8, keep_band=keep_band,
+        table_bytes=(TABLE_BYTES_ESTIMATE if table_bytes is None
+                     else int(table_bytes)),
+        budget=budget,
+        modes=(("device", "f16", "host") if logsf_out == "auto"
+               else (logsf_out,)))
+    census_peak = sel["census_peak"]
+    fits = (sel["fits"] and relax_peak <= admit_relax
             and prep_peak <= admit_relax)
     # governing = the phase closest to (or furthest past) its admit line
     ratios = {"prep": prep_peak / admit_relax,
               "relax": relax_peak / admit_relax,
-              "census": census_peak / admit}
+              "census": census_peak / sel["admit"]}
     governing = max(ratios, key=ratios.get)
     return dict(n=n, band=band, n_attrs=n_attrs, bt=bt, rows=rows,
                 window=window, packed=packed, split_front=split_front,
                 keep_distances=keep_distances, prep_chunked=prep_chunked,
                 f32_band=f32_band, indicator_bytes=ind_bytes,
                 annotations_int8=ann8, prep_peak=prep_peak,
-                relax_peak=relax_peak,
-                census_transient=transient, census_peak=census_peak,
-                logsf_out=chosen if fits else None,
-                budget=budget, admit=int(admit),
+                relax_peak=relax_peak, census_peak=census_peak,
+                logsf_out=sel["logsf_out"] if fits else None,
+                lookup_group=sel["lookup_group"],
+                budget=budget, admit=sel["admit"],
                 admit_relax=int(admit_relax), fits=fits,
                 governing_phase=governing)
 
@@ -175,7 +231,8 @@ def band_go_hbm_plan(n: int, band: int, n_attrs: int, *, packed: bool,
 def band_go_shard_hbm_plan(n: int, band: int, n_attrs: int, ndev: int, *,
                            packed: bool = True, budget: int | None = None,
                            block: int = 128, chunk_cols: int = 1024,
-                           chunk_budget_cells: int = 4 * 10 ** 8):
+                           table_bytes: int | None = None,
+                           groups=LOOKUP_GROUPS):
     """Per-shard HBM plan for the ROW-SHARDED band GO engine
     (parallel/band_sharded.hypergeom_band_table_sharded) over a 'data' mesh
     axis of ``ndev`` devices — the facade's pre-dispatch assertion that the
@@ -184,7 +241,10 @@ def band_go_shard_hbm_plan(n: int, band: int, n_attrs: int, ndev: int, *,
 
     Resident per shard: the f32 FW slab + 2*bt*block ghost/halo rows, the
     (packed) indicator slab, the row-sharded int8 annotations, the two
-    row-sharded (n, A) outputs, and one census chunk's live transients.
+    row-sharded (n, A) outputs, and one census chunk's live set — the
+    replicated class table plus (2 + group) per-shard chunk-cells (the
+    slot-loop lookup's counts/acc/gather buffers, see
+    :func:`census_select`); ``lookup_group`` is chosen largest-first.
     """
     budget = device_hbm_budget() if budget is None else int(budget)
     admit = CENSUS_SAFETY * budget
@@ -197,15 +257,22 @@ def band_go_shard_hbm_plan(n: int, band: int, n_attrs: int, ndev: int, *,
     ann8 = rows * n_attrs // ndev
     out_bytes = 5 * (n * n_attrs // ndev)  # f32 logsf + int8 bin, row-sharded
     w = min(chunk_cols, n_attrs)
-    transient = (slab_rows * w * 4 * 2 + slab_rows * w
-                 + min(chunk_budget_cells, 12 * 10 ** 8) * 4)
-    per_shard = fw_slab + ind_bytes + ann8 + out_bytes + transient
+    table = (TABLE_BYTES_ESTIMATE if table_bytes is None
+             else int(table_bytes))
+    resident = fw_slab + ind_bytes + ann8 + out_bytes
+    per_shard = group = transient = None
+    for g in groups:
+        group = int(g)
+        transient = table + (2 + group) * slab_rows * w * 4
+        per_shard = resident + transient
+        if per_shard <= admit:
+            break
     return dict(n=n, band=band, n_attrs=n_attrs, ndev=ndev, bt=bt,
                 rows=rows, window=window, packed=packed,
                 fw_slab=fw_slab, indicator_bytes=ind_bytes,
                 annotations_int8=ann8, out_bytes=out_bytes,
                 census_transient=transient, per_shard_peak=per_shard,
-                budget=budget, admit=int(admit),
+                lookup_group=group, budget=budget, admit=int(admit),
                 fits=per_shard <= admit, sharded=True)
 
 
@@ -225,5 +292,6 @@ def explain(plan: dict) -> str:
             f"prep peak {plan['prep_peak'] / gb:.2f} GB, "
             f"relax peak {plan['relax_peak'] / gb:.2f} GB, census peak "
             f"{(plan['census_peak'] or 0) / gb:.2f} GB "
-            f"(logsf_out={plan['logsf_out']}) vs admitted "
+            f"(logsf_out={plan['logsf_out']}, "
+            f"lookup_group={plan.get('lookup_group')}) vs admitted "
             f"{plan['admit'] / gb:.2f} GB of {plan['budget'] / gb:.2f} GB")

@@ -432,7 +432,11 @@ def hypergeom_band_table(s_ind, nan0_np, nodes_not_nan_np, M,
                          enrichment_threshold, *, bt: int, block: int = 128,
                          rank_np, precision: str = "highest",
                          chunk_cols: int = 512, nsize_dev=None, plan=None,
-                         logsf_out: str = "device", K_np=None):
+                         logsf_out: str = "device", K_np=None,
+                         lookup_group: int | str = 8,
+                         budget: int | None = None,
+                         extra_resident_bytes: int = 0,
+                         select_out: dict | None = None):
     """GO-scale hypergeometric enrichment via the class-table engine
     (ops/hypergeom_table.py) — the production path for binary annotations.
 
@@ -459,6 +463,22 @@ def hypergeom_band_table(s_ind, nan0_np, nodes_not_nan_np, M,
       * ``'host'``   — each chunk's f32 logsf/indicator columns stream to
         host numpy buffers (bit-equal to 'device'); nothing (n, A)-sized
         stays on device. Costs one (n, A) relay download per run.
+      * ``'auto'``   — the AUTHORITATIVE selection: once the chunk plan
+        exists the true class-table bytes are known, so (mode, group) is
+        chosen here by hbm.census_select against ``budget`` — the facade's
+        pre-prep guard only estimated the table. Raises a clean ValueError
+        (before any (n, A) allocation) if nothing fits.
+
+    ``lookup_group``: the slot-loop unroll depth (int), or 'auto' to let
+    census_select pick it — XLA keeps ``group`` (n, chunk) f32 gather
+    outputs live per lookup step, the term that OOM'd 399,360 x 4,373 @80
+    under the old always-8 behavior (tools/r5f_results.log 02:17).
+
+    ``extra_resident_bytes``: caller-owned device residents the selection
+    must account for (e.g. a kept f32 distance band).
+
+    ``select_out``: optional dict, filled with the census_select decision
+    for observability (the facade merges it into ``SAFE._hbm_plan_last``).
 
     ``nan0_np`` may be f32 or int8 (exact for the binary annotations this
     engine requires), host or device; int8 is preferred at scale.
@@ -488,8 +508,37 @@ def hypergeom_band_table(s_ind, nan0_np, nodes_not_nan_np, M,
         plan = htab.plan(K_np, n_max, int(M), chunk_cols=chunk_cols)
     if plan is None:
         return None
-    if logsf_out not in ("device", "f16", "host"):
+    if logsf_out not in ("device", "f16", "host", "auto"):
         raise ValueError(f"unknown logsf_out: {logsf_out!r}")
+
+    if logsf_out == "auto" or lookup_group == "auto":
+        from safepy_tpu import hbm as _hbm_mod
+        table_bytes = 4 * max(ch["R"] * ch["S_max"] * ch["C"]
+                              for ch in plan["chunks"])
+        sel = _hbm_mod.census_select(
+            n=len(rank_np), n_attrs=nan0_dev.shape[1],
+            rows=s_ind.shape[0],
+            chunk_w=max(ch["width"] for ch in plan["chunks"]),
+            ind_bytes=s_ind.nbytes, ann_bytes=nan0_dev.nbytes,
+            table_bytes=table_bytes, extra_resident=extra_resident_bytes,
+            budget=budget,
+            modes=(("device", "f16", "host") if logsf_out == "auto"
+                   else (logsf_out,)),
+            groups=(_hbm_mod.LOOKUP_GROUPS if lookup_group == "auto"
+                    else (int(lookup_group),)))
+        if select_out is not None:
+            select_out.update(sel)
+        if not sel["fits"]:
+            # refuse BEFORE allocating the (n, A) outputs — a fatal OOM
+            # poisons the process backend (CLAUDE.md)
+            raise ValueError(
+                "census phase does not fit the device HBM budget: peak "
+                f"{sel['census_peak'] / 1e9:.2f} GB vs admitted "
+                f"{sel['admit'] / 1e9:.2f} GB of "
+                f"{sel['budget'] / 1e9:.2f} GB (logsf_out="
+                f"{logsf_out!r}, lookup_group={lookup_group!r})")
+        logsf_out = sel["logsf_out"]
+        lookup_group = sel["lookup_group"]
 
     log_thr64 = float(np.log(enrichment_threshold))
     rank_dev = jnp.asarray(rank_np, jnp.int32)
@@ -519,7 +568,7 @@ def hypergeom_band_table(s_ind, nan0_np, nodes_not_nan_np, M,
             s_ind, cols, nsize_dev, jnp.asarray(ch["K_dist"]),
             jnp.asarray(ch["colc"], jnp.int32), M, log_thr64, rank_dev,
             R=ch["R"], S_max=ch["S_max"], C=ch["C"], bt=bt, block=block,
-            npad=npad, precision=precision)
+            npad=npad, precision=precision, lookup_group=int(lookup_group))
         del cols
         # a unified tail chunk re-windows backwards: its leading `overlap`
         # columns recompute the previous chunk's values identically (the
@@ -529,9 +578,13 @@ def hypergeom_band_table(s_ind, nan0_np, nodes_not_nan_np, M,
         if host:
             logsf[:, start:start + width] = np.asarray(logsf_c)
             nbin[:, start:start + width] = np.asarray(bin_c)
-            del logsf_c, bin_c
         else:
             logsf, nbin = _place_chunk(logsf, nbin, logsf_c, bin_c, start)
+        # drop the chunk outputs' Python refs NOW — they free as soon as
+        # the queued placement consumes them, instead of overlapping the
+        # next chunk's compute (and the last chunk's outputs would
+        # otherwise survive until return)
+        del logsf_c, bin_c
         # sync=False: the counts download above already ordered the stream;
         # an extra drain here would hide any dispatch-overlap the production
         # loop actually has
@@ -551,14 +604,17 @@ def _place_chunk(logsf, nbin, logsf_c, bin_c, start):
 
 
 @functools.partial(jax.jit, static_argnames=("R", "S_max", "C", "bt", "block",
-                                             "npad", "precision"))
+                                             "npad", "precision",
+                                             "lookup_group"))
 def _band_table_chunk(s_ind, cols, nsize, K_dist, colc, M, log_thr64, rank, *,
                       R: int, S_max: int, C: int, bt: int, block: int,
-                      npad: int, precision: str):
+                      npad: int, precision: str, lookup_group: int = 8):
     """One K-sorted column chunk: banded census + table build + lookup +
     row un-permute, fused into a single dispatch. ``cols`` may be int8 (the
     f32 cast is a fused transient inside this jit, never a resident buffer).
-    The unused NES output of table_lookup is dead-code-eliminated."""
+    The unused NES output of table_lookup is dead-code-eliminated.
+    ``lookup_group`` bounds the slot-loop's live gather outputs (the census
+    planner's HBM lever — results bit-identical across groups)."""
     import numpy as np
     from safepy_tpu.ops import hypergeom_table as htab
 
@@ -569,7 +625,7 @@ def _band_table_chunk(s_ind, cols, nsize, K_dist, colc, M, log_thr64, rank, *,
     _nes, logsf, nbin = htab.table_lookup(
         table, counts, nsize, colc,
         jnp.asarray(log_thr64).astype(jnp.float32),
-        S_max=S_max, R=R, C=C)
+        S_max=S_max, R=R, C=C, lookup_group=lookup_group)
     take = functools.partial(jnp.take, indices=rank, axis=0)
     return take(logsf), take(nbin)
 

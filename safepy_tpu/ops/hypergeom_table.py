@@ -187,7 +187,7 @@ LOOKUP_LOOP_MAX_SMAX = 1024
 
 
 def table_lookup(table, counts, nsize, colc, log_thr32, *, S_max: int,
-                 R: int, C: int):
+                 R: int, C: int, lookup_group: int = 8):
     """Resolve (N, A) cells against the class table.
 
     counts: (N, A) f32 integer-valued census; nsize: (N,) f32 integer-valued
@@ -201,12 +201,19 @@ def table_lookup(table, counts, nsize, colc, log_thr32, *, S_max: int,
     serialized gathers with S_max bandwidth-bound masked sweeps (measured
     3.0x on the 99,840 x 4,373 GO lookup phase on v5e: 6.3 s -> 2.14 s,
     tools/tpu_bandgo_phases.py).
+
+    ``lookup_group``: the slot loop's unroll depth — XLA keeps up to this
+    many (N, A) f32 gather outputs LIVE per fori step, so at HBM-bound GO
+    scale the census planner (safepy_tpu/hbm.census_select) dials it down
+    (8 -> 4 -> 2 -> 1) to trade accumulator round-trips for peak memory.
+    Results are bit-identical across groups (tests/test_hypergeom_table.py).
     """
     k = jnp.clip(jnp.round(counts).astype(jnp.int32), 0, S_max - 1)
     n_i = jnp.clip(jnp.round(nsize).astype(jnp.int32), 0, R - 1)
     cells = int(np.prod(counts.shape))
     if cells >= LOOKUP_LOOP_MIN_CELLS and S_max <= LOOKUP_LOOP_MAX_SMAX:
-        logsf = _lookup_slot_loop(table, k, n_i, colc, S_max=S_max)
+        logsf = _lookup_slot_loop(table, k, n_i, colc, S_max=S_max,
+                                  group=int(lookup_group))
     else:
         idx = ((S_max - 1 - k) * (C * R)
                + colc.astype(jnp.int32)[None, :] * R

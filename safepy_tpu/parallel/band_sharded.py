@@ -654,11 +654,13 @@ def band_matmul_sharded(ind_g, x, *, mesh: Mesh, axis: str = "data", n: int,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "mesh", "axis", "R", "S_max", "C", "n", "band", "block", "precision"))
+    "mesh", "axis", "R", "S_max", "C", "n", "band", "block", "precision",
+    "lookup_group"))
 def _band_table_chunk_sharded(ind_g, cols, nsize_g, K_dist, colc, M,
                               log_thr64, rank, *, mesh: Mesh, axis: str,
                               R: int, S_max: int, C: int, n: int, band: int,
-                              block: int, precision: str):
+                              block: int, precision: str,
+                              lookup_group: int = 8):
     """One K-sorted column chunk of the sharded class-table engine: local
     banded census + replicated table build + local lookup; outputs
     un-permuted to the ORIGINAL node frame (resharded by the row gather).
@@ -686,7 +688,8 @@ def _band_table_chunk_sharded(ind_g, cols, nsize_g, K_dist, colc, M,
                                        S_max=S_max, C=C)
         _nes, logsf, nbin = htab.table_lookup(
             table, counts, nsize_local, colc,
-            jnp.asarray(log_thr64, jnp.float32), S_max=S_max, R=R, C=C)
+            jnp.asarray(log_thr64, jnp.float32), S_max=S_max, R=R, C=C,
+            lookup_group=lookup_group)
         return logsf, nbin
 
     logsf_g, bin_g = worker(ind_g, cols_g, nsize_g, K_dist, colc)
@@ -700,7 +703,8 @@ def hypergeom_band_table_sharded(ind_g, nan0_np,
                                  mesh: Mesh, axis: str = "data", n: int,
                                  band: int, block: int = 128, rank_np,
                                  precision: str = "highest",
-                                 chunk_cols: int = 1024, K_np=None):
+                                 chunk_cols: int = 1024, K_np=None,
+                                 lookup_group: int = 8):
     """Sharded counterpart of ops/enrich_band.hypergeom_band_table.
 
     Multi-dispatch: nsize (one sharded banded matvec + a scalar download for
@@ -762,7 +766,8 @@ def hypergeom_band_table_sharded(ind_g, nan0_np,
             ind_g, cols, nsize_g, jnp.asarray(ch["K_dist"]),
             jnp.asarray(ch["colc"], jnp.int32), M, log_thr64, rank_dev,
             mesh=mesh, axis=axis, R=ch["R"], S_max=ch["S_max"], C=ch["C"],
-            n=n, band=band, block=block, precision=precision)
+            n=n, band=band, block=block, precision=precision,
+            lookup_group=int(lookup_group))
         del cols
         # unified tail chunks re-window backwards; trim the recomputed
         # overlap columns from the counts (placement overwrites in place)
@@ -770,6 +775,9 @@ def hypergeom_band_table_sharded(ind_g, nan0_np,
             jnp.sum(bin_c, axis=0, dtype=jnp.int32))[ch.get("overlap", 0):])
         logsf, nbin = place(logsf, nbin, logsf_c, bin_c,
                             jnp.asarray(start, jnp.int32))
+        # free the chunk outputs as soon as the queued placement consumes
+        # them (the last chunk's would otherwise survive until return)
+        del logsf_c, bin_c
     return logsf, nbin, np.concatenate(counts)
 
 

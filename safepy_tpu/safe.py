@@ -915,10 +915,13 @@ class SAFE:
 
     def _band_go_hbm_guard(self, num_nodes, band, n_attrs):
         """Pre-dispatch HBM plan for the single-chip band GO (binary table)
-        pipeline: returns the admitted ``logsf_out`` residency, or raises a
-        clean ValueError with the plan — never hands XLA an allocation that
-        would OOM (a fatal TPU OOM poisons the process backend and can
-        wedge the remote worker; VERDICT r4 item 2)."""
+        pipeline: raises a clean ValueError with the plan when nothing fits
+        — never hands XLA an allocation that would OOM (a fatal TPU OOM
+        poisons the process backend and can wedge the remote worker; VERDICT
+        r4 item 2). This PRE-PREP check models the class table with an
+        estimate; the authoritative (residency, lookup group) selection
+        happens inside hypergeom_band_table once the true table geometry is
+        known (hbm.census_select)."""
         from safepy_tpu import hbm as _hbm
         plan = _hbm.band_go_hbm_plan(
             num_nodes, band, n_attrs,
@@ -937,11 +940,34 @@ class SAFE:
                 + ". Levers: keep_node_distances=False, "
                   "band_indicator_bits=True, logsf_store='f16'/'host', or "
                   "set SAFE.mesh for the row-sharded engine.")
-        if self.verbose and plan["logsf_out"] != "device":
-            logging.info("HBM plan: storing log-survival as %s (census peak "
-                         "%.2f GB of %.2f GB admitted)", plan["logsf_out"],
-                         plan["census_peak"] / 1e9, plan["admit"] / 1e9)
-        return plan["logsf_out"]
+        return plan
+
+    def _kept_band_bytes(self):
+        """Bytes of a device-resident f32 distance band the census selection
+        must count as caller-owned residents (keep_node_distances=True)."""
+        bm = self._node_distances_dev
+        try:
+            return int(bm.data.nbytes) if bm is not None else 0
+        except AttributeError:
+            return 0
+
+    def _record_census_select(self, sel):
+        """Merge the census engine's authoritative (logsf_out, lookup_group)
+        decision into the observability plan (``SAFE._hbm_plan_last``)."""
+        if not sel:
+            return
+        if isinstance(self._hbm_plan_last, dict):
+            self._hbm_plan_last = dict(self._hbm_plan_last,
+                                       census_final=sel,
+                                       logsf_out=sel["logsf_out"],
+                                       lookup_group=sel["lookup_group"],
+                                       census_peak=sel["census_peak"])
+        if self.verbose and (sel["logsf_out"] != "device"
+                             or sel["lookup_group"] != 8):
+            logging.info("HBM plan: log-survival residency %s, lookup "
+                         "group %d (census peak %.2f GB of %.2f GB "
+                         "admitted)", sel["logsf_out"], sel["lookup_group"],
+                         sel["census_peak"] / 1e9, sel["admit"] / 1e9)
 
     def _band_go_shard_guard(self, num_nodes, band, n_attrs):
         """Per-shard HBM plan assertion for the ROW-SHARDED band GO engine —
@@ -959,6 +985,7 @@ class SAFE:
                 "not fit per shard: " + _hbm.explain(splan)
                 + ". Add devices to the 'data' mesh axis or lower the "
                   "radius.")
+        return splan
 
     def _band_bits_selected(self, num_nodes, band):
         """Bit-pack the indicator band? (euclidean keep_node_distances=False
@@ -1311,17 +1338,21 @@ class SAFE:
         if self.hypergeom_engine in ("auto", "table"):
             from safepy_tpu.ops.enrich_band import hypergeom_band_table
             # guard BEFORE the operand prep (see _run_pipeline_bandstore)
-            logsf_admit = self._band_go_hbm_guard(bm.n, bm.band,
-                                                  n2a.shape[1])
+            self._band_go_hbm_guard(bm.n, bm.band, n2a.shape[1])
             nan0_d, nnn_d, K_d, binary_ok, M = \
                 self._band_hyper_operands_cached(order)
             if binary_ok:
+                sel = {}
                 table_out = hypergeom_band_table(
                     bm.data, nan0_d, nnn_d, M,
                     np.float64(self.enrichment_threshold), bt=bm.bt,
                     block=bm.block, rank_np=bm.rank,
                     precision=self.matmul_precision,
-                    logsf_out=logsf_admit, K_np=np.asarray(K_d))
+                    logsf_out=self.logsf_store, lookup_group="auto",
+                    budget=self.hbm_budget_bytes,
+                    extra_resident_bytes=self._kept_band_bytes(),
+                    select_out=sel, K_np=np.asarray(K_d))
+                self._record_census_select(sel)
         if table_out is not None:
             self._hypergeom_engine_used = "table-band-staged"
             log_sf32, nes_binary8, counts = table_out
@@ -1862,7 +1893,7 @@ class SAFE:
         if binary:
             table_out = band_done = None
             nan0_perm = nnn_perm = K = M = None
-            logsf_admit = None
+            shard_group = 8
             if self.hypergeom_engine in ("auto", "table"):
                 # HBM guard BEFORE the operand prep — not just before the FW
                 # front: the prep itself materializes (N, A)-sized device
@@ -1870,10 +1901,11 @@ class SAFE:
                 # instead of OOMing inside the prep (the r5d guardfail demo
                 # did exactly that, tools/r5_results.log 21:39)
                 if self.mesh is None:
-                    logsf_admit = self._band_go_hbm_guard(
-                        num_nodes, band, n2a.shape[1])
+                    self._band_go_hbm_guard(num_nodes, band, n2a.shape[1])
                 else:
-                    self._band_go_shard_guard(num_nodes, band, n2a.shape[1])
+                    splan = self._band_go_shard_guard(
+                        num_nodes, band, n2a.shape[1])
+                    shard_group = splan.get("lookup_group") or 8
                 # class-table survival engine (binary annotations): device-
                 # built int8 operands, cached across runs (the host
                 # equivalents cost minutes per run at GO scale in this
@@ -1888,17 +1920,22 @@ class SAFE:
                 if nan0_perm is not None and self.mesh is None:
                     from safepy_tpu.ops.enrich_band import (
                         hypergeom_band_table)
-                    logsf_out = logsf_admit
                     band_done = self._band_front_dispatch(
                         plan, radius, num_nodes)
                     dist_band, s_ind, mean, std = band_done
                     _hbm.record_peak("relax")
+                    sel = {}
                     table_out = hypergeom_band_table(
                         s_ind, nan0_perm, nnn_perm, M,
                         np.float64(self.enrichment_threshold),
                         bt=band // 128 + 1, rank_np=rank,
                         precision=self.matmul_precision,
-                        logsf_out=logsf_out, K_np=np.asarray(K))
+                        logsf_out=self.logsf_store, lookup_group="auto",
+                        budget=self.hbm_budget_bytes,
+                        extra_resident_bytes=(int(dist_band.nbytes)
+                                              if dist_band.shape[0] else 0),
+                        select_out=sel, K_np=np.asarray(K))
+                    self._record_census_select(sel)
                     _hbm.record_peak("census")
             if table_out is None and self.mesh is None:
                 # fallback engines take host operands (their column chunking
@@ -1957,7 +1994,7 @@ class SAFE:
                         np.float64(self.enrichment_threshold),
                         mesh=self.mesh, n=num_nodes, band=band,
                         rank_np=rank, precision=self.matmul_precision,
-                        K_np=np.asarray(K))
+                        K_np=np.asarray(K), lookup_group=shard_group)
                 if table_out is not None:
                     self._hypergeom_engine_used = "table-band-sharded"
                     nes32 = None  # deferred: see _nes_device()

@@ -1,18 +1,23 @@
 """Pre-dispatch HBM plan guard (safepy_tpu/hbm.py, VERDICT r4 item 2).
 
-The model's calibration anchors are the two measured v5e GO points:
-299,520 x 4,373 ran steady with device-resident f32 outputs
-(tools/r4d_results.log) while 349,440 x 4,373 OOM'd (tools/r4e2_results.log)
-— the plan must admit the former and auto-downgrade the latter.
+The census model's calibration anchors are the three measured v5e GO
+points (round 5f): 299,520 x 4,373 device/f32 group-8 RAN, 349,440 x
+4,373 f16 group-8 RAN, 399,360 x 4,373 @80 f16 group-8 OOM'd — the
+census peak modeled as resident + table + (2 + group) chunk-cells makes
+all three consistent (14.75 / 14.07 RAN vs 15.95 OOM against the
+15.04 GB admit line); the slot-loop ``lookup_group`` is the planner's
+lever (ops/hypergeom_table._lookup_slot_loop keeps ``group`` gather
+outputs live per fori step).
 """
 
 import numpy as np
 import pytest
 
-from safepy_tpu.hbm import (band_geometry, band_go_hbm_plan,
+from safepy_tpu.hbm import (band_geometry, band_go_hbm_plan, census_select,
                             device_hbm_budget, explain)
 
 V5E = 16 * 10 ** 9
+TRUE_TABLE = 268 * 10 ** 6  # measured GO chunk table (R=256, S=256, C=512+)
 
 
 def _plan(n, band, a=4373, budget=V5E, **kw):
@@ -20,6 +25,14 @@ def _plan(n, band, a=4373, budget=V5E, **kw):
     kw.setdefault("split_front", True)
     kw.setdefault("keep_distances", False)
     return band_go_hbm_plan(n, band, a, budget=budget, **kw)
+
+
+def _select(n, band, mode, group, a=4373, table=TRUE_TABLE, budget=V5E):
+    bt, rows, window = band_geometry(n, band)
+    return census_select(n=n, n_attrs=a, rows=rows, chunk_w=512,
+                         ind_bytes=rows * window // 8, ann_bytes=n * a,
+                         table_bytes=table, budget=budget,
+                         modes=(mode,), groups=(group,))
 
 
 def test_geometry_matches_band_store():
@@ -31,31 +44,71 @@ def test_geometry_matches_band_store():
     assert window == (2 * bt + 1) * 128
 
 
+def test_measured_anchors_consistent():
+    """Every measured-RAN configuration is admitted at its true geometry;
+    the measured-OOM configuration is refused (tools/r5f_results.log)."""
+    assert _select(299_520, 4095, "device", 8)["fits"]   # ran 29.5 s steady
+    assert _select(349_440, 4095, "f16", 8)["fits"]      # ran 34.4 s steady
+    assert not _select(399_360, 3583, "f16", 8)["fits"]  # OOM'd 02:17
+
+
+def test_wall_point_routes_to_smaller_group():
+    """399,360 x 4,373 @80 — the r5e/r5f census wall — must now be
+    admitted via a smaller lookup group, modeled BELOW the largest
+    measured-safe peak (299,520 device g8 = 14.75 GB)."""
+    plan = _plan(399_360, 3583)
+    assert plan["fits"]
+    assert plan["logsf_out"] == "device" and plan["lookup_group"] < 8
+    safe_line = _select(299_520, 4095, "device", 8)["census_peak"]
+    sel = _select(399_360, 3583, plan["logsf_out"], plan["lookup_group"])
+    assert sel["fits"] and sel["census_peak"] <= safe_line
+
+
 def test_anchor_299520_admits_device_outputs():
-    plan = _plan(299_520, 3640)
+    plan = _plan(299_520, 4095)
     assert plan["fits"] and plan["logsf_out"] == "device"
+    assert plan["lookup_group"] == 8  # no perf regression at the ran anchor
 
 
-def test_anchor_349440_downgrades_from_device():
-    """The measured OOM point: the f32 whale must NOT be admitted; 'auto'
-    lands on f16 (half the whale; indicator/counts stay exact)."""
-    plan = _plan(349_440, 3936)
-    assert plan["fits"] and plan["logsf_out"] == "f16"
-    forced = _plan(349_440, 3936, logsf_out="device")
-    assert not forced["fits"] and forced["logsf_out"] is None
+def test_anchor_349440_downgrades_from_group8():
+    """The r4 OOM point: full-rate device residency (group 8) must NOT be
+    admitted; 'auto' keeps device-f32 fidelity by dialing the group down."""
+    plan = _plan(349_440, 4095)
+    assert plan["fits"]
+    assert plan["logsf_out"] == "device" and plan["lookup_group"] < 8
+    forced = _select(349_440, 4095, "device", 8)
+    assert not forced["fits"]
 
 
 def test_auto_walks_device_f16_host():
-    base = _plan(200_000, 3000, budget=V5E)
+    """Annotation-dominated shape (the (n, A) outputs dwarf the band): as
+    the budget shrinks, 'auto' walks device -> f16 -> host -> refuse. A
+    band-dominated shape would hit the relax gate first — and the group
+    lever now lets 'device' stretch all the way down to it."""
+    base = _plan(100_000, 800, a=50_000, budget=40 * 10 ** 9)
     assert base["logsf_out"] == "device"
-    # shrink the budget until each residency mode falls out in turn
     seen = []
-    for budget in np.linspace(V5E, 2 * 10 ** 9, 60):
-        p = _plan(200_000, 3000, budget=int(budget))
+    for budget in np.linspace(40 * 10 ** 9, 5 * 10 ** 9, 80):
+        p = _plan(100_000, 800, a=50_000, budget=int(budget))
         seen.append(p["logsf_out"])
     order = [m for i, m in enumerate(seen) if m not in seen[:i]]
-    assert order[:3] == ["device", "f16", "host"]
+    assert order == ["device", "f16", "host", None]
     assert seen[-1] is None  # eventually nothing fits -> caller refuses
+
+
+def test_group_walks_down_within_mode():
+    """Within one residency mode, the group dials 8 -> 4 -> 2 -> 1 as the
+    budget tightens — trading lookup bandwidth for peak HBM."""
+    groups = []
+    for budget in np.linspace(V5E, 4 * 10 ** 9, 120):
+        s = census_select(n=200_000, n_attrs=4373, rows=201_728,
+                          chunk_w=512, ind_bytes=10 ** 8,
+                          ann_bytes=200_000 * 4373, table_bytes=TRUE_TABLE,
+                          budget=int(budget), modes=("device",))
+        if s["fits"]:
+            groups.append(s["lookup_group"])
+    walked = [g for i, g in enumerate(groups) if g not in groups[:i]]
+    assert walked == [8, 4, 2, 1]
 
 
 def test_relax_phase_governs_when_band_dominates():

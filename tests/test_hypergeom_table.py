@@ -155,6 +155,37 @@ def test_slot_loop_engine_identical_to_gather(monkeypatch):
     assert np.max(np.abs(np.exp(logsf_l.astype(np.float64)) - p_want)) <= 1e-6
 
 
+def test_lookup_group_bit_identical(monkeypatch):
+    """The slot loop's unroll depth (``lookup_group`` — the census HBM
+    planner's lever, hbm.census_select) must not change a single bit: each
+    cell is selected by exactly one sweep regardless of grouping."""
+    rng = np.random.default_rng(13)
+    N, A, M = 256, 21, 500
+    nsize = rng.integers(0, 260, N).astype(np.float64)
+    K = rng.integers(0, 200, A).astype(np.float64)
+    counts = np.floor(np.minimum(nsize[:, None], K[None, :])
+                      * rng.random((N, A))).astype(np.float64)
+
+    plan = htab.plan(K, float(nsize.max()), M)
+    ch = plan["chunks"][0]
+    table = htab.build_logsf_table(
+        jnp.asarray(ch["K_dist"]), M, float(np.log(0.05)),
+        R=ch["R"], S_max=ch["S_max"], C=ch["C"])
+    args = (table, jnp.asarray(counts, jnp.float32),
+            jnp.asarray(nsize, jnp.float32),
+            jnp.asarray(ch["colc"], jnp.int32), np.float32(np.log(0.05)))
+    kw = dict(S_max=ch["S_max"], R=ch["R"], C=ch["C"])
+
+    monkeypatch.setattr(htab, "LOOKUP_LOOP_MIN_CELLS", 1)  # force slot loop
+    ref = [np.asarray(x)
+           for x in htab.table_lookup(*args, **kw, lookup_group=8)]
+    for group in (4, 2, 1, 16):
+        got = [np.asarray(x)
+               for x in htab.table_lookup(*args, **kw, lookup_group=group)]
+        for r, g in zip(ref, got):
+            np.testing.assert_array_equal(r, g)
+
+
 def _geom_net(tmp_path, n=400, k=6, seed=11):
     rng = np.random.default_rng(seed)
     coords = rng.uniform(-1, 1, (n, 2))
@@ -272,6 +303,56 @@ def test_band_table_explicit_K_equals_fallback(tmp_path):
     assert with_k is not None and fallback is not None
     for got, want in zip(with_k, fallback):
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_band_table_auto_select(tmp_path):
+    """``logsf_out='auto'`` makes the AUTHORITATIVE (residency, group)
+    selection inside hypergeom_band_table, where the true class-table bytes
+    are known: a generous budget lands on device/group-8 with outputs
+    bit-equal to the explicit device path; a pinched budget walks down a
+    lever (recorded in select_out) without changing the exact results; an
+    impossible budget refuses cleanly BEFORE any (n, A) allocation."""
+    from safepy_tpu.ops.enrich_band import hypergeom_band_table
+    net, n = _geom_net(tmp_path, seed=15)
+    attrs = _binary_attrs(n, a=9, seed=8)
+    sf = _run(net, attrs, engine="table", mode="band")
+    bm = sf._neighborhoods_dev
+    order = np.argsort(bm.rank)
+    nan0, nnn, K, ok, M = sf._band_hyper_operands_cached(order)
+    assert ok
+    kw = dict(bt=bm.bt, block=bm.block, rank_np=bm.rank,
+              precision=sf.matmul_precision, K_np=np.asarray(K))
+    want = hypergeom_band_table(bm.data, nan0, nnn, M, np.float64(0.05),
+                                logsf_out="device", **kw)
+
+    sel = {}
+    got = hypergeom_band_table(bm.data, nan0, nnn, M, np.float64(0.05),
+                               logsf_out="auto", lookup_group="auto",
+                               budget=16 * 10 ** 9, select_out=sel, **kw)
+    assert sel["logsf_out"] == "device" and sel["lookup_group"] == 8
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+    # pinch the budget just below the device/group-8 peak: a cheaper lever
+    # is selected, the exact outputs (indicator + counts) are unchanged
+    pinched = int((sel["census_peak"] - 1) / 0.94)
+    sel2 = {}
+    got2 = hypergeom_band_table(bm.data, nan0, nnn, M, np.float64(0.05),
+                                logsf_out="auto", lookup_group="auto",
+                                budget=pinched, select_out=sel2, **kw)
+    assert ((sel2["logsf_out"], sel2["lookup_group"])
+            != (sel["logsf_out"], sel["lookup_group"]))
+    np.testing.assert_array_equal(np.asarray(got2[1]), np.asarray(want[1]))
+    np.testing.assert_array_equal(got2[2], want[2])
+    np.testing.assert_allclose(np.asarray(got2[0], np.float64),
+                               np.asarray(want[0], np.float64),
+                               rtol=1e-3, atol=1e-3)
+
+    # nothing fits: clean refusal before the (n, A) outputs are allocated
+    with pytest.raises(ValueError, match="census phase does not fit"):
+        hypergeom_band_table(bm.data, nan0, nnn, M, np.float64(0.05),
+                             logsf_out="auto", lookup_group="auto",
+                             budget=10 ** 3, **kw)
 
 
 def test_plan_ineligible_on_fractional_K():

@@ -433,6 +433,10 @@ def main():
             # logsf residency the pre-dispatch HBM plan admitted (r5):
             # 'f16'/'host' mark points past the f32-resident census wall
             "logsf_out": (sf._hbm_plan_last or {}).get("logsf_out"),
+            # slot-loop unroll the census planner chose (r5g: group*cell
+            # gather outputs stay live per lookup step — the term that
+            # OOM'd 399,360@80 under the old always-8 behavior)
+            "lookup_group": (sf._hbm_plan_last or {}).get("lookup_group"),
             "census_peak_gb": round(
                 ((sf._hbm_plan_last or {}).get("census_peak") or 0) / 1e9, 2),
             "first_s": round(first, 2),
