@@ -83,6 +83,11 @@ def record_peak(tag: str, sync: bool = True):
         rec = {"tag": tag,
                "bytes_in_use": int(stats.get("bytes_in_use", -1)),
                "peak_bytes_in_use": int(stats.get("peak_bytes_in_use", -1))}
+        # the axon TPU plugin reports bytes_limit but NOT the allocator
+        # counters (measured r5f: every sample -1) — mark such samples so
+        # downstream calibration never mistakes -1 for a real peak
+        if rec["bytes_in_use"] < 0 and rec["peak_bytes_in_use"] < 0:
+            rec["unavailable"] = True
     except Exception:  # noqa: BLE001 — tracing must never break a dispatch
         return None
     HBM_TRACE.append(rec)

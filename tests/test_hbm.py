@@ -200,3 +200,29 @@ def test_count_other_chunked_matches_full():
                       p=[0.4, 0.3, 0.1, 0.2])
     expect = int(np.sum(np.isfinite(vals) & (vals != 0) & (vals != 1)))
     assert count_other_values_chunked(vals, chunk_cols=2) == expect
+
+
+def test_record_peak_marks_unavailable_counters(monkeypatch):
+    """The axon plugin reports bytes_limit but NOT the allocator counters
+    (measured r5f: every HBM_TRACE sample -1). record_peak must flag such
+    samples so calibration never mistakes -1 for a real peak."""
+    from safepy_tpu import hbm
+
+    monkeypatch.setenv("SAFEPY_TPU_HBM_TRACE", "1")
+    monkeypatch.setattr(hbm, "HBM_TRACE", [])
+    rec = hbm.record_peak("unit", sync=False)
+    if rec is None:  # backend raised inside the sampler — nothing recorded
+        assert hbm.HBM_TRACE == []
+        return
+    assert hbm.HBM_TRACE == [rec]
+    has_counters = (rec["bytes_in_use"] >= 0 or rec["peak_bytes_in_use"] >= 0)
+    assert rec.get("unavailable", False) == (not has_counters)
+
+
+def test_record_peak_noop_without_env(monkeypatch):
+    from safepy_tpu import hbm
+
+    monkeypatch.delenv("SAFEPY_TPU_HBM_TRACE", raising=False)
+    monkeypatch.setattr(hbm, "HBM_TRACE", [])
+    assert hbm.record_peak("unit") is None
+    assert hbm.HBM_TRACE == []
